@@ -1,0 +1,82 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Spark-native Opset: the reference's set of named signal DataFrames
+  * (tabata opset.py:52, one pandas DataFrame per record in an HDF5 store)
+  * re-expressed as ONE long-format DataFrame:
+  *
+  * {{{ record: string, t: long (1-based sample index), <signal columns> }}}
+  *
+  * Every per-record loop of the reference becomes a window function over
+  * `partitionBy(record).orderBy(t)` or a `groupBy(record)` aggregation, so
+  * records scale out linearly across executors; at 100 TB an Opset is a
+  * parquet directory (optionally bucketed by record) and no operator here
+  * shuffles more than once on `record`.
+  *
+  * Positional indexing (opset.py:135 `__getitem__`, opset.py:164 slices,
+  * opset.py:207 `current_record`, opset.py:195 `rewind`) is defined on the
+  * lexicographically sorted record-name list. Record names are metadata-sized
+  * (≪ data), so the global sort window in [[recordIndex]] is cheap relative
+  * to the signal data itself.
+  */
+final case class Opset(df: DataFrame, recordCol: String = "record", tCol: String = "t") {
+
+  /** Distinct record names, sorted — the reference's `self.records` list. */
+  def records: DataFrame = df.select(recordCol).distinct().orderBy(recordCol)
+
+  /** (record, pos) with pos 0-based in sorted-name order — the positional
+    * index backing get/slice/rewind. Reference: opset.py:135.
+    */
+  def recordIndex: DataFrame = {
+    val w = Window.orderBy(col(recordCol))
+    records.select(col(recordCol), (row_number().over(w) - 1).cast("long").as("pos"))
+  }
+
+  /** One record's signal (opset.py:135 `__getitem__` by name). */
+  def get(name: String): DataFrame = df.filter(col(recordCol) === name)
+
+  /** Records with position in `[from, until)` (opset.py:164 slicing). */
+  def slice(from: Int, until: Int): Opset = {
+    val idx = recordIndex.filter(col("pos") >= from && col("pos") < until)
+    copy(df = df.join(broadcast(idx.select(recordCol)), Seq(recordCol)))
+  }
+
+  /** Record name at sorted position `pos` (opset.py:207 / rewind(pos)). */
+  def recordAt(pos: Int): Option[String] =
+    recordIndex.filter(col("pos") === pos.toLong)
+      .select(recordCol).collect().headOption.map(_.getString(0))
+
+  /** Upsert: replace any record present in `rec`, keep the rest
+    * (opset.py:229 `put`). Anti-join on the (broadcastable) incoming record
+    * list, then union — one broadcast, no shuffle of the big side.
+    */
+  def put(rec: DataFrame): Opset = {
+    val incoming = rec.select(recordCol).distinct()
+    copy(df = df.join(broadcast(incoming), Seq(recordCol), "left_anti")
+      .unionByName(rec.select(df.columns.map(col).toIndexedSeq: _*)))
+  }
+
+  /** Empty store with the same schema (opset.py:215 `clean`). */
+  def clean: Opset = copy(df = df.limit(0))
+
+  /** Number of records (metadata-sized count). */
+  def size: Long = records.count()
+}
+
+object Opset {
+  /** Canonical Opset view of the test `events` table: record = user id,
+    * t = 1-based sample index by (ts, event_id), signals = event_type/value.
+    */
+  def fromEvents(spark: SparkSession, dir: String): Opset = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Opset(ev.select(
+      col("user_id").cast("string").as("record"),
+      row_number().over(w).cast("long").as("t"),
+      col("event_type"),
+      col("value")))
+  }
+}

@@ -1,0 +1,253 @@
+package graft.dsp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.SavGol
+
+/** Distributed signal operators over long-format Opset data
+  * (`record, t, <signals>`).
+  *
+  * The two core operators of the reference's instant-detection pipeline:
+  *
+  *  - [[sgCol]]: Savitzky-Golay filtering (tabata instants.py:76,
+  *    `scipy.signal.savgol_filter` with the default `mode='interp'`) as a
+  *    window-frame dot product with driver-precomputed coefficients. The
+  *    interior is `sum_j c_j * lag/lead(x, j)`; the first/last `half` rows
+  *    of each record use edge-polynomial weights over the first/last `w`
+  *    samples (`nth_value` over the full frame). Everything stays inside
+  *    whole-stage codegen — no UDFs, one shuffle on `record`.
+  *
+  *  - [[indicatorCols]]: the reference's `indicator` (instants.py:45) —
+  *    count bumps/dips of a smoothed derivative by splitting each record at
+  *    zero-threshold crossings and emitting a per-segment linear ramp
+  *    `z0+s .. z0+s+1`. Pure window algebra, no UDFs.
+  *
+  * Each operator also has a `...Sql` twin that emits the equivalent ANSI
+  * SQL (DuckDB dialect) from the SAME coefficient arrays, used by the
+  * driver's oracle comparison.
+  */
+object SignalOps {
+
+  /** Savitzky-Golay filtered column `out` added to `df`. Requires every
+    * record to have at least `w` samples (callers filter shorter records
+    * out, as scipy would raise).
+    *
+    * Implementation note: row number and record length are materialized as
+    * temporary columns first — Spark (correctly) refuses window expressions
+    * nested inside another window's aggregate, so `max(when(rn = n - j, x))
+    * over full-frame` must reference plain columns.
+    *
+    * @param x     signal column name
+    * @param rec   record column name
+    * @param t     order column name
+    * @param w     odd window width
+    * @param deg   polynomial degree
+    * @param deriv derivative order (0 = smoothing)
+    */
+  def sgDf(df: DataFrame, x: String, rec: String, t: String,
+           w: Int, deg: Int, deriv: Int, out: String): DataFrame = {
+    val half = w / 2
+    val cw   = SavGol.centralWeights(w, deg, deriv)
+    val ew   = SavGol.edgeWeights(w, deg, deriv)
+    val wOrd  = Window.partitionBy(rec).orderBy(t)
+    val wFull = Window.partitionBy(rec).orderBy(t)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    val base = df
+      .withColumn("_sg_rn", row_number().over(wOrd).cast("long"))
+      .withColumn("_sg_n", count(lit(1)).over(wFull))
+
+    val rn = col("_sg_rn")
+    val n  = col("_sg_n")
+
+    // Interior: dot product over offsets -half..half via lag/lead.
+    val interior = (0 until w).map { j =>
+      val off = j - half
+      val term = if (off < 0) lag(col(x), -off).over(wOrd)
+                 else if (off > 0) lead(col(x), off).over(wOrd)
+                 else col(x)
+      term * lit(cw(j))
+    }.reduce(_ + _)
+
+    // Left edge row i (0-based): dot of edge row i with the FIRST w samples.
+    def leftEdge(i: Int): Column =
+      (0 until w).map(j => nth_value(col(x), j + 1).over(wFull) * lit(ew(i)(j))).reduce(_ + _)
+    // Right edge (mirror): f^(d)(n-1-i) = (-1)^d * edge(i) . reverse(last w
+    // samples). "j-th sample from the end" (j = 0-based) is expressed as
+    // max(when(rn = n - j, x)) over the full frame (exactly one row matches).
+    val sgn = if (deriv % 2 == 0) 1.0 else -1.0
+    def fromEnd(j: Int): Column = max(when(rn === n - lit(j), col(x))).over(wFull)
+    def rightEdge(i: Int): Column =
+      (0 until w).map(j => fromEnd(j) * lit(sgn * ew(i)(j))).reduce(_ + _)
+
+    val sg = (0 until half).foldLeft(
+      (0 until half).foldLeft(interior) { (acc, i) =>
+        when(rn === lit(i + 1).cast("long"), leftEdge(i)).otherwise(acc)
+      }
+    ) { (acc, i) =>
+      when(rn === n - lit(i), rightEdge(i)).otherwise(acc)
+    }
+
+    base.withColumn(out, sg).drop("_sg_rn", "_sg_n")
+  }
+
+  /** DuckDB SQL expression equivalent to [[sgCol]]. `over` is the window
+    * body, e.g. `PARTITION BY record ORDER BY t`.
+    */
+  def sgSql(x: String, over: String, w: Int, deg: Int, deriv: Int): String = {
+    val half = w / 2
+    val cw   = SavGol.centralWeights(w, deg, deriv)
+    val ew   = SavGol.edgeWeights(w, deg, deriv)
+    val full = s"OVER ($over ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    val ord  = s"OVER ($over)"
+    val rn   = s"(row_number() $ord)"
+    val n    = s"(count(*) $full)"
+    val sgn  = if (deriv % 2 == 0) 1.0 else -1.0
+    val interior = (0 until w).map { j =>
+      val off = j - half
+      val term = if (off < 0) s"lag($x, ${-off}) $ord"
+                 else if (off > 0) s"lead($x, $off) $ord"
+                 else x
+      s"($term) * (${cw(j)})"
+    }.mkString(" + ")
+    def leftEdge(i: Int): String =
+      (0 until w).map(j => s"(nth_value($x, ${j + 1}) $full) * (${ew(i)(j)})").mkString(" + ")
+    def fromEnd(j: Int): String =
+      s"(max(CASE WHEN (row_number() $ord) = $n - $j THEN $x END) $full)"
+    def rightEdge(i: Int): String =
+      (0 until w).map(j => s"${fromEnd(j)} * (${sgn * ew(i)(j)})").mkString(" + ")
+    val leftCases  = (0 until half).map(i => s"WHEN $rn = ${i + 1} THEN (${leftEdge(i)})")
+    val rightCases = (0 until half).map(i => s"WHEN $rn = $n - $i THEN (${rightEdge(i)})")
+    (leftCases ++ rightCases).mkString("CASE ", " ", s" ELSE ($interior) END")
+  }
+
+  /** The reference `indicator` (instants.py:45) on top of a pre-computed
+    * smoothed column `sg`: threshold crossings of `sg` vs `sigma` split each
+    * record into segments; segment `s` (0-based) ramps linearly from
+    * `z0+s` to `z0+s+1` over its points, where `z0` is 0 if the first
+    * crossing is upward and 1 otherwise. Records with no crossing get 0.
+    *
+    * Returns the z column; `df` must carry `rec`, `t` and `sg` columns.
+    */
+  def indicatorDf(df: DataFrame, sg: String, rec: String, t: String,
+                  sigma: Double, out: String): DataFrame = {
+    val wOrd  = Window.partitionBy(rec).orderBy(t)
+    val wFull = Window.partitionBy(rec).orderBy(t)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val b  = if (sigma > 0) (col(sg) > sigma).cast("int") else (col(sg) < sigma).cast("int")
+    val d1 = df.withColumn("_b", b)
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_dp", lead(col("_b"), 1).over(wOrd) - col("_b"))
+      .withColumn("_c", when(col("_dp").isNotNull && col("_dp") =!= 0, 1).otherwise(0))
+    val d2 = d1
+      .withColumn("_seg", sum(col("_c")).over(wOrd)) // crossings at idx <= current
+      .withColumn("_ncross", sum(col("_c")).over(wFull))
+      .withColumn("_rnc", min(when(col("_c") === 1, col("_rn"))).over(wFull))
+      .withColumn("_firstdp", max(when(col("_rn") === col("_rnc"), col("_dp"))).over(wFull))
+    // _seg counts crossings with index <= current row, so the row AT a
+    // crossing index already belongs to... careful: reference splits
+    // segments so that sample k (dp[k]!=0) ENDS its segment at k (exclusive
+    // upper bound), i.e. sample k starts the NEXT segment? No: z[i0:i] with
+    // boundaries i in k — sample k is the first of the next segment.
+    // _seg(j) = #\{k <= j\} gives: j=k -> 1 (next segment) as required.
+    val wSeg    = Window.partitionBy(rec, "_seg").orderBy(t)
+    val wSegAll = Window.partitionBy(rec, "_seg")
+    val z0 = when(col("_firstdp") === 1, lit(0.0)).otherwise(lit(1.0))
+    val m  = count(lit(1)).over(wSegAll)
+    val p  = row_number().over(wSeg) - 1
+    val ramp = when(m > 1, p.cast("double") / (m - 1).cast("double")).otherwise(lit(0.0))
+    d2.withColumn(out,
+        when(col("_ncross") === 0, lit(0.0))
+          .otherwise(z0 + (col("_seg")).cast("double") + ramp))
+      .drop("_b", "_rn", "_dp", "_c", "_seg", "_ncross", "_rnc", "_firstdp")
+  }
+
+  /** DuckDB SQL producing (rec, t, z) for [[indicatorDf]] applied to an SG
+    * smoothed signal. `src` is a FROM-able relation exposing rec/t/x.
+    */
+  def indicatorSql(src: String, x: String, rec: String, t: String,
+                   w: Int, deg: Int, deriv: Int, sigma: Double): String = {
+    val over = s"PARTITION BY $rec ORDER BY $t"
+    val sg   = sgSql(x, over, w, deg, deriv)
+    val bCond = if (sigma > 0) s"_sg > $sigma" else s"_sg < $sigma"
+    s"""
+WITH _sgd AS (
+  SELECT $rec, $t, ($sg) AS _sg FROM $src
+), _bd AS (
+  SELECT $rec, $t, CASE WHEN $bCond THEN 1 ELSE 0 END AS _b FROM _sgd
+), _dpd AS (
+  SELECT $rec, $t, _b,
+         (lead(_b) OVER ($over)) - _b AS _dp,
+         row_number() OVER ($over) AS _rn
+  FROM _bd
+), _cd AS (
+  SELECT *, CASE WHEN _dp IS NOT NULL AND _dp <> 0 THEN 1 ELSE 0 END AS _c FROM _dpd
+), _segd AS (
+  SELECT *,
+         sum(_c) OVER ($over) AS _seg,
+         sum(_c) OVER (PARTITION BY $rec) AS _ncross,
+         min(CASE WHEN _c = 1 THEN _rn END) OVER (PARTITION BY $rec) AS _rnc
+  FROM _cd
+), _fd AS (
+  SELECT *,
+         max(CASE WHEN _rn = _rnc THEN _dp END) OVER (PARTITION BY $rec) AS _firstdp
+  FROM _segd
+)
+SELECT $rec, $t,
+       CASE WHEN _ncross = 0 THEN 0.0
+            ELSE (CASE WHEN _firstdp = 1 THEN 0.0 ELSE 1.0 END)
+                 + CAST(_seg AS DOUBLE)
+                 + (CASE WHEN (count(*) OVER (PARTITION BY $rec, _seg)) > 1
+                         THEN CAST(row_number() OVER (PARTITION BY $rec, _seg ORDER BY $t) - 1 AS DOUBLE)
+                              / CAST((count(*) OVER (PARTITION BY $rec, _seg)) - 1 AS DOUBLE)
+                         ELSE 0.0 END)
+       END AS z
+FROM _fd"""
+  }
+
+  /** Reference (driver-side, array-based) implementations used by the
+    * ScalaTest specs to pin the distributed versions to the exact semantics
+    * of instants.py:45/76. Small arrays only — never used in the engine.
+    */
+  object local {
+    def savgol(y: Array[Double], w: Int, deg: Int, deriv: Int): Array[Double] = {
+      val n = y.length
+      require(n >= w, s"record shorter than window ($n < $w)")
+      val half = w / 2
+      val cw = SavGol.centralWeights(w, deg, deriv)
+      val ew = SavGol.edgeWeights(w, deg, deriv)
+      val sgn = if (deriv % 2 == 0) 1.0 else -1.0
+      Array.tabulate(n) { i =>
+        if (i < half) (0 until w).map(j => ew(i)(j) * y(j)).sum
+        else if (i >= n - half) {
+          val ii = n - 1 - i
+          sgn * (0 until w).map(j => ew(ii)(j) * y(n - 1 - j)).sum
+        } else (0 until w).map(j => cw(j) * y(i - half + j)).sum
+      }
+    }
+
+    /** Direct translation of instants.py:45 for test fixtures. */
+    def indicator(y: Array[Double], width: Int, order: Int, sigma: Double,
+                  deg: Int = 2): Array[Double] = {
+      val x = savgol(y, width, deg, order)
+      val b = x.map(v => if (sigma > 0) v > sigma else v < sigma)
+      val dp = (0 until y.length - 1).map(i => (if (b(i + 1)) 1 else 0) - (if (b(i)) 1 else 0))
+      val k = dp.zipWithIndex.filter(_._1 != 0).map(_._2)
+      val z = Array.fill(y.length)(0.0)
+      if (k.nonEmpty) {
+        var z0 = 1.0 - (if (dp(k.head) == 1) 1.0 else 0.0)
+        var i0 = 0
+        (k :+ y.length).foreach { i =>
+          val m = i - i0
+          (0 until m).foreach { j =>
+            z(i0 + j) = if (m > 1) z0 + j.toDouble / (m - 1) else z0
+          }
+          z0 += 1.0
+          i0 = i
+        }
+      }
+      z
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, built
+  * entirely from codegen'd `org.apache.spark.sql.functions` (no UDFs): at
+  * 100 TB these run inside whole-stage codegen with full column pruning —
+  * a scan of `documents` reading only (`doc_id`, `text`).
+  *
+  * Operators: token counting, quality scoring, language ID (stopword
+  * n-gram heuristic), and polynomial-rolling-hash fingerprinting.
+  */
+object TextAnalysis {
+
+  val FpMod = 1000000007L // fingerprint modulus (fits 31*mod+cp in a long)
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** Count of regex matches (codegen'd). */
+  def matchCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  /** Per-language stopword lists for the language-ID heuristic. Order is
+    * the deterministic tie-break order.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "nicht", "mit", "auf"),
+    "es" -> Seq("el", "los", "de", "y", "un", "es", "que", "en", "una", "por"),
+  )
+
+  private def stopwordPattern(words: Seq[String]): String =
+    words.mkString("\\b(", "|", ")\\b")
+
+  /** Per-language stopword-hit counts over lowercased text. */
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangStopwords.map { case (lang, words) =>
+      lang -> matchCount(lower(text), stopwordPattern(words))
+    }
+
+  /** Language ID: argmax of [[langScores]] with first-listed tie-break;
+    * "und" when every score is zero.
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(best > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality signals: character/token counts, mean token length,
+    * punctuation / digit / stopword ratios, and a blended 0..1 score.
+    * All ratios are 0 when the text is blank.
+    */
+  def qualityCols(text: Column): Seq[(String, Column)] = {
+    val nChars  = length(text).cast("long")
+    val nTokens = tokenCount(text)
+    val safeTok = when(nTokens === 0, lit(1L)).otherwise(nTokens)
+    val safeChr = when(nChars === 0, lit(1L)).otherwise(nChars)
+    val meanTokLen = length(regexp_replace(text, "\\s", "")).cast("double") / safeTok
+    val punct = matchCount(text, "[.,;:!?]").cast("double") / safeChr
+    val digit = matchCount(text, "[0-9]").cast("double") / safeChr
+    val stop  = matchCount(lower(text), stopwordPattern(LangStopwords.head._2)).cast("double") / safeTok
+    val lenScore = least(nChars.cast("double") / lit(200.0), lit(1.0))
+    val score = lenScore * 0.4 +
+      least(stop * 5.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - least(punct * 10.0, lit(1.0))) * 0.15 +
+      (lit(1.0) - least(digit * 10.0, lit(1.0))) * 0.15
+    Seq(
+      "n_chars"      -> nChars,
+      "n_tokens"     -> nTokens,
+      "mean_tok_len" -> round(meanTokLen, 6),
+      "punct_ratio"  -> round(punct, 6),
+      "digit_ratio"  -> round(digit, 6),
+      "stop_ratio"   -> round(stop, 6),
+      "quality"      -> round(score, 6),
+    )
+  }
+
+  /** Polynomial rolling-hash fingerprint over the document's characters:
+    * `h = fold(codepoints, 0)((a, c) => (a * 31 + c) mod FpMod)`.
+    *
+    * Implemented with `aggregate`/`transform` higher-order functions —
+    * evaluated per-row inside codegen, distributed, no UDF. (At extreme doc
+    * lengths a custom Catalyst Expression doing one pass over the UTF-8
+    * bytes would avoid the per-char substring; document lengths here are
+    * bounded so the HOF form is kept for clarity.)
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(filter(split(text, ""), c => c =!= ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, cp) => (acc * 31L + cp) % FpMod,
+    )
+
+  /** The full analysis DataFrame over a `documents`-shaped table. */
+  def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val quality = qualityCols(t)
+    docs.select(
+      (col(idCol) +: quality.map { case (n, c) => c.as(n) }) ++
+        Seq(langId(t).as("lang_id"), fingerprint(t).as("fingerprint")): _*
+    )
+  }
+}
