@@ -304,23 +304,16 @@ object SparkEntry {
         }.mkString(", ") +
         ") t(unit_order, unit, label) ORDER BY unit_order, label"),
 
-    "sg_smooth" ->
-      s"""WITH $OpsetCte
-         |SELECT record, t,
-         |       round(${SignalOps.sgSql("value", "PARTITION BY record ORDER BY t", SgW, SgDeg, 0)}, 6) AS x
-         |FROM opset ORDER BY record, t""".stripMargin,
+    "sg_smooth" -> sgOracle(0),
 
-    "sg_deriv" ->
-      s"""WITH $OpsetCte
-         |SELECT record, t,
-         |       round(${SignalOps.sgSql("value", "PARTITION BY record ORDER BY t", SgW, SgDeg, 1)}, 6) AS x
-         |FROM opset ORDER BY record, t""".stripMargin,
+    "sg_deriv" -> sgOracle(1),
 
-    "sg_indicator" ->
-      s"""WITH $OpsetCte
-         |SELECT record, t, round(z, 6) AS z FROM (
-         |${SignalOps.indicatorSql("opset", "value", "record", "t", SgW, SgDeg, 1, IndSigma)}
-         |) ORDER BY record, t""".stripMargin,
+    "sg_indicator" -> {
+      val (ctes, rel) = SignalOps.indicatorOracleCtes(
+        "opset", "value", "record", "t", SgW, SgDeg, 1, IndSigma)
+      s"""WITH $OpsetCte, $ctes
+         |SELECT record, t, round(z, 6) AS z FROM $rel ORDER BY record, t""".stripMargin
+    },
 
     "split_left" ->
       s"""WITH $OpsetCte, $InstantsCte
@@ -363,7 +356,9 @@ object SparkEntry {
       s"""SELECT doc_id,
          |       list_reduce(
          |         list_prepend(CAST(0 AS BIGINT),
-         |           list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+         |           list_transform(
+         |             string_split(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'), ''),
+         |             c -> CAST(ord(c) AS BIGINT))),
          |         (a, b) -> (a * 31 + b) % ${TextAnalysis.FpMod}) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -400,6 +395,13 @@ object SparkEntry {
   )
 
   // ----- long oracle bodies ----------------------------------------------
+
+  private def sgOracle(deriv: Int): String = {
+    val (ctes, rel) = SignalOps.sgOracleCtes(
+      "opset", "value", "record", "t", SgW, SgDeg, deriv, "x")
+    s"""WITH $OpsetCte, $ctes
+       |SELECT record, t, round(x, 6) AS x FROM $rel ORDER BY record, t""".stripMargin
+  }
 
   private def textQualityOracle: String = {
     val stopEn = TextAnalysis.LangStopwords.head._2.mkString("\\b(", "|", ")\\b")
@@ -451,12 +453,13 @@ object SparkEntry {
     val melts = LineitemLabels.map { case (c, lab) =>
       val (n, u) = ColumnMeta.nameunit(lab)
       s"""SELECT l_orderkey, l_linenumber, '$lab' AS variable, '$n' AS name, '$u' AS unit,
-         |       round(($c - avg($c) OVER ()) / stddev_samp($c) OVER (), 6) AS y
+         |       round(CASE WHEN stddev_samp($c) OVER () <> 0
+         |                  THEN ($c - avg($c) OVER ()) / stddev_samp($c) OVER () END, 6) AS y
          |FROM lineitem""".stripMargin
     }.mkString("\n  UNION ALL\n")
     s"""SELECT * FROM (
        |$melts
-       |) ORDER BY l_orderkey, l_linenumber, variable""".stripMargin
+       |) WHERE y IS NOT NULL ORDER BY l_orderkey, l_linenumber, variable""".stripMargin
   }
 
   private def plotDoubleOracle: String = {

@@ -71,6 +71,11 @@ object Opset {
     * t = 1-based sample index by (ts, event_id), signals = event_type/value.
     */
   def fromEvents(spark: SparkSession, dir: String): Opset = {
+    // events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses
+    // to read by default (PARQUET_TYPE_ILLEGAL). ts is only an ordering
+    // key here, and long nanoseconds order identically, so read it as
+    // long. Runtime-settable session conf — works for any caller session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Opset(ev.select(

@@ -29,9 +29,9 @@ import graft.core.SavGol
   */
 object SignalOps {
 
-  /** Savitzky-Golay filtered column `out` added to `df`. Requires every
-    * record to have at least `w` samples (callers filter shorter records
-    * out, as scipy would raise).
+  /** Savitzky-Golay filtered column `out` added to `df`. Records shorter
+    * than `w` samples are dropped (scipy raises on them; here they are
+    * filtered distributedly so no record silently yields null rows).
     *
     * Implementation note: row number and record length are materialized as
     * temporary columns first — Spark (correctly) refuses window expressions
@@ -57,6 +57,7 @@ object SignalOps {
     val base = df
       .withColumn("_sg_rn", row_number().over(wOrd).cast("long"))
       .withColumn("_sg_n", count(lit(1)).over(wFull))
+      .filter(col("_sg_n") >= w)
 
     val rn = col("_sg_rn")
     val n  = col("_sg_n")
@@ -92,34 +93,61 @@ object SignalOps {
     base.withColumn(out, sg).drop("_sg_rn", "_sg_n")
   }
 
-  /** DuckDB SQL expression equivalent to [[sgCol]]. `over` is the window
-    * body, e.g. `PARTITION BY record ORDER BY t`.
+  /** DuckDB CTE chain equivalent to [[sgDf]]: returns (cteClauses,
+    * finalRelationName); the final relation exposes (rec, t, out).
+    *
+    * DuckDB rejects window calls nested inside another window's aggregate
+    * ("window function calls cannot be nested"), so — mirroring [[sgDf]] —
+    * row number and record length are materialized as plain columns in a
+    * first CTE, and every window term (lag/lead, first/last-w samples)
+    * becomes a plain column in a second CTE before the edge CASE combines
+    * them arithmetically. Records shorter than `w` are dropped, as in
+    * [[sgDf]].
     */
-  def sgSql(x: String, over: String, w: Int, deg: Int, deriv: Int): String = {
+  def sgOracleCtes(src: String, x: String, rec: String, t: String,
+                   w: Int, deg: Int, deriv: Int, out: String): (String, String) = {
     val half = w / 2
     val cw   = SavGol.centralWeights(w, deg, deriv)
     val ew   = SavGol.edgeWeights(w, deg, deriv)
-    val full = s"OVER ($over ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
-    val ord  = s"OVER ($over)"
-    val rn   = s"(row_number() $ord)"
-    val n    = s"(count(*) $full)"
     val sgn  = if (deriv % 2 == 0) 1.0 else -1.0
+    val over = s"PARTITION BY $rec ORDER BY $t"
+    val part = s"PARTITION BY $rec"
+    val lagLead = (1 to half).flatMap(k => Seq(
+      s"lag(_x, $k) OVER ($over) AS _lag_$k",
+      s"lead(_x, $k) OVER ($over) AS _lead_$k"))
+    // j-th sample from the start / end of the record as plain columns
+    // (exactly one row matches each CASE, so max() picks it).
+    val firstCols = (0 until w).map(j =>
+      s"max(CASE WHEN _rn = ${j + 1} THEN _x END) OVER ($part) AS _fst_$j")
+    val lastCols = (0 until w).map(j =>
+      s"max(CASE WHEN _rn = _n - $j THEN _x END) OVER ($part) AS _lst_$j")
     val interior = (0 until w).map { j =>
       val off = j - half
-      val term = if (off < 0) s"lag($x, ${-off}) $ord"
-                 else if (off > 0) s"lead($x, $off) $ord"
-                 else x
+      val term = if (off < 0) s"_lag_${-off}" else if (off > 0) s"_lead_$off" else "_x"
       s"($term) * (${cw(j)})"
     }.mkString(" + ")
     def leftEdge(i: Int): String =
-      (0 until w).map(j => s"(nth_value($x, ${j + 1}) $full) * (${ew(i)(j)})").mkString(" + ")
-    def fromEnd(j: Int): String =
-      s"(max(CASE WHEN (row_number() $ord) = $n - $j THEN $x END) $full)"
+      (0 until w).map(j => s"_fst_$j * (${ew(i)(j)})").mkString(" + ")
     def rightEdge(i: Int): String =
-      (0 until w).map(j => s"${fromEnd(j)} * (${sgn * ew(i)(j)})").mkString(" + ")
-    val leftCases  = (0 until half).map(i => s"WHEN $rn = ${i + 1} THEN (${leftEdge(i)})")
-    val rightCases = (0 until half).map(i => s"WHEN $rn = $n - $i THEN (${rightEdge(i)})")
-    (leftCases ++ rightCases).mkString("CASE ", " ", s" ELSE ($interior) END")
+      (0 until w).map(j => s"_lst_$j * (${sgn * ew(i)(j)})").mkString(" + ")
+    val cases = (0 until half).map(i => s"WHEN _rn = ${i + 1} THEN (${leftEdge(i)})") ++
+      (0 until half).map(i => s"WHEN _rn = _n - $i THEN (${rightEdge(i)})")
+    val ctes =
+      s"""_sg_base AS (
+         |  SELECT $rec, $t, $x AS _x,
+         |         row_number() OVER ($over) AS _rn,
+         |         count(*) OVER ($part) AS _n
+         |  FROM $src
+         |), _sg_win AS (
+         |  SELECT $rec, $t, _x, _rn, _n,
+         |         ${(lagLead ++ firstCols ++ lastCols).mkString(",\n         ")}
+         |  FROM _sg_base WHERE _n >= $w
+         |), _sg_out AS (
+         |  SELECT $rec, $t, _rn, _n,
+         |         CASE ${cases.mkString(" ")} ELSE ($interior) END AS $out
+         |  FROM _sg_win
+         |)""".stripMargin
+    (ctes, "_sg_out")
   }
 
   /** The reference `indicator` (instants.py:45) on top of a pre-computed
@@ -163,19 +191,17 @@ object SignalOps {
       .drop("_b", "_rn", "_dp", "_c", "_seg", "_ncross", "_rnc", "_firstdp")
   }
 
-  /** DuckDB SQL producing (rec, t, z) for [[indicatorDf]] applied to an SG
-    * smoothed signal. `src` is a FROM-able relation exposing rec/t/x.
+  /** DuckDB CTE chain producing (rec, t, z) for [[indicatorDf]] applied to
+    * an SG-smoothed signal: returns (cteClauses, finalRelationName). `src`
+    * is a FROM-able relation exposing rec/t/x.
     */
-  def indicatorSql(src: String, x: String, rec: String, t: String,
-                   w: Int, deg: Int, deriv: Int, sigma: Double): String = {
+  def indicatorOracleCtes(src: String, x: String, rec: String, t: String,
+                          w: Int, deg: Int, deriv: Int, sigma: Double): (String, String) = {
     val over = s"PARTITION BY $rec ORDER BY $t"
-    val sg   = sgSql(x, over, w, deg, deriv)
+    val (sgCtes, sgRel) = sgOracleCtes(src, x, rec, t, w, deg, deriv, "_sg")
     val bCond = if (sigma > 0) s"_sg > $sigma" else s"_sg < $sigma"
-    s"""
-WITH _sgd AS (
-  SELECT $rec, $t, ($sg) AS _sg FROM $src
-), _bd AS (
-  SELECT $rec, $t, CASE WHEN $bCond THEN 1 ELSE 0 END AS _b FROM _sgd
+    val ctes = s"""$sgCtes, _bd AS (
+  SELECT $rec, $t, CASE WHEN $bCond THEN 1 ELSE 0 END AS _b FROM $sgRel
 ), _dpd AS (
   SELECT $rec, $t, _b,
          (lead(_b) OVER ($over)) - _b AS _dp,
@@ -193,17 +219,19 @@ WITH _sgd AS (
   SELECT *,
          max(CASE WHEN _rn = _rnc THEN _dp END) OVER (PARTITION BY $rec) AS _firstdp
   FROM _segd
-)
-SELECT $rec, $t,
-       CASE WHEN _ncross = 0 THEN 0.0
-            ELSE (CASE WHEN _firstdp = 1 THEN 0.0 ELSE 1.0 END)
-                 + CAST(_seg AS DOUBLE)
-                 + (CASE WHEN (count(*) OVER (PARTITION BY $rec, _seg)) > 1
-                         THEN CAST(row_number() OVER (PARTITION BY $rec, _seg ORDER BY $t) - 1 AS DOUBLE)
-                              / CAST((count(*) OVER (PARTITION BY $rec, _seg)) - 1 AS DOUBLE)
-                         ELSE 0.0 END)
-       END AS z
-FROM _fd"""
+), _ind_out AS (
+  SELECT $rec, $t,
+         CASE WHEN _ncross = 0 THEN 0.0
+              ELSE (CASE WHEN _firstdp = 1 THEN 0.0 ELSE 1.0 END)
+                   + CAST(_seg AS DOUBLE)
+                   + (CASE WHEN (count(*) OVER (PARTITION BY $rec, _seg)) > 1
+                           THEN CAST(row_number() OVER (PARTITION BY $rec, _seg ORDER BY $t) - 1 AS DOUBLE)
+                                / CAST((count(*) OVER (PARTITION BY $rec, _seg)) - 1 AS DOUBLE)
+                           ELSE 0.0 END)
+         END AS z
+  FROM _fd
+)"""
+    (ctes, "_ind_out")
   }
 
   /** Reference (driver-side, array-based) implementations used by the

@@ -83,21 +83,27 @@ object TextAnalysis {
     )
   }
 
-  /** Polynomial rolling-hash fingerprint over the document's characters:
-    * `h = fold(codepoints, 0)((a, c) => (a * 31 + c) mod FpMod)`.
+  /** Polynomial rolling-hash fingerprint over the document's *ASCII
+    * projection* (non-ASCII codepoints are stripped first):
+    * `h = fold(ascii_chars, 0)((a, c) => (a * 31 + c) mod FpMod)`.
+    *
+    * Restricting to ASCII makes the hash engine-independent: Spark splits
+    * strings into UTF-16 code units while SQL engines (the DuckDB oracle)
+    * split into code points, so surrogate-pair characters would otherwise
+    * fingerprint differently. Within ASCII, char == code unit == code
+    * point == UTF-8 byte.
     *
     * Implemented with `aggregate`/`transform` higher-order functions —
-    * evaluated per-row inside codegen, distributed, no UDF. (At extreme doc
-    * lengths a custom Catalyst Expression doing one pass over the UTF-8
-    * bytes would avoid the per-char substring; document lengths here are
-    * bounded so the HOF form is kept for clarity.)
+    * evaluated per-row inside codegen, distributed, no UDF.
     */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = {
+    val asciiOnly = regexp_replace(text, "[^\\x00-\\x7F]", "")
     aggregate(
-      transform(filter(split(text, ""), c => c =!= ""), c => ascii(c).cast("long")),
+      transform(filter(split(asciiOnly, ""), c => c =!= ""), c => ascii(c).cast("long")),
       lit(0L),
       (acc, cp) => (acc * 31L + cp) % FpMod,
     )
+  }
 
   /** The full analysis DataFrame over a `documents`-shaped table. */
   def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -48,16 +48,22 @@ object PlotData {
 
   /** groupplot with standardize=True (plots.py:276): per-column z-score
     * (sample stddev, like pandas `.std()`), columns with zero variance
-    * dropped — computed with distributed aggregates, then melted.
+    * dropped — computed with distributed aggregates, then melted. The drop
+    * is distributed too: a zero-variance (or all-null) column z-scores to
+    * null, and null-`y` rows are filtered after the melt, so no
+    * driver-side stats collection is needed.
     */
   def groupplotStandardized(df: DataFrame, keyCols: Seq[String],
                             valueCols: Seq[String]): DataFrame = {
     val stats = df.select(valueCols.flatMap(c =>
       Seq(avg(col(c)).as(s"_m_$c"), stddev_samp(col(c)).as(s"_s_$c"))): _*)
     val z = df.crossJoin(broadcast(stats))
-    val zcols = valueCols.map(c => ((col(c) - col(s"_m_$c")) / col(s"_s_$c")).as(c))
+    val zcols = valueCols.map { c =>
+      when(col(s"_s_$c") =!= 0.0, (col(c) - col(s"_m_$c")) / col(s"_s_$c")).as(c)
+    }
     val keep = z.select(keyCols.map(col) ++ zcols: _*)
     melt(keep, keyCols, valueCols)
+      .filter(col("y").isNotNull)
       .withColumn("y", round(col("y"), 6))
   }
 
