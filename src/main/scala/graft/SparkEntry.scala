@@ -62,6 +62,35 @@ object SparkEntry {
   private val SgDeg = 2
   private val IndSigma = 2.0
 
+  // MinHash-LSH parameters shared by the dedup_minhash_* queries/oracles.
+  private val MhShingle = 5
+  private val MhHashes = 8
+  private val MhBands = 4
+  private val MhThreshold = 0.6
+
+  /** DuckDB CTE: doc_id + distinct md5-based 32-bit shingle hashes,
+    * mirroring `array_distinct(Dedup.ngramHashes(text, MhShingle))`.
+    */
+  private val ShingleCte =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           list_distinct(list_transform(
+       |             generate_series(1, greatest(length(text) - ${MhShingle - 1}, 1)),
+       |             i -> substring(text, i, $MhShingle))),
+       |           g -> CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT))) AS hs
+       |  FROM documents
+       |)""".stripMargin
+
+  /** DuckDB expressions for the MinHash signature columns sig_0..sig_{n-1}
+    * over the `hs` list — same LCG coefficients as [[Dedup.minhashCoeff]].
+    */
+  private def sigExprs: Seq[String] =
+    (0 until MhHashes).map { k =>
+      val (a, b) = Dedup.minhashCoeff(k)
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Dedup.MinhashP})) AS sig_$k"
+    }
+
   /** Labels exercising the `"NAME [unit]"` metadata utilities. */
   private val MetaLabels = Seq("ALT [m]", "TEMP [C]", "EGT [C]", "N1 [%]", "N2 [%]", "TIME")
 
@@ -189,6 +218,20 @@ object SparkEntry {
       Dedup.exact(docs, "doc_id", Seq("text"))
         .select(col("doc_id"), col("n_chars"), col("dup_count"))
         .orderBy("doc_id")
+    },
+
+    // -- LLM: MinHash-LSH near-dedup (row 28) --
+    "dedup_minhash_sig" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = docs.select(col("doc_id"),
+        array_distinct(Dedup.ngramHashes(col("text"), MhShingle)).as("sh"))
+      Dedup.minhashSignature(base, "sh", MhHashes).drop("sh").orderBy("doc_id")
+    },
+
+    "dedup_minhash_pairs" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.minhashLsh(docs, "doc_id", "text", MhShingle, MhHashes, MhBands, MhThreshold)
+        .orderBy("id_a", "id_b")
     },
 
     // -- LLM: text analysis (rows 35-38) --
@@ -340,6 +383,36 @@ object SparkEntry {
         |         count(*) OVER (PARTITION BY text) AS dup_count
         |  FROM documents
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"""WITH $ShingleCte
+         |SELECT doc_id, ${sigExprs.mkString(",\n       ")}
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" -> {
+      val rpb = MhHashes / MhBands
+      val bandArms = (0 until MhBands).map { b =>
+        val hs = (0 until rpb).map(i => s"sig_${b * rpb + i} AS h_$i").mkString(", ")
+        s"SELECT doc_id, $b AS band, $hs FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      val hEq = (0 until rpb).map(i => s"l.h_$i = r.h_$i").mkString(" AND ")
+      s"""WITH $ShingleCte, sig AS (
+         |  SELECT doc_id, ${sigExprs.mkString(",\n         ")} FROM sh
+         |), banded AS (
+         |  $bandArms
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND $hEq AND l.doc_id < r.doc_id
+         |)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |         round(len(list_intersect(a.hs, b.hs)) * 1.0
+         |               / len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jaccard
+         |  FROM cand JOIN sh a ON a.doc_id = cand.id_a
+         |            JOIN sh b ON b.doc_id = cand.id_b
+         |) WHERE jaccard >= $MhThreshold ORDER BY id_a, id_b""".stripMargin
+    },
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -78,7 +78,10 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
-      val cs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"sig_$k"))
+      // Field names must be positional (h_0..h_{r-1}), not the original
+      // sig_k names, so every band struct has the same type and they can
+      // be exploded from one array.
+      val cs = (0 until rowsPerBand).map(i => col(s"sig_${b * rowsPerBand + i}").as(s"h_$i"))
       struct(lit(b).as("band") +: cs: _*).as(s"_band_$b")
     }
     val banded = sigs

@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Opset set semantics (tabata opset.py:52-261) on an in-memory store. */
+class OpsetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def os = Opset(Seq(
+    ("r1", 1L, 10.0), ("r1", 2L, 11.0),
+    ("r2", 1L, 20.0),
+    ("r3", 1L, 30.0), ("r3", 2L, 31.0), ("r3", 3L, 32.0),
+    ("r4", 1L, 40.0),
+  ).toDF("record", "t", "value"))
+
+  test("records lists distinct names sorted") {
+    assert(os.records.as[String].collect().toSeq === Seq("r1", "r2", "r3", "r4"))
+  }
+
+  test("get filters one record") {
+    assert(os.get("r3").count() === 3)
+    assert(os.get("nope").count() === 0)
+  }
+
+  test("slice selects [from, until) positions over sorted names") {
+    val s = os.slice(1, 3)
+    assert(s.records.as[String].collect().toSeq === Seq("r2", "r3"))
+    assert(s.df.count() === 4)
+  }
+
+  test("recordAt returns the sorted positional name") {
+    assert(os.recordAt(0) === Some("r1"))
+    assert(os.recordAt(3) === Some("r4"))
+    assert(os.recordAt(9) === None)
+  }
+
+  test("put upserts: replaces an existing record, appends a new one") {
+    val replaced = os.put(Seq(("r2", 1L, 99.0), ("r2", 2L, 98.0)).toDF("record", "t", "value"))
+    assert(replaced.get("r2").orderBy("t").select("value").as[Double].collect().toSeq === Seq(99.0, 98.0))
+    assert(replaced.size === 4)
+
+    val appended = os.put(Seq(("r9", 1L, 1.0)).toDF("record", "t", "value"))
+    assert(appended.size === 5)
+    assert(appended.get("r1").count() === 2) // untouched records intact
+  }
+
+  test("clean empties the store keeping the schema") {
+    val c = os.clean
+    assert(c.df.count() === 0)
+    assert(c.df.columns.toSeq === os.df.columns.toSeq)
+  }
+}

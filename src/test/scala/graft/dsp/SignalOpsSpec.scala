@@ -1,0 +1,63 @@
+package graft.dsp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins the distributed SG filter / indicator to the array reference
+  * implementations (themselves pinned to scipy semantics by SavGolSpec).
+  */
+class SignalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two records with distinct shapes: a hump and a noisy ramp.
+  private val recA = Array.tabulate(30)(i => math.sin(i / 5.0) * 10.0 + i * 0.3)
+  private val recB = Array.tabulate(40)(i => i * 0.5 + (if (i % 7 == 0) 3.0 else 0.0))
+
+  private def longDf = {
+    val rows = recA.zipWithIndex.map { case (v, i) => ("a", (i + 1).toLong, v) } ++
+      recB.zipWithIndex.map { case (v, i) => ("b", (i + 1).toLong, v) }
+    rows.toSeq.toDF("record", "t", "value")
+  }
+
+  private def collectCol(df: org.apache.spark.sql.DataFrame, rec: String, c: String): Array[Double] =
+    df.filter($"record" === rec).orderBy("t").select(c).as[Double].collect()
+
+  test("sgDf matches the array reference on every row, both records") {
+    for (deriv <- Seq(0, 1)) {
+      val out = SignalOps.sgDf(longDf, "value", "record", "t", 7, 2, deriv, "x")
+      val expA = SignalOps.local.savgol(recA, 7, 2, deriv)
+      val expB = SignalOps.local.savgol(recB, 7, 2, deriv)
+      collectCol(out, "a", "x").zip(expA).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-9, s"deriv=$deriv record a") }
+      collectCol(out, "b", "x").zip(expB).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-9, s"deriv=$deriv record b") }
+    }
+  }
+
+  test("sgDf drops records shorter than the window") {
+    val short = Seq(("s", 1L, 1.0), ("s", 2L, 2.0), ("a", 1L, 1.0)) ++
+      (2 to 10).map(i => ("a", i.toLong, i.toDouble))
+    val df = short.toDF("record", "t", "value")
+    val out = SignalOps.sgDf(df, "value", "record", "t", 7, 2, 0, "x")
+    assert(out.filter($"record" === "s").count() === 0)
+    assert(out.filter($"record" === "a").count() === 10)
+  }
+
+  test("indicatorDf matches the array reference (hump counting)") {
+    val out0 = SignalOps.sgDf(longDf, "value", "record", "t", 7, 2, 1, "_sg")
+    val out = SignalOps.indicatorDf(out0, "_sg", "record", "t", 2.0, "z")
+    val expA = SignalOps.local.indicator(recA, 7, 1, 2.0)
+    val expB = SignalOps.local.indicator(recB, 7, 1, 2.0)
+    collectCol(out, "a", "z").zip(expA).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9, "record a") }
+    collectCol(out, "b", "z").zip(expB).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9, "record b") }
+  }
+
+  test("indicator with no crossings is all zero") {
+    val flat = (1 to 20).map(i => ("f", i.toLong, 0.0)).toDF("record", "t", "value")
+    val out0 = SignalOps.sgDf(flat, "value", "record", "t", 7, 2, 1, "_sg")
+    val out = SignalOps.indicatorDf(out0, "_sg", "record", "t", 2.0, "z")
+    assert(collectCol(out, "f", "z").forall(_ == 0.0))
+  }
+}

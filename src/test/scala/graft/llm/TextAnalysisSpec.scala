@@ -1,0 +1,48 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq("x").toDF("d").select(c).collect().head.get(0).asInstanceOf[T]
+
+  private def onText[T](text: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): T =
+    Seq(text).toDF("text").select(f(col("text"))).collect().head.get(0).asInstanceOf[T]
+
+  test("tokenCount: whitespace tokens, blank counts 0") {
+    assert(onText[Long]("one two  three", TextAnalysis.tokenCount) === 3L)
+    assert(onText[Long]("   ", TextAnalysis.tokenCount) === 0L)
+    assert(onText[Long]("", TextAnalysis.tokenCount) === 0L)
+    assert(onText[Long]("word", TextAnalysis.tokenCount) === 1L)
+  }
+
+  test("langId picks the language with most stopword hits, 'und' when none") {
+    assert(onText[String]("the cat and the dog is in the house", TextAnalysis.langId) === "en")
+    assert(onText[String]("le chat et la maison est pour une fois", TextAnalysis.langId) === "fr")
+    assert(onText[String]("xyzzy qwerty 12345", TextAnalysis.langId) === "und")
+  }
+
+  test("fingerprint is the polynomial rolling hash of ASCII chars") {
+    def ref(s: String): Long =
+      s.filter(_ < 128).foldLeft(0L)((a, c) => (a * 31 + c) % TextAnalysis.FpMod)
+    assert(onText[Long]("hello world", TextAnalysis.fingerprint) === ref("hello world"))
+    assert(onText[Long]("", TextAnalysis.fingerprint) === 0L)
+    // non-ASCII (incl. a surrogate-pair emoji) is stripped before hashing,
+    // so the result equals the plain-ASCII fingerprint on any engine.
+    assert(onText[Long]("héllo 😀wörld", TextAnalysis.fingerprint) === ref("hllo wrld"))
+  }
+
+  test("quality score is in [0,1] and favors longer stopword-rich text") {
+    def q(t: String): Double = {
+      val cols = TextAnalysis.qualityCols(col("text")).toMap
+      onText[java.lang.Double](t, _ => cols("quality")).doubleValue()
+    }
+    val good = q("the quick brown fox jumps over the lazy dog and runs to the hills " * 4)
+    val bad = q("??!!;;;; 12345 678")
+    assert(good > bad)
+    assert(good <= 1.0 && bad >= 0.0)
+  }
+}
