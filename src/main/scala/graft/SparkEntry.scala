@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.core.{ColumnMeta, Opset}
 import graft.dsp.SignalOps
 import graft.instants.Splits
-import graft.llm.{Dedup, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.plots.PlotData
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` where the
@@ -90,6 +90,61 @@ object SparkEntry {
       val (a, b) = Dedup.minhashCoeff(k)
       s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Dedup.MinhashP})) AS sig_$k"
     }
+
+  // Word-ngram Jaccard parameters shared by dedup_jaccard query/oracle.
+  private val JacN = 3
+  private val JacMod = 8
+  private val JacThreshold = 0.5
+
+  // Embedding-LSH parameters shared by ann_* / dedup_cosine query/oracles.
+  private val EmbDim = 64
+  private val LshBits = 4
+  private val LshTables = 4
+  private val AnnK = 3
+  private val AnnQueryIds = Seq(0L, 1L, 2L, 3L, 4L)
+  private val CosDupThreshold = 0.4
+  private lazy val Planes = Similarity.hyperplanes(LshBits * LshTables, EmbDim)
+
+  /** DuckDB CTE: lowercased whitespace tokens of each document. */
+  private val TokCte =
+    """tok AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS ts
+      |  FROM documents
+      |)""".stripMargin
+
+  /** DuckDB CTEs: embeddings as DOUBLE lists + their L2 norms (left-fold
+    * sums, matching [[Similarity.dot]]/[[Similarity.norm]] exactly).
+    */
+  private val EmbCte =
+    """emb AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+      |), nrm AS (
+      |  SELECT vec_id, v,
+      |         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n
+      |  FROM emb
+      |)""".stripMargin
+
+  /** DuckDB left-fold dot product of two DOUBLE-list expressions. */
+  private def dotSql(va: String, vb: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($va)), i -> $va[i] * $vb[i]), (a, b) -> a + b)"
+
+  /** The hyperplane-sign bucket key of table `tbl` (same literal plane
+    * components as the Spark side — exact doubles, so buckets agree).
+    */
+  private def bucketKeySql(v: String, tbl: Int): String =
+    (0 until LshBits).map { i =>
+      val plane = Planes(tbl * LshBits + i).mkString("[", ", ", "]::DOUBLE[]")
+      s"(CASE WHEN ${dotSql(v, s"($plane)")} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** DuckDB CTE: one (vec_id, tbl, bkey) row per vector and hash table. */
+  private def bktCte: String = {
+    val arms = (0 until LshTables).map(l =>
+      s"SELECT vec_id, $l AS tbl, ${bucketKeySql("v", l)} AS bkey FROM emb")
+      .mkString("\n  UNION ALL\n  ")
+    s"bkt AS (\n  $arms\n)"
+  }
 
   /** Labels exercising the `"NAME [unit]"` metadata utilities. */
   private val MetaLabels = Seq("ALT [m]", "TEMP [C]", "EGT [C]", "N1 [%]", "N2 [%]", "TIME")
@@ -232,6 +287,46 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Dedup.minhashLsh(docs, "doc_id", "text", MhShingle, MhHashes, MhBands, MhThreshold)
         .orderBy("id_a", "id_b")
+    },
+
+    // -- LLM: SimHash near-dedup (row 29) --
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // -- LLM: n-gram Jaccard near-dedup (row 30) --
+    "dedup_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccard(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          JacN, JacMod, JacThreshold)
+        .orderBy("id_a", "id_b")
+    },
+
+    // -- LLM: embedding-cosine near-dup (row 31) --
+    "dedup_cosine" -> { (s, dir) =>
+      Similarity.cosineDup(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          CosDupThreshold, Planes, LshBits, LshTables)
+        .orderBy("id_a", "id_b")
+    },
+
+    // -- LLM: similarity search (rows 32-33) --
+    "ann_topk" -> { (s, dir) =>
+      Similarity.topK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          AnnQueryIds, AnnK)
+        .orderBy("q_id", "rank")
+    },
+
+    "ann_lsh" -> { (s, dir) =>
+      Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          AnnQueryIds, AnnK, Planes, LshBits, LshTables)
+        .orderBy("q_id", "rank")
+    },
+
+    // -- LLM: multimodal binary columns (row 34) --
+    "mm_features" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.extractFeatures(Multimodal.asBinary(docs, "doc_id", "text"))
+        .toDF().orderBy("doc_id")
     },
 
     // -- LLM: text analysis (rows 35-38) --
@@ -413,6 +508,103 @@ object SparkEntry {
          |            JOIN sh b ON b.doc_id = cand.id_b
          |) WHERE jaccard >= $MhThreshold ORDER BY id_a, id_b""".stripMargin
     },
+
+    "dedup_simhash" -> {
+      val terms = (0 until Dedup.SimhashBits).map(b =>
+        s"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> $b) & 1) = 1)) > len(hs) THEN ${1L << b} ELSE 0 END)")
+      s"""WITH $TokCte, h AS (
+         |  SELECT doc_id,
+         |         list_transform(ts, t -> CAST(concat('0x', substr(md5(t), 1, 12)) AS BIGINT)) AS hs
+         |  FROM tok
+         |)
+         |SELECT doc_id, ${terms.mkString("\n  + ")} AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_jaccard" ->
+      s"""WITH $TokCte, g AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(ts) - ${JacN - 1}, 1)),
+         |    i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(ts, i, i + ${JacN - 1}), ' ')), 1, 8)) AS BIGINT))) AS gh
+         |  FROM tok
+         |), kx AS (
+         |  SELECT doc_id, unnest(gh) AS k FROM g
+         |), sel AS (
+         |  SELECT * FROM kx WHERE k % $JacMod = 0
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sel a JOIN sel b ON a.k = b.k AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |         round(len(list_intersect(x.gh, y.gh)) * 1.0
+         |               / len(list_distinct(list_concat(x.gh, y.gh))), 6) AS jaccard
+         |  FROM cand JOIN g x ON x.doc_id = cand.id_a JOIN g y ON y.doc_id = cand.id_b
+         |) WHERE jaccard >= $JacThreshold ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_cosine" ->
+      s"""WITH $EmbCte, ${bktCte}, cand AS (
+         |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+         |  FROM bkt l JOIN bkt r ON l.tbl = r.tbl AND l.bkey = r.bkey AND l.vec_id < r.vec_id
+         |)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT id_a, id_b, round(${dotSql("a.v", "b.v")} / (a.n * b.n), 6) AS cos
+         |  FROM cand JOIN nrm a ON a.vec_id = cand.id_a JOIN nrm b ON b.vec_id = cand.id_b
+         |) WHERE cos >= $CosDupThreshold ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH $EmbCte, q AS (
+         |  SELECT vec_id AS q_id, v AS qv, n AS qn FROM nrm
+         |  WHERE vec_id IN (${AnnQueryIds.mkString(", ")})
+         |), scored AS (
+         |  SELECT q.q_id, nrm.vec_id,
+         |         round(${dotSql("nrm.v", "q.qv")} / (nrm.n * q.qn), 6) AS cos
+         |  FROM nrm CROSS JOIN q
+         |  WHERE nrm.vec_id <> q.q_id
+         |)
+         |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored
+         |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin,
+
+    "ann_lsh" ->
+      s"""WITH $EmbCte, ${bktCte}, qb AS (
+         |  SELECT vec_id AS q_id, tbl, bkey FROM bkt
+         |  WHERE vec_id IN (${AnnQueryIds.mkString(", ")})
+         |), cand AS (
+         |  SELECT DISTINCT qb.q_id, b.vec_id
+         |  FROM bkt b JOIN qb ON b.tbl = qb.tbl AND b.bkey = qb.bkey
+         |  WHERE b.vec_id <> qb.q_id
+         |), q AS (
+         |  SELECT vec_id AS q_id, v AS qv, n AS qn FROM nrm
+         |  WHERE vec_id IN (${AnnQueryIds.mkString(", ")})
+         |), scored AS (
+         |  SELECT c.q_id, c.vec_id,
+         |         round(${dotSql("nrm.v", "q.qv")} / (nrm.n * q.qn), 6) AS cos
+         |  FROM cand c JOIN nrm ON nrm.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id
+         |)
+         |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored
+         |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin,
+
+    "mm_features" ->
+      s"""SELECT doc_id,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |       ascii_hash,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ords), (a, b) -> a + b) AS BIGINT) AS ascii_sum,
+         |       ascii_hash % 16 AS bucket
+         |FROM (
+         |  SELECT doc_id, text, ords,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), ords),
+         |                     (a, b) -> (a * 31 + b) % ${TextAnalysis.FpMod}) AS ascii_hash
+         |  FROM (
+         |    SELECT doc_id, text,
+         |           list_transform(string_split(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'), ''),
+         |                          c -> CAST(ord(c) AS BIGINT)) AS ords
+         |    FROM documents
+         |  )
+         |) ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

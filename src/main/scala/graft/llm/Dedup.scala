@@ -131,4 +131,76 @@ object Dedup {
   /** md5-based 32-bit hashes of the distinct character n-grams of `text`. */
   def ngramHashes(text: Column, n: Int): Column =
     transform(charShingles(text, n), g => md5Hash32(g))
+
+  /** Lowercased whitespace tokens (empty text → empty array). */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** A deterministic 48-bit token hash (first 12 hex chars of md5) — wide
+    * enough for SimHash voting, small enough to stay in exact BIGINT range
+    * for any ANSI-SQL oracle.
+    */
+  def md5Hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  val SimhashBits = 48
+
+  /** SimHash: per-document `bits`-wide signature by majority vote of token
+    * hashes — bit b of the signature is 1 iff more than half the tokens
+    * have bit b set in their 48-bit hash. Documents with no tokens get 0.
+    *
+    * Shaped for scale: tokens are exploded and the votes are plain
+    * SUM aggregates, so map-side partial aggregation applies and the only
+    * shuffle is the groupBy on the document id.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = SimhashBits): DataFrame = {
+    val tokdf = docs
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("_tok"))
+      .withColumn("_h", md5Hash48(col("_tok")))
+    val votes = (0 until bits).map { b =>
+      sum(when(col("_h").isNull, 0)
+        .otherwise(shiftright(col("_h"), b).bitwiseAND(1) * 2 - 1)).as(s"_v_$b")
+    }
+    tokdf.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(b => when(col(s"_v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** md5-based 32-bit hashes of the distinct word n-grams of `text`
+    * (lowercased whitespace tokens, n-grams joined with one space; fewer
+    * than n tokens yields the whole token list as the single gram).
+    */
+  def wordNgramHashes(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => md5Hash32(concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** n-gram Jaccard near-dedup with shared-shingle blocking: a document
+    * pair becomes a candidate iff it shares at least one *selected* gram
+    * (hash ≡ 0 mod `blockMod` — a deterministic ~1/blockMod sample that
+    * both engines reproduce); candidates are re-ranked by exact Jaccard
+    * over the full gram sets. Only bucket-local pairs are ever formed.
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, blockMod: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol), wordNgramHashes(col(textCol), n).as("gh"))
+    val keys = base.select(col(idCol), explode(col("gh")).as("k"))
+      .filter(col("k") % blockMod === 0)
+    val l = keys.select(col(idCol).as("id_a"), col("k"))
+    val r = keys.select(col(idCol).as("id_b"), col("k"))
+    val cand = l.join(r, Seq("k")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = base.select(col(idCol).as("id_a"), col("gh").as("gh_a"))
+    val b = base.select(col(idCol).as("id_b"), col("gh").as("gh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("gh_a"), col("gh_b"))).cast("double")
+          / size(array_union(col("gh_a"), col("gh_b"))).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 }

@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity search and near-duplicate detection.
+  *
+  * Scale design (100 TB): the brute-force path broadcasts only the (tiny)
+  * query set and scans the corpus once — the per-row work is a codegen'd
+  * higher-order-function dot product, no UDF, no driver-side index. The
+  * LSH path buckets vectors by random-hyperplane sign patterns (classic
+  * SimHash-for-cosine, multi-table OR-amplification) so the only pairwise
+  * work is within a bucket; candidates never go all-pairs.
+  *
+  * Hyperplane components come from a deterministic integer LCG mapped to
+  * [-0.5, 0.5) — exactly representable doubles, so a SQL oracle
+  * interpolating the same literals computes bit-identical buckets.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplanes: component (i, d) is
+    * `lcg(i*dim+d+1) / 2^31 - 0.5`, exact in double precision.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (i, d) =>
+      val x = (1103515245L * (i.toLong * dim + d + 1) + 12345L) % 2147483648L
+      x.toDouble / 2147483648.0 - 0.5
+    }
+
+  /** Array-of-float column → array-of-double (cast BEFORE any arithmetic so
+    * both engines do pure double math).
+    */
+  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Left-fold dot product — same summation order as a SQL
+    * `list_reduce(list_transform(...))`, so results are bit-identical.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def litArray(xs: Array[Double]): Column = array(xs.toIndexedSeq.map(lit): _*)
+
+  /** Multi-table hyperplane buckets: table `l` uses planes
+    * `[l*bits, (l+1)*bits)`; its key is the sign-pattern integer. Returns
+    * (idCol, tbl, key) — one row per (vector, table), ready for a
+    * bucket-key shuffle. `planes` must have `numTables * bits` rows.
+    */
+  def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
+                        planes: Array[Array[Double]], bits: Int, numTables: Int): DataFrame = {
+    require(planes.length == numTables * bits, "planes must be numTables*bits")
+    val v = asDouble(col(vecCol))
+    val bucketCols = (0 until numTables).map { l =>
+      val key = (0 until bits).map { i =>
+        when(dot(v, litArray(planes(l * bits + i))) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(l).as("tbl"), key.as("key")).as(s"_b_$l")
+    }
+    df.select(col(idCol) +: bucketCols: _*)
+      .select(col(idCol), explode(array((0 until numTables).map(l => col(s"_b_$l")): _*)).as("b"))
+      .select(col(idCol), col("b.tbl").as("tbl"), col("b.key").as("key"))
+  }
+
+  private def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_n", norm(col("_v")))
+
+  /** Brute-force cosine top-k: broadcast the query vectors, scan the corpus
+    * once, window top-k per query. Output: (q_id, idCol, cos, rank).
+    */
+  def topK(emb: DataFrame, idCol: String, vecCol: String,
+           queryIds: Seq[Long], k: Int): DataFrame = {
+    val base = withNorm(emb, idCol, vecCol)
+    val q = base.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("q_id"), col("_v").as("_qv"), col("_n").as("_qn"))
+    val scored = base.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", round(dot(col("_v"), col("_qv")) / (col("_n") * col("_qn")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("q_id"), col(idCol), col("cos"), col("_rn").cast("long").as("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates are vectors sharing a
+    * bucket with the query in ANY of the hash tables (OR-amplification),
+    * re-ranked by exact cosine. Same output shape as [[topK]]; recall vs
+    * brute force is measured in the ScalaTest spec.
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String, queryIds: Seq[Long],
+              k: Int, planes: Array[Array[Double]], bits: Int, numTables: Int): DataFrame = {
+    val base = withNorm(emb, idCol, vecCol)
+    val buckets = hyperplaneBuckets(emb, idCol, vecCol, planes, bits, numTables)
+    val qb = buckets.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("q_id"), col("tbl"), col("key"))
+    val cand = buckets.join(broadcast(qb), Seq("tbl", "key"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol)).distinct()
+    val q = base.select(col(idCol).as("q_id"), col("_v").as("_qv"), col("_n").as("_qn"))
+    val scored = cand
+      .join(base, idCol)
+      .join(broadcast(q), "q_id")
+      .withColumn("cos", round(dot(col("_v"), col("_qv")) / (col("_n") * col("_qn")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("q_id"), col(idCol), col("cos"), col("_rn").cast("long").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucket with multi-table
+    * hyperplane LSH, pair within buckets only, keep pairs with exact
+    * cosine ≥ threshold. Output: (id_a, id_b, cos).
+    */
+  def cosineDup(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                planes: Array[Array[Double]], bits: Int, numTables: Int): DataFrame = {
+    val base = withNorm(emb, idCol, vecCol)
+    val buckets = hyperplaneBuckets(emb, idCol, vecCol, planes, bits, numTables)
+    val l = buckets.select(col("tbl"), col("key"), col(idCol).as("id_a"))
+    val r = buckets.select(col("tbl"), col("key"), col(idCol).as("id_b"))
+    val cand = l.join(r, Seq("tbl", "key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = base.select(col(idCol).as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
+    val b = base.select(col(idCol).as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("cos", round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

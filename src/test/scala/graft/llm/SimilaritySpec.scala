@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 8
+  private val rng = new scala.util.Random(7)
+
+  /** 3 tight clusters of 10 vectors each around random centers.
+    * (lazy val: a def would re-draw from the RNG per call and give every
+    * test a different dataset.)
+    */
+  private lazy val vectors: Seq[(Long, Seq[Float])] = {
+    val centers = Seq.fill(3)(Array.fill(Dim)(rng.nextGaussian()))
+    (0 until 30).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+  }
+
+  private def emb = vectors.toDF("vec_id", "embedding")
+
+  test("hyperplanes are deterministic and in [-0.5, 0.5)") {
+    val a = Similarity.hyperplanes(4, Dim)
+    val b = Similarity.hyperplanes(4, Dim)
+    assert(a.flatten.toSeq === b.flatten.toSeq)
+    assert(a.flatten.forall(x => x >= -0.5 && x < 0.5))
+  }
+
+  test("topK returns k rows per query ranked by cosine, no self matches") {
+    val out = Similarity.topK(emb, "vec_id", "embedding", Seq(0L, 1L), 5).collect()
+    assert(out.length === 10)
+    assert(!out.exists(r => r.getLong(0) == r.getLong(1)))
+    // top neighbors of vector 0 are its cluster-mates (ids ≡ 0 mod 3)
+    val n0 = out.filter(_.getLong(0) == 0L).map(_.getLong(1))
+    assert(n0.forall(_ % 3 == 0))
+    // ranks are 1..5 and cosine non-increasing
+    val cos0 = out.filter(_.getLong(0) == 0L).sortBy(_.getLong(3)).map(_.getDouble(2))
+    assert(cos0.zip(cos0.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("lshTopK achieves high recall vs brute force on clustered data") {
+    val planes = Similarity.hyperplanes(12, Dim)
+    val queries = Seq(0L, 1L, 2L)
+    val exact = Similarity.topK(emb, "vec_id", "embedding", queries, 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 3, planes, 3, 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low") // tight clusters → buckets catch mates
+  }
+
+  test("cosineDup finds cluster-mate pairs above threshold, ordered ids") {
+    val planes = Similarity.hyperplanes(12, Dim)
+    val pairs = Similarity.cosineDup(emb, "vec_id", "embedding", 0.95, planes, 3, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.forall { case (a, b) => a % 3 == b % 3 }) // only cluster-mates that similar
+  }
+
+  test("simhash of identical docs is identical; hamming-far for disjoint docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa lambda"),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(3L))
+    assert(sh(4L) === 0L)
+  }
+
+  test("ngramJaccard blocks and scores word-ngram overlap") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely unrelated text with different words entirely"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 1, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}
