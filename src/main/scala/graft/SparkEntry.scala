@@ -9,6 +9,7 @@ import graft.dsp.SignalOps
 import graft.instants.Splits
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.plots.PlotData
+import graft.tubes.Tube
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` where the
   * semantics are ANSI-SQL-expressible) per implemented operator of
@@ -61,6 +62,69 @@ object SparkEntry {
   private val SgW = 7
   private val SgDeg = 2
   private val IndSigma = 2.0
+
+  // Tube parameters shared by the tube_* queries/oracles.
+  private val TubeQ = Tube.TubeFactor // 2.0
+  private val TubeFactors = Seq("TIME", "TIME2", "SGV")
+
+  /** Opset signal + derived tube factors: TIME (0-based index), TIME²,
+    * and the SG-smoothed signal (records shorter than the SG window drop,
+    * matching the sgDf contract).
+    */
+  private def tubeBase(s: SparkSession, dir: String): DataFrame =
+    SignalOps.sgDf(opset(s, dir).df, "value", "record", "t", SgW, SgDeg, 0, "SGV")
+      .withColumn("TIME", (col("t") - 1).cast("double"))
+      .withColumn("TIME2", col("TIME") * col("TIME"))
+
+  private def olsB1Sql(sx: String, sxx: String, sxy: String): String =
+    s"CASE WHEN abs(n * $sxx - $sx * $sx) > 1e-9 THEN (n * $sxy - $sx * sy) / (n * $sxx - $sx * $sx) ELSE 0.0 END"
+
+  /** DuckDB CTE chain mirroring [[Tube.estimate]] over [[tubeBase]] with
+    * the three TubeFactors; final relation `est` exposes
+    * (record, t, y, z, zmin, zmax) unrounded. Arithmetic is written in the
+    * exact operation order of the Spark side so both engines round the
+    * same doubles.
+    */
+  private def tubeEstimateCtes: String = {
+    val (sgCtes, sgRel) = SignalOps.sgOracleCtes("opset", "value", "record", "t", SgW, SgDeg, 0, "sgv")
+    s"""$sgCtes, tb AS (
+       |  SELECT o.record, o.t, o.value AS y,
+       |         CAST(o.t - 1 AS DOUBLE) AS tm,
+       |         CAST(o.t - 1 AS DOUBLE) * CAST(o.t - 1 AS DOUBLE) AS tm2,
+       |         s.sgv AS sgv
+       |  FROM opset o JOIN $sgRel s ON o.record = s.record AND o.t = s.t
+       |), ts AS (
+       |  SELECT record, t, y, tm, tm2, sgv,
+       |         CAST(count(*) OVER wr AS DOUBLE) AS n,
+       |         sum(y) OVER wr AS sy,
+       |         sum(tm) OVER wr AS sx1, sum(tm * tm) OVER wr AS sxx1, sum(tm * y) OVER wr AS sxy1,
+       |         sum(tm2) OVER wr AS sx2, sum(tm2 * tm2) OVER wr AS sxx2, sum(tm2 * y) OVER wr AS sxy2,
+       |         sum(sgv) OVER wr AS sx3, sum(sgv * sgv) OVER wr AS sxx3, sum(sgv * y) OVER wr AS sxy3
+       |  FROM tb WINDOW wr AS (PARTITION BY record)
+       |), tc AS (
+       |  SELECT record, t, y, tm, tm2, sgv, n, sy, sx1, sx2, sx3,
+       |         ${olsB1Sql("sx1", "sxx1", "sxy1")} AS b11,
+       |         ${olsB1Sql("sx2", "sxx2", "sxy2")} AS b12,
+       |         ${olsB1Sql("sx3", "sxx3", "sxy3")} AS b13
+       |  FROM ts
+       |), tp AS (
+       |  SELECT record, t, y,
+       |         (sy - b11 * sx1) / n + b11 * tm AS p1,
+       |         (sy - b12 * sx2) / n + b12 * tm2 AS p2,
+       |         (sy - b13 * sx3) / n + b13 * sgv AS p3
+       |  FROM tc
+       |), tz AS (
+       |  SELECT record, t, y, (p1 + p2 + p3) / 3 AS z,
+       |         least(least(p1, p2), p3) AS pmin,
+       |         greatest(greatest(p1, p2), p3) AS pmax
+       |  FROM tp
+       |), est AS (
+       |  SELECT record, t, y, z,
+       |         z - $TubeQ * (z - pmin) AS zmin,
+       |         z + $TubeQ * (pmax - z) AS zmax
+       |  FROM tz
+       |)""".stripMargin
+  }
 
   // MinHash-LSH parameters shared by the dedup_minhash_* queries/oracles.
   private val MhShingle = 5
@@ -267,6 +331,51 @@ object SparkEntry {
         .select("record", "t", "event_type", "value").orderBy("record", "t")
     },
 
+    // -- tubes (rows 23-26) --
+    "tube_highlight" -> { (s, dir) =>
+      val os = opset(s, dir)
+      val lr = Splits.argmaxInstants(os, "value")
+        .select(col("record"), col("i"), (col("i") + 10L).as("j"))
+      Tube.highlight(os, Splits.between(os, lr)).df
+        .select("record", "t", "value", "INTERVAL").orderBy("record", "t")
+    },
+
+    "tube_fit1" -> { (s, dir) =>
+      val df = opset(s, dir).df.withColumn("TIME", (col("t") - 1).cast("double"))
+      Tube.ols1PerRecord(df, "record", "TIME", "value")
+        .select(col("record"), round(col("b0"), 6).as("b0"),
+          round(col("b1"), 6).as("b1"), round(col("r2"), 6).as("r2"))
+        .orderBy("record")
+    },
+
+    "tube_fit" -> { (s, dir) =>
+      // Ensemble fit over the full factor pool (rows-only driver check;
+      // determinism pinned by TubeSpec).
+      val wRec = Window.partitionBy("record")
+      val wOrd = Window.partitionBy("record").orderBy("t")
+      val base = tubeBase(s, dir)
+        .withColumn("MEDIAN", expr("percentile(value, 0.5)").over(wRec))
+        .withColumn("CAUSAL", first(col("value")).over(wOrd))
+      val models = Tube.fit(base, "record", "t", "value",
+        Seq("TIME", "TIME2", "SGV", "MEDIAN", "CAUSAL"))
+      import s.implicits._
+      models.zipWithIndex
+        .map { case (m, i) => (i.toLong, m.factors.mkString(","), math.rint(m.r2 * 1e4) / 1e4) }
+        .toDF("model_id", "factors", "r2").orderBy("model_id")
+    },
+
+    "tube_estimate" -> { (s, dir) =>
+      Tube.estimate(tubeBase(s, dir), "record", "t", "value", TubeFactors, TubeQ)
+        .select(col("record"), col("t"), col("y"), round(col("z"), 6).as("z"),
+          round(col("zmin"), 6).as("zmin"), round(col("zmax"), 6).as("zmax"))
+        .orderBy("record", "t")
+    },
+
+    "tube_scores" -> { (s, dir) =>
+      val est = Tube.estimate(tubeBase(s, dir), "record", "t", "value", TubeFactors, TubeQ)
+      Tube.scores(est, "record").orderBy("record")
+    },
+
     // -- LLM: exact dedup (row 27) --
     "dedup_exact" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -470,6 +579,48 @@ object SparkEntry {
          |SELECT o.record, o.t, o.event_type, o.value
          |FROM opset o JOIN instants USING (record)
          |WHERE o.t > instants.i AND o.t <= instants.i + 10 ORDER BY o.record, o.t""".stripMargin,
+
+    "tube_highlight" ->
+      s"""WITH $OpsetCte, $InstantsCte, ext AS (
+         |  SELECT o.record, o.t FROM opset o JOIN instants USING (record)
+         |  WHERE o.t > instants.i AND o.t <= instants.i + 10
+         |)
+         |SELECT o.record, o.t, o.value, (ext.t IS NOT NULL) AS "INTERVAL"
+         |FROM opset o LEFT JOIN ext ON o.record = ext.record AND o.t = ext.t
+         |ORDER BY o.record, o.t""".stripMargin,
+
+    "tube_fit1" ->
+      s"""WITH $OpsetCte, s AS (
+         |  SELECT record, CAST(count(*) AS DOUBLE) AS n,
+         |         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         |         sum(x * y) AS sxy, sum(y * y) AS syy
+         |  FROM (SELECT record, CAST(t - 1 AS DOUBLE) AS x, value AS y FROM opset)
+         |  GROUP BY record
+         |), c AS (
+         |  SELECT record, n, sx, sy, sxx, sxy, syy,
+         |         CASE WHEN abs(n * sxx - sx * sx) > 1e-9
+         |              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) ELSE 0.0 END AS b1
+         |  FROM s
+         |), d AS (
+         |  SELECT *, (sy - b1 * sx) / n AS b0 FROM c
+         |)
+         |SELECT record, round(b0, 6) AS b0, round(b1, 6) AS b1,
+         |       round(CASE WHEN abs(syy - sy * sy / n) > 1e-9
+         |                  THEN 1.0 - (syy + n * b0 * b0 + b1 * b1 * sxx + 2.0 * b0 * b1 * sx - 2.0 * b0 * sy - 2.0 * b1 * sxy)
+         |                       / (syy - sy * sy / n)
+         |                  ELSE 0.0 END, 6) AS r2
+         |FROM d ORDER BY record""".stripMargin,
+
+    "tube_estimate" ->
+      s"""WITH $OpsetCte, $tubeEstimateCtes
+         |SELECT record, t, y, round(z, 6) AS z, round(zmin, 6) AS zmin, round(zmax, 6) AS zmax
+         |FROM est ORDER BY record, t""".stripMargin,
+
+    "tube_scores" ->
+      s"""WITH $OpsetCte, $tubeEstimateCtes
+         |SELECT record, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN y > zmax OR y < zmin THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+         |FROM est GROUP BY record ORDER BY record""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id, n_chars, dup_count FROM (

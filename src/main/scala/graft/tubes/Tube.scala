@@ -1,0 +1,250 @@
+package graft.tubes
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Opset
+
+/** Confidence tubes — the reference's second flagship (tabata tubes.py).
+  *
+  * The reference fits an ensemble of linear regressions per target
+  * (tubes.py:177 `build_tube`: random factor subsets + random row samples,
+  * keep the best few by held-out r²), then `estimate` (tubes.py:306) wraps
+  * each record in a tube: ensemble mean `z`, bounds `z ∓ q·(z − min/max)`,
+  * optionally Savitzky-Golay-smoothed; `scores` (tubes.py:392) counts
+  * out-of-tube samples per record.
+  *
+  * Spark mapping, designed for 100 TB:
+  *  - Per-record one-factor OLS is *closed form* over six window sums
+  *    (`n, Σx, Σy, Σx², Σxy, Σy²` partitioned by record) — one shuffle,
+  *    whole-stage codegen, records fit independently and in parallel.
+  *  - The ensemble fit samples rows with a deterministic hash (no RNG
+  *    state, reproducible on any cluster), caches the ~2% sample ONCE, and
+  *    runs each retry's normal equations as a tiny aggregation over the
+  *    cached sample: one full-data scan total, k×k driver solve (k ≤ 6).
+  *  - Estimation/scoring are pure column arithmetic + one groupBy —
+  *    no driver loops over records, no collect of signal data.
+  */
+object Tube {
+
+  /** Default tube factor `q` (reference tube_params, tubes.py:165). */
+  val TubeFactor = 2.0
+
+  // ---- highlight (tubes.py:41) -----------------------------------------
+
+  /** Overlay Opset: `origin` plus a boolean `INTERVAL` column marking rows
+    * present in `extract` (same record/t keys) — the reference's
+    * `highlight` phase construction.
+    */
+  def highlight(origin: Opset, extract: Opset): Opset = {
+    val keys = extract.df.select(col(extract.recordCol).as("_hr"), col(extract.tCol).as("_ht"))
+      .distinct().withColumn("_hit", lit(true))
+    val joined = origin.df.join(
+        keys,
+        col(origin.recordCol) === col("_hr") && col(origin.tCol) === col("_ht"),
+        "left")
+      .withColumn("INTERVAL", coalesce(col("_hit"), lit(false)))
+      .drop("_hr", "_ht", "_hit")
+    origin.copy(df = joined)
+  }
+
+  // ---- derived factors (tubes.py:214-219, 328-330) ---------------------
+
+  /** The reference's derived per-record factors: TIME (0-based sample
+    * index), MEDIAN (record median of the target), CAUSAL (record's first
+    * target value). All are window computations — no driver iteration.
+    */
+  def withDerivedFactors(os: Opset, target: String): DataFrame = {
+    val wRec = Window.partitionBy(os.recordCol)
+    val wOrd = Window.partitionBy(os.recordCol).orderBy(os.tCol)
+    os.df
+      .withColumn("TIME", (col(os.tCol) - 1).cast("double"))
+      .withColumn("MEDIAN", expr(s"percentile($target, 0.5)").over(wRec))
+      .withColumn("CAUSAL", first(col(target)).over(wOrd))
+  }
+
+  // ---- per-record closed-form OLS --------------------------------------
+
+  /** The six sufficient statistics of a 1-factor OLS as window columns. */
+  private def olsSums(x: Column, y: Column, w: org.apache.spark.sql.expressions.WindowSpec) = {
+    val n   = count(lit(1)).over(w).cast("double")
+    (n, sum(x).over(w), sum(y).over(w), sum(x * x).over(w), sum(x * y).over(w), sum(y * y).over(w))
+  }
+
+  /** (b0, b1) of `y ~ b0 + b1 x` per window partition; a zero-variance
+    * factor degenerates to the mean predictor (b1 = 0), like the
+    * pseudo-inverse the reference's sklearn backend computes.
+    */
+  def ols1Cols(x: Column, y: Column, w: org.apache.spark.sql.expressions.WindowSpec): (Column, Column) = {
+    val (n, sx, sy, sxx, sxy, _) = olsSums(x, y, w)
+    val den = n * sxx - sx * sx
+    val b1 = when(abs(den) > 1e-9, (n * sxy - sx * sy) / den).otherwise(lit(0.0))
+    val b0 = (sy - b1 * sx) / n
+    (b0, b1)
+  }
+
+  /** Per-record 1-factor OLS fit table: (record, b0, b1, r2) — the
+    * SQL-oracle-checkable core of `build_tube` (tubes.py:252-255). One
+    * groupBy on the record key, map-side partial aggregation of the six
+    * sufficient statistics, closed-form solve in the projection.
+    */
+  def ols1PerRecord(df: DataFrame, rec: String, x: String, y: String): DataFrame = {
+    val xc = col(x).cast("double")
+    val yc = col(y).cast("double")
+    val s = df.groupBy(col(rec)).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(xc).as("sx"), sum(yc).as("sy"),
+      sum(xc * xc).as("sxx"), sum(xc * yc).as("sxy"), sum(yc * yc).as("syy"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val b1 = when(abs(den) > 1e-9,
+      (col("n") * col("sxy") - col("sx") * col("sy")) / den).otherwise(lit(0.0))
+    val withB = s.withColumn("b1", b1)
+      .withColumn("b0", (col("sy") - col("b1") * col("sx")) / col("n"))
+    val ssTot = col("syy") - col("sy") * col("sy") / col("n")
+    val ssRes = col("syy") + col("n") * col("b0") * col("b0") +
+      col("b1") * col("b1") * col("sxx") +
+      lit(2.0) * col("b0") * col("b1") * col("sx") -
+      lit(2.0) * col("b0") * col("sy") - lit(2.0) * col("b1") * col("sxy")
+    withB.withColumn("r2",
+        when(abs(ssTot) > 1e-9, lit(1.0) - ssRes / ssTot).otherwise(lit(0.0)))
+      .select(col(rec), col("b0"), col("b1"), col("r2"))
+  }
+
+  // ---- per-record ensemble estimate (tubes.py:306) ---------------------
+
+  /** Tube estimate over a deterministic per-record ensemble: one 1-factor
+    * OLS per factor column, ensemble mean `z`, envelope min/max, bounds
+    * `zmin = z − q·(z − min)`, `zmax = z + q·(max − z)` (filter_width 0
+    * variant; the SG-smoothed variant composes [[SignalOps.sgDf]] on the
+    * bounds). Output: (record, t, y, z, zmin, zmax).
+    */
+  def estimate(df: DataFrame, rec: String, t: String, target: String,
+               factors: Seq[String], q: Double = TubeFactor): DataFrame = {
+    val w = Window.partitionBy(rec)
+    val preds = factors.map { f =>
+      val (b0, b1) = ols1Cols(col(f), col(target), w)
+      b0 + b1 * col(f)
+    }
+    val z = preds.reduce(_ + _) / preds.size
+    val pMin = preds.reduce(least(_, _))
+    val pMax = preds.reduce(greatest(_, _))
+    df.withColumn("z", z)
+      .withColumn("zmin", col("z") - lit(q) * (col("z") - pMin))
+      .withColumn("zmax", col("z") + lit(q) * (pMax - col("z")))
+      .select(col(rec), col(t), col(target).as("y"), col("z"), col("zmin"), col("zmax"))
+  }
+
+  /** Out-of-tube scores per record (tubes.py:376/392): N samples and the
+    * count outside [zmin, zmax].
+    */
+  def scores(est: DataFrame, rec: String): DataFrame =
+    est.groupBy(col(rec)).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("y") > col("zmax") || col("y") < col("zmin"), 1L).otherwise(0L)).as("n_out"))
+
+  // ---- ensemble fit (tubes.py:177) -------------------------------------
+
+  /** One fitted regression of the ensemble. */
+  final case class TubeModel(factors: Seq[String], intercept: Double,
+                             coefs: Array[Double], r2: Double) {
+    /** The model's prediction as a column expression over `df`'s columns. */
+    def predictCol: Column =
+      factors.zip(coefs.toIndexedSeq).map { case (f, c) => col(f) * c }
+        .foldLeft(lit(intercept): Column)(_ + _)
+  }
+
+  private def lcg(x: Long): Long = (x * 6364136223846793005L + 1442695040888963407L) >>> 11
+
+  /** Ensemble fit, the Spark re-expression of `build_tube`:
+    *
+    *  - retry k picks a deterministic pseudo-random factor subset (LCG of
+    *    the seed — reproducible, unlike the reference's global RNG);
+    *  - train/validation rows are disjoint deterministic hash samples of
+    *    ~`samplesPct` of every record (reference: per-record
+    *    `np.random.choice`);
+    *  - each retry solves OLS by normal equations aggregated over the
+    *    CACHED sample — one full-data scan for the whole fit, then
+    *    driver-side k×k solves (k ≤ maxFeatures + 1);
+    *  - keep the `keepBest` models by held-out r².
+    */
+  def fit(df: DataFrame, rec: String, t: String, target: String, factorPool: Seq[String],
+          retries: Int = 10, keepBest: Int = 5, samplesPct: Double = 0.01,
+          maxFeatures: Int = 5, seed: Long = 42L): Seq[TubeModel] = {
+    val pctBuckets = math.max(1, math.round(samplesPct * 100).toInt)
+    val bucket = pmod(xxhash64(col(rec), col(t), lit(seed)), lit(100))
+    val train = df.filter(bucket < pctBuckets).cache()
+    val valid = df.filter(bucket >= pctBuckets && bucket < 2 * pctBuckets).cache()
+    try {
+      val models = (0 until retries).map { k =>
+        // factor subset: LCG-shuffled pool, LCG-picked size (≤ maxFeatures)
+        val r0 = lcg(seed + k)
+        val size = (lcg(r0) % math.min(maxFeatures, factorPool.size)).toInt + 1
+        val cc = factorPool.sortBy(f => lcg(r0 + f.hashCode)).take(size)
+        val m = cc.size + 1 // + intercept
+
+        // Normal equations G = XᵀX, v = Xᵀy: one tiny aggregation over the
+        // cached sample (m(m+1)/2 + m sums), then an m×m driver solve.
+        val feats: Seq[Column] = lit(1.0) +: cc.map(c => col(c).cast("double"))
+        val y = col(target).cast("double")
+        val gExprs = for (i <- 0 until m; j <- i until m)
+          yield sum(feats(i) * feats(j)).as(s"g_${i}_$j")
+        val vExprs = (0 until m).map(i => sum(feats(i) * y).as(s"v_$i"))
+        val exprs = (gExprs ++ vExprs).toSeq
+        val row = train.agg(exprs.head, exprs.tail: _*).head()
+        val g = Array.tabulate(m, m)((i, j) =>
+          row.getAs[Double](s"g_${math.min(i, j)}_${math.max(i, j)}"))
+        val v = Array.tabulate(m)(i => row.getAs[Double](s"v_$i"))
+        val coef = solve(g, v)
+        val model = TubeModel(cc, coef(0), coef.drop(1), 0.0)
+
+        // Held-out r² over the validation sample.
+        val p = model.predictCol
+        val vr = valid.agg(
+          sum(pow(y - p, 2)).as("ssres"),
+          sum(y).as("sy"), sum(y * y).as("syy"),
+          count(lit(1)).cast("double").as("n")).head()
+        val (ssres, sy, syy, n) =
+          (vr.getAs[Double]("ssres"), vr.getAs[Double]("sy"),
+            vr.getAs[Double]("syy"), vr.getAs[Double]("n"))
+        val sstot = syy - sy * sy / n
+        val r2 = if (math.abs(sstot) > 1e-9) 1.0 - ssres / sstot else 0.0
+        model.copy(r2 = r2)
+      }
+      // The reference keeps a keep_best-sized population, replacing the
+      // worst on improvement (tubes.py:256-262) — i.e. the best keepBest
+      // of the retries it ran. Ties broken by retry order for determinism.
+      models.zipWithIndex.sortBy { case (mo, i) => (-mo.r2, i) }
+        .take(keepBest).map(_._1)
+    } finally {
+      train.unpersist(); valid.unpersist()
+    }
+  }
+
+  /** Solve G x = v (symmetric positive semidefinite normal equations) by
+    * Gaussian elimination with partial pivoting; a near-singular pivot
+    * gets a tiny ridge, matching the pseudo-inverse behavior of the
+    * reference's sklearn OLS on collinear factors.
+    */
+  private def solve(gIn: Array[Array[Double]], vIn: Array[Double]): Array[Double] = {
+    val m = gIn.length
+    val g = gIn.map(_.clone())
+    val v = vIn.clone()
+    for (c <- 0 until m) {
+      var piv = c
+      for (r <- c + 1 until m) if (math.abs(g(r)(c)) > math.abs(g(piv)(c))) piv = r
+      if (piv != c) {
+        val tg = g(c); g(c) = g(piv); g(piv) = tg
+        val tv = v(c); v(c) = v(piv); v(piv) = tv
+      }
+      if (math.abs(g(c)(c)) < 1e-9) g(c)(c) += 1e-6
+      for (r <- 0 until m if r != c) {
+        val f = g(r)(c) / g(c)(c)
+        if (f != 0.0) {
+          for (q <- c until m) g(r)(q) -= f * g(c)(q)
+          v(r) -= f * v(c)
+        }
+      }
+    }
+    Array.tabulate(m)(i => v(i) / g(i)(i))
+  }
+}
