@@ -6,7 +6,8 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.core.{ColumnMeta, Opset}
 import graft.dsp.SignalOps
-import graft.instants.Splits
+import graft.instants.{Indicators, Selector, Splits}
+import graft.instants.Indicators.IndicatorCode
 import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.plots.PlotData
 import graft.tubes.Tube
@@ -62,6 +63,32 @@ object SparkEntry {
   private val SgW = 7
   private val SgDeg = 2
   private val IndSigma = 2.0
+
+  // Instants-pipeline parameters shared by the instants_* queries/oracles.
+  private val IndCodes = Seq(
+    IndicatorCode("value", 3, 1, 2.0),   // w=7, d=1, upward crossings
+    IndicatorCode("value", 3, 1, -2.0),  // downward crossings
+    IndicatorCode("value", -3, 1, 2.0),  // reversed variant of the first
+  )
+  private val InstFeatCols =
+    Seq("LEN", "REV", "PERCENT", "value") ++ IndCodes.map(_.name)
+
+  /** DuckDB CTEs computing the epsilon noise floor for (w=SgW, d=1):
+    * max over records of stddev_pop(SG_w(x,1) − SG_{2w+1}(SG_w(x,1), 1)).
+    * Final relation `ev` has the single scalar column `eps`.
+    */
+  private def epsilonCtes: String = {
+    val (b, bRel) = SignalOps.sgOracleCtes("opset", "value", "record", "t", SgW, SgDeg, 1, "_eb", "e1")
+    val (c, cRel) = SignalOps.sgOracleCtes(bRel, "_eb", "record", "t", 2 * SgW + 1, SgDeg, 1, "_ec", "e2")
+    s"""$b, $c, erd AS (
+       |  SELECT b.record, b.t, b._eb - c._ec AS r
+       |  FROM $bRel b JOIN $cRel c ON b.record = c.record AND b.t = c.t
+       |), esd AS (
+       |  SELECT record, stddev_pop(r) AS s FROM erd GROUP BY record
+       |), ev AS (
+       |  SELECT max(s) AS eps FROM esd
+       |)""".stripMargin
+  }
 
   // Tube parameters shared by the tube_* queries/oracles.
   private val TubeQ = Tube.TubeFactor // 2.0
@@ -331,6 +358,49 @@ object SparkEntry {
         .select("record", "t", "event_type", "value").orderBy("record", "t")
     },
 
+    // -- instants pipeline (rows 18-20, 22) --
+    "instants_epsilon" -> { (s, dir) =>
+      import s.implicits._
+      val eps = Indicators.epsilon(opset(s, dir).df, "record", "t", "value", SgW, 1, SgDeg)
+      val r = BigDecimal(eps).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((SgW, 1, r)).toDF("w", "d", "eps")
+    },
+
+    "instants_features" -> { (s, dir) =>
+      val (df, _) = Indicators.bank(opset(s, dir).df, "record", "t", IndCodes, SgDeg)
+      df.select(Seq(col("record"), col("t"), col("LEN"), col("REV"),
+          round(col("PERCENT"), 6).as("PERCENT"), col("value")) ++
+          IndCodes.map(c => round(col(c.name), 6).as(c.name)): _*)
+        .orderBy("record", "t")
+    },
+
+    "instants_fit" -> { (s, dir) =>
+      import s.implicits._
+      val os = opset(s, dir)
+      val (df, _) = Indicators.bank(os.df, "record", "t", IndCodes, SgDeg)
+      val sel = Selector.fit(df, Splits.argmaxInstants(os, "value"), "record", "t", InstFeatCols)
+      sel.importances.map { case (f, v) => (f, math.rint(v * 1e4) / 1e4) }
+        .toDF("feature", "importance").orderBy("feature")
+    },
+
+    "instants_predict" -> { (s, dir) =>
+      val os = opset(s, dir)
+      val (df, _) = Indicators.bank(os.df, "record", "t", IndCodes, SgDeg)
+      val sel = Selector.fit(df, Splits.argmaxInstants(os, "value"), "record", "t", InstFeatCols)
+      Selector.predictInstants(Selector.belief(sel, df, "record", "t"), "record", "t")
+        .orderBy("record")
+    },
+
+    "instants_scores" -> { (s, dir) =>
+      val os = opset(s, dir)
+      val (df, _) = Indicators.bank(os.df, "record", "t", IndCodes, SgDeg)
+      val selected = Splits.argmaxInstants(os, "value")
+      val sel = Selector.fit(df, selected, "record", "t", InstFeatCols)
+      val computed = Selector.predictInstants(
+        Selector.belief(sel, df, "record", "t"), "record", "t")
+      Selector.allScores(selected, computed, "record").orderBy("record")
+    },
+
     // -- tubes (rows 23-26) --
     "tube_highlight" -> { (s, dir) =>
       val os = opset(s, dir)
@@ -579,6 +649,34 @@ object SparkEntry {
          |SELECT o.record, o.t, o.event_type, o.value
          |FROM opset o JOIN instants USING (record)
          |WHERE o.t > instants.i AND o.t <= instants.i + 10 ORDER BY o.record, o.t""".stripMargin,
+
+    "instants_epsilon" ->
+      s"""WITH $OpsetCte, $epsilonCtes
+         |SELECT $SgW AS w, 1 AS d, round(eps, 6) AS eps FROM ev""".stripMargin,
+
+    "instants_features" -> {
+      val w = 2 * 3 + 1
+      val (i1, r1) = SignalOps.indicatorOracleCtes("opset", "value", "record", "t",
+        w, SgDeg, 1, "_sg > 2.0 * (SELECT eps FROM ev)", "i1")
+      val (i2, r2) = SignalOps.indicatorOracleCtes("opset", "value", "record", "t",
+        w, SgDeg, 1, "_sg < -2.0 * (SELECT eps FROM ev)", "i2")
+      s"""WITH $OpsetCte, $epsilonCtes, $i1, $i2, pos AS (
+         |  SELECT record, t, value,
+         |         CAST(t - 1 AS DOUBLE) AS "LEN",
+         |         CAST(count(*) OVER (PARTITION BY record) - t AS DOUBLE) AS "REV",
+         |         CASE WHEN count(*) OVER (PARTITION BY record) > 1
+         |              THEN CAST(t - 1 AS DOUBLE) / CAST(count(*) OVER (PARTITION BY record) - 1 AS DOUBLE)
+         |              ELSE 0.0 END AS pct
+         |  FROM opset
+         |)
+         |SELECT p.record, p.t, p."LEN", p."REV", round(p.pct, 6) AS "PERCENT", p.value,
+         |       round(z1.z, 6) AS "${IndCodes(0).name}",
+         |       round(z2.z, 6) AS "${IndCodes(1).name}",
+         |       round((last_value(z1.z) OVER (PARTITION BY p.record ORDER BY p.t ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) - z1.z, 6) AS "${IndCodes(2).name}"
+         |FROM pos p JOIN $r1 z1 ON p.record = z1.record AND p.t = z1.t
+         |           JOIN $r2 z2 ON p.record = z2.record AND p.t = z2.t
+         |ORDER BY p.record, p.t""".stripMargin
+    },
 
     "tube_highlight" ->
       s"""WITH $OpsetCte, $InstantsCte, ext AS (

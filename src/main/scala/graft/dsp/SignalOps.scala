@@ -105,7 +105,8 @@ object SignalOps {
     * [[sgDf]].
     */
   def sgOracleCtes(src: String, x: String, rec: String, t: String,
-                   w: Int, deg: Int, deriv: Int, out: String): (String, String) = {
+                   w: Int, deg: Int, deriv: Int, out: String,
+                   prefix: String = ""): (String, String) = {
     val half = w / 2
     val cw   = SavGol.centralWeights(w, deg, deriv)
     val ew   = SavGol.edgeWeights(w, deg, deriv)
@@ -133,21 +134,21 @@ object SignalOps {
     val cases = (0 until half).map(i => s"WHEN _rn = ${i + 1} THEN (${leftEdge(i)})") ++
       (0 until half).map(i => s"WHEN _rn = _n - $i THEN (${rightEdge(i)})")
     val ctes =
-      s"""_sg_base AS (
+      s"""${prefix}_sg_base AS (
          |  SELECT $rec, $t, $x AS _x,
          |         row_number() OVER ($over) AS _rn,
          |         count(*) OVER ($part) AS _n
          |  FROM $src
-         |), _sg_win AS (
+         |), ${prefix}_sg_win AS (
          |  SELECT $rec, $t, _x, _rn, _n,
          |         ${(lagLead ++ firstCols ++ lastCols).mkString(",\n         ")}
-         |  FROM _sg_base WHERE _n >= $w
-         |), _sg_out AS (
+         |  FROM ${prefix}_sg_base WHERE _n >= $w
+         |), ${prefix}_sg_out AS (
          |  SELECT $rec, $t, _rn, _n,
          |         CASE ${cases.mkString(" ")} ELSE ($interior) END AS $out
-         |  FROM _sg_win
+         |  FROM ${prefix}_sg_win
          |)""".stripMargin
-    (ctes, "_sg_out")
+    (ctes, s"${prefix}_sg_out")
   }
 
   /** The reference `indicator` (instants.py:45) on top of a pre-computed
@@ -159,11 +160,19 @@ object SignalOps {
     * Returns the z column; `df` must carry `rec`, `t` and `sg` columns.
     */
   def indicatorDf(df: DataFrame, sg: String, rec: String, t: String,
-                  sigma: Double, out: String): DataFrame = {
+                  sigma: Double, out: String): DataFrame =
+    indicatorDf(df, sg, rec, t, lit(sigma), sigma > 0, out)
+
+  /** As above with a column-valued threshold (e.g. an epsilon-scaled sigma
+    * joined in from an aggregation); `positive` picks the crossing
+    * direction the reference derives from sigma's sign (instants.py:59).
+    */
+  def indicatorDf(df: DataFrame, sg: String, rec: String, t: String,
+                  sigma: Column, positive: Boolean, out: String): DataFrame = {
     val wOrd  = Window.partitionBy(rec).orderBy(t)
     val wFull = Window.partitionBy(rec).orderBy(t)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val b  = if (sigma > 0) (col(sg) > sigma).cast("int") else (col(sg) < sigma).cast("int")
+    val b  = if (positive) (col(sg) > sigma).cast("int") else (col(sg) < sigma).cast("int")
     val d1 = df.withColumn("_b", b)
       .withColumn("_rn", row_number().over(wOrd))
       .withColumn("_dp", lead(col("_b"), 1).over(wOrd) - col("_b"))
@@ -196,30 +205,39 @@ object SignalOps {
     * is a FROM-able relation exposing rec/t/x.
     */
   def indicatorOracleCtes(src: String, x: String, rec: String, t: String,
-                          w: Int, deg: Int, deriv: Int, sigma: Double): (String, String) = {
+                          w: Int, deg: Int, deriv: Int, sigma: Double): (String, String) =
+    indicatorOracleCtes(src, x, rec, t, w, deg, deriv,
+      if (sigma > 0) s"_sg > $sigma" else s"_sg < $sigma", "")
+
+  /** As above with an arbitrary SQL crossing condition over `_sg` (e.g.
+    * `_sg > 2.0 * (SELECT eps FROM ...)`) and a CTE-name prefix so several
+    * indicator chains can coexist in one query.
+    */
+  def indicatorOracleCtes(src: String, x: String, rec: String, t: String,
+                          w: Int, deg: Int, deriv: Int,
+                          bCond: String, prefix: String): (String, String) = {
     val over = s"PARTITION BY $rec ORDER BY $t"
-    val (sgCtes, sgRel) = sgOracleCtes(src, x, rec, t, w, deg, deriv, "_sg")
-    val bCond = if (sigma > 0) s"_sg > $sigma" else s"_sg < $sigma"
-    val ctes = s"""$sgCtes, _bd AS (
+    val (sgCtes, sgRel) = sgOracleCtes(src, x, rec, t, w, deg, deriv, "_sg", prefix)
+    val ctes = s"""$sgCtes, ${prefix}_bd AS (
   SELECT $rec, $t, CASE WHEN $bCond THEN 1 ELSE 0 END AS _b FROM $sgRel
-), _dpd AS (
+), ${prefix}_dpd AS (
   SELECT $rec, $t, _b,
          (lead(_b) OVER ($over)) - _b AS _dp,
          row_number() OVER ($over) AS _rn
-  FROM _bd
-), _cd AS (
-  SELECT *, CASE WHEN _dp IS NOT NULL AND _dp <> 0 THEN 1 ELSE 0 END AS _c FROM _dpd
-), _segd AS (
+  FROM ${prefix}_bd
+), ${prefix}_cd AS (
+  SELECT *, CASE WHEN _dp IS NOT NULL AND _dp <> 0 THEN 1 ELSE 0 END AS _c FROM ${prefix}_dpd
+), ${prefix}_segd AS (
   SELECT *,
          sum(_c) OVER ($over) AS _seg,
          sum(_c) OVER (PARTITION BY $rec) AS _ncross,
          min(CASE WHEN _c = 1 THEN _rn END) OVER (PARTITION BY $rec) AS _rnc
-  FROM _cd
-), _fd AS (
+  FROM ${prefix}_cd
+), ${prefix}_fd AS (
   SELECT *,
          max(CASE WHEN _rn = _rnc THEN _dp END) OVER (PARTITION BY $rec) AS _firstdp
-  FROM _segd
-), _ind_out AS (
+  FROM ${prefix}_segd
+), ${prefix}_ind_out AS (
   SELECT $rec, $t,
          CASE WHEN _ncross = 0 THEN 0.0
               ELSE (CASE WHEN _firstdp = 1 THEN 0.0 ELSE 1.0 END)
@@ -229,9 +247,9 @@ object SignalOps {
                                 / CAST((count(*) OVER (PARTITION BY $rec, _seg)) - 1 AS DOUBLE)
                            ELSE 0.0 END)
          END AS z
-  FROM _fd
+  FROM ${prefix}_fd
 )"""
-    (ctes, "_ind_out")
+    (ctes, s"${prefix}_ind_out")
   }
 
   /** Reference (driver-side, array-based) implementations used by the

@@ -1,0 +1,134 @@
+package graft.instants
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.classification.{DecisionTreeClassificationModel, DecisionTreeClassifier}
+import graft.dsp.SignalOps
+
+/** Instant detection learner — the reference's flagship (tabata
+  * instants.py: `Selector.fit` :363, `belief` :483, `predict` :552,
+  * `all_scores`/`score` :655/:672).
+  *
+  * The reference labels every sample of every record as before(−1)/
+  * after(+1) the expert-selected instant, trains a decision tree on the
+  * indicator bank (with feature-importance pruning over several sampled
+  * retries), then turns the tree's per-sample class into an instant: the
+  * belief is the positive part of the SG first derivative of the class
+  * signal, normalized per record; the predicted instant is its argmax.
+  *
+  * Spark mapping: labels/samples are column expressions (deterministic
+  * hash sampling, no RNG state), the tree is spark.ml's distributed
+  * `DecisionTreeClassifier`, and belief/predict are the already-proven
+  * window operators — one shuffle on `record`, argmax via row_number.
+  */
+object Selector {
+
+  /** The fitted detector: kept feature names and the final tree. */
+  final case class SelectorModel(features: Seq[String],
+                                 model: DecisionTreeClassificationModel) {
+    def importances: Seq[(String, Double)] =
+      features.zip(model.featureImportances.toArray.toIndexedSeq)
+  }
+
+  /** Per-sample label (instants.py:529): 0 for 0-based position ≤ the
+    * record's selected instant `i`, 1 after (the reference's −1/+1 coded
+    * as spark.ml's 0/1).
+    */
+  def withLabel(features: DataFrame, instants: DataFrame, rec: String, t: String): DataFrame =
+    features.join(broadcast(instants), Seq(rec))
+      .withColumn("label", when(col(t) - 1 <= col("i"), 0.0).otherwise(1.0))
+      .drop("i")
+
+  private def assemble(df: DataFrame, feats: Seq[String]): DataFrame =
+    new VectorAssembler().setInputCols(feats.toArray).setOutputCol("_fv")
+      .transform(df)
+
+  private def trainOnce(labeled: DataFrame, feats: Seq[String], samplePct: Double,
+                        minInstances: Int, seed: Long, k: Int,
+                        rec: String, t: String): DecisionTreeClassificationModel = {
+    val pct = math.max(1, math.round(samplePct * 100).toInt)
+    val sample = labeled.filter(pmod(xxhash64(col(rec), col(t), lit(seed + k)), lit(100)) < pct)
+    new DecisionTreeClassifier()
+      .setFeaturesCol("_fv").setLabelCol("label")
+      .setMinInstancesPerNode(minInstances)
+      .setSeed(seed + k)
+      .fit(assemble(sample, feats))
+  }
+
+  /** Fit with feature pruning (instants.py:425-460): `retries` trees on
+    * deterministic samples accumulate importances; keep features above
+    * the `percentile`-th importance percentile; retrain on a larger
+    * sample, dropping zero-importance features until none remain.
+    */
+  def fit(features: DataFrame, instants: DataFrame, rec: String, t: String,
+          featCols: Seq[String], retries: Int = 5, samplePct: Double = 0.1,
+          minInstances: Int = 10, percentile: Double = 50.0,
+          seed: Long = 42L): SelectorModel = {
+    val labeled = withLabel(features, instants, rec, t).cache()
+    try {
+      val fi = Array.fill(featCols.size)(0.0)
+      (0 until retries).foreach { k =>
+        val m = trainOnce(labeled, featCols, samplePct, minInstances, seed, k, rec, t)
+        m.featureImportances.toArray.zipWithIndex.foreach { case (v, i) => fi(i) += v }
+      }
+      // percentile threshold over the accumulated importances (np.percentile,
+      // linear interpolation)
+      val sorted = fi.sorted
+      val pos = percentile / 100.0 * (sorted.length - 1)
+      val (lo, hi) = (sorted(pos.toInt), sorted(math.min(pos.toInt + 1, sorted.length - 1)))
+      val thr = lo + (hi - lo) * (pos - pos.toInt)
+      var keep = featCols.zip(fi.toIndexedSeq).filter(_._2 > thr).map(_._1)
+      if (keep.isEmpty) keep = featCols
+
+      val bigPct = math.min(0.5, samplePct * retries)
+      var model = trainOnce(labeled, keep, bigPct, minInstances, seed, retries, rec, t)
+      var imp = model.featureImportances.toArray
+      while (imp.count(_ == 0.0) > 0 && imp.count(_ > 0.0) > 0) {
+        keep = keep.zip(imp.toIndexedSeq).filter(_._2 > 0.0).map(_._1)
+        model = trainOnce(labeled, keep, bigPct, minInstances, seed, retries, rec, t)
+        imp = model.featureImportances.toArray
+      }
+      SelectorModel(keep, model)
+    } finally labeled.unpersist()
+  }
+
+  /** Belief (instants.py:483): tree class per sample mapped to ±1, SG
+    * first derivative (window 2·filterWidth+1, deg 2), positive part,
+    * normalized per record. Output: input columns + `belief`.
+    */
+  def belief(sel: SelectorModel, features: DataFrame, rec: String, t: String,
+             filterWidth: Int = 10): DataFrame = {
+    val pred = sel.model.transform(assemble(features, sel.features))
+      .withColumn("_ip", col("prediction") * 2 - 1)
+      .drop("_fv", "rawPrediction", "probability", "prediction")
+    val dp = SignalOps.sgDf(pred, "_ip", rec, t, 2 * filterWidth + 1, 2, 1, "_dp")
+    val wRec = Window.partitionBy(rec)
+    val p = greatest(col("_dp"), lit(0.0))
+    val z = sum(p).over(wRec)
+    dp.withColumn("belief", p / when(z === 0.0, lit(1.0)).otherwise(z))
+      .drop("_ip", "_dp")
+  }
+
+  /** Predicted instant per record (instants.py:552): 0-based argmax of the
+    * belief (first max). Output: (rec, i).
+    */
+  def predictInstants(beliefDf: DataFrame, rec: String, t: String): DataFrame = {
+    val w = Window.partitionBy(rec).orderBy(col("belief").desc, col(t))
+    beliefDf.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col(rec), (col(t) - 1).cast("long").as("i"))
+  }
+
+  /** Detection-vs-label gaps (instants.py:655 `all_scores`): one row per
+    * record, `gap = computed − selected`.
+    */
+  def allScores(selected: DataFrame, computed: DataFrame, rec: String): DataFrame =
+    selected.select(col(rec), col("i").as("t0"))
+      .join(computed.select(col(rec), col("i").as("t1")), Seq(rec))
+      .withColumn("gap", col("t1") - col("t0"))
+
+  /** The reference `score` (instants.py:672): max |gap|. */
+  def score(scores: DataFrame): Long =
+    scores.agg(max(abs(col("gap")))).head().getLong(0)
+}

@@ -1,0 +1,67 @@
+package graft.instants
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.instants.Indicators.IndicatorCode
+
+/** End-to-end instant detection on a learnable fixture: step-function
+  * records whose step position is the labeled instant. The tree should
+  * find the value split and belief/argmax should land on the step.
+  */
+class SelectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Steps = Map("r0" -> 20L, "r1" -> 30L, "r2" -> 40L, "r3" -> 25L)
+  private val N = 60
+
+  private lazy val df = Steps.toSeq.flatMap { case (r, step) =>
+    (1 to N).map { t =>
+      val pos = t - 1
+      // 0 before/at the instant, 10 after, plus a tiny slope for texture
+      val v = (if (pos <= step) 0.0 else 10.0) + pos * 0.01
+      (r, t.toLong, v)
+    }
+  }.toDF("record", "t", "value")
+
+  private lazy val selected = Steps.toSeq.map { case (r, s) => (r, s) }.toDF("record", "i")
+  private val codes = Seq(IndicatorCode("value", 3, 1, 2.0))
+  private val featCols = Seq("LEN", "REV", "PERCENT", "value") ++ codes.map(_.name)
+
+  test("withPositional emits LEN/REV/PERCENT per record") {
+    val p = Indicators.withPositional(df, "record", "t")
+      .filter($"record" === "r0" && $"t" === 1L).head()
+    assert(p.getAs[Double]("LEN") === 0.0)
+    assert(p.getAs[Double]("REV") === N.toDouble - 1)
+    assert(p.getAs[Double]("PERCENT") === 0.0)
+  }
+
+  test("epsilon is positive and deterministic on the fixture") {
+    val e1 = Indicators.epsilon(df, "record", "t", "value", 7, 1, 2)
+    val e2 = Indicators.epsilon(df, "record", "t", "value", 7, 1, 2)
+    assert(e1 === e2)
+    assert(e1 > 0.0)
+  }
+
+  test("fit + belief + predict recovers the step instants within 2 samples") {
+    val (bank, _) = Indicators.bank(df, "record", "t", codes, 2)
+    val sel = Selector.fit(bank, selected, "record", "t", featCols,
+      retries = 3, samplePct = 0.5, minInstances = 5, seed = 7L)
+    val bel = Selector.belief(sel, bank, "record", "t", filterWidth = 5)
+    val computed = Selector.predictInstants(bel, "record", "t")
+    val scores = Selector.allScores(selected, computed, "record")
+    assert(scores.count() === 4)
+    assert(Selector.score(scores) <= 2L,
+      s"gaps: ${scores.collect().mkString(", ")}")
+  }
+
+  test("belief is a normalized distribution per record") {
+    val (bank, _) = Indicators.bank(df, "record", "t", codes, 2)
+    val sel = Selector.fit(bank, selected, "record", "t", featCols,
+      retries = 3, samplePct = 0.5, minInstances = 5, seed = 7L)
+    val bel = Selector.belief(sel, bank, "record", "t", filterWidth = 5)
+    val sums = bel.groupBy("record").agg(sum("belief").as("s"))
+      .select("s").as[Double].collect()
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-9 || math.abs(s) < 1e-9))
+    assert(bel.filter($"belief" < 0).count() === 0)
+  }
+}
