@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.analysis.Pca
 import graft.core.{ColumnMeta, Opset}
 import graft.dsp.SignalOps
 import graft.instants.{Indicators, Selector, Splits}
@@ -63,6 +64,9 @@ object SparkEntry {
   private val SgW = 7
   private val SgDeg = 2
   private val IndSigma = 2.0
+
+  /** lineitem numeric columns for the PCA queries. */
+  private val PcaCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   // Instants-pipeline parameters shared by the instants_* queries/oracles.
   private val IndCodes = Seq(
@@ -358,6 +362,30 @@ object SparkEntry {
         .select("record", "t", "event_type", "value").orderBy("record", "t")
     },
 
+    // -- PCA correlation circle (row 16) --
+    "pca_corr" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val cols = PcaCols
+      val pairs = for (a <- cols; b <- cols if a <= b) yield (a, b)
+      val agg = li.agg(
+        pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__$b") }.head,
+        pairs.tail.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__$b") }: _*)
+      val entries = pairs.flatMap { case (a, b) =>
+        Seq(lit(s"$a|$b"), round(col(s"${a}__$b"), 6))
+      }
+      agg.select(explode(map(entries: _*)).as(Seq("pair", "corr")))
+        .select(
+          substring_index(col("pair"), "|", 1).as("var_a"),
+          substring_index(col("pair"), "|", -1).as("var_b"),
+          col("corr"))
+        .orderBy("var_a", "var_b")
+    },
+
+    "pca_circle" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      Pca.circle(li, PcaCols, s).orderBy("component", "variable")
+    },
+
     // -- instants pipeline (rows 18-20, 22) --
     "instants_epsilon" -> { (s, dir) =>
       import s.implicits._
@@ -649,6 +677,15 @@ object SparkEntry {
          |SELECT o.record, o.t, o.event_type, o.value
          |FROM opset o JOIN instants USING (record)
          |WHERE o.t > instants.i AND o.t <= instants.i + 10 ORDER BY o.record, o.t""".stripMargin,
+
+    "pca_corr" -> {
+      val arms = (for (a <- PcaCols; b <- PcaCols if a <= b)
+        yield s"SELECT '$a' AS var_a, '$b' AS var_b, round(corr($a, $b), 6) AS corr FROM lineitem")
+        .mkString("\n  UNION ALL\n  ")
+      s"""SELECT * FROM (
+         |  $arms
+         |) ORDER BY var_a, var_b""".stripMargin
+    },
 
     "instants_epsilon" ->
       s"""WITH $OpsetCte, $epsilonCtes

@@ -67,6 +67,12 @@ final case class Opset(df: DataFrame, recordCol: String = "record", tCol: String
 }
 
 object Opset {
+  /** Sample-data helper (tabata opset.py:465 `datafile`): the canonical
+    * test Opset at a given scale factor directory.
+    */
+  def sampleData(spark: SparkSession, sfDir: String = "/root/testdata/sf0.001"): Opset =
+    fromEvents(spark, sfDir)
+
   /** Canonical Opset view of the test `events` table: record = user id,
     * t = 1-based sample index by (ts, event_id), signals = event_type/value.
     */

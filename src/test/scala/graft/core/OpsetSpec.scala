@@ -45,6 +45,12 @@ class OpsetSpec extends SparkSpec {
     assert(appended.get("r1").count() === 2) // untouched records intact
   }
 
+  test("sampleData loads the canonical events Opset") {
+    val os = Opset.sampleData(spark)
+    assert(os.df.columns.toSeq === Seq("record", "t", "event_type", "value"))
+    assert(os.size > 0)
+  }
+
   test("clean empties the store keeping the schema") {
     val c = os.clean
     assert(c.df.count() === 0)
