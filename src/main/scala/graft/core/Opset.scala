@@ -83,9 +83,17 @@ object Opset {
     // long. Runtime-settable session conf — works for any caller session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Opset(ev.select(
+    // Materialize `record` BEFORE the window and partition the window on it:
+    // predicate pushdown through Window is attribute-based, so a filter on
+    // `record` only slides below the shuffle if `record` itself is the
+    // partition column. With it, `get("x")` filters before the exchange —
+    // at scale that is "shuffle one record", not "shuffle the table".
+    val base = ev.select(
       col("user_id").cast("string").as("record"),
+      col("ts"), col("event_id"), col("event_type"), col("value"))
+    val w = Window.partitionBy("record").orderBy("ts", "event_id")
+    Opset(base.select(
+      col("record"),
       row_number().over(w).cast("long").as("t"),
       col("event_type"),
       col("value")))

@@ -111,10 +111,13 @@ object Dedup {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // cache: the shingle-hash arrays feed the signatures AND both sides of
+    // the candidate re-rank join — without it the md5 shingle chain is
+    // evaluated three times
     val base = docs.select(
       col(idCol),
       array_distinct(ngramHashes(col(textCol), shingleLen)).as("sh"),
-    )
+    ).cache()
     val sigs = minhashSignature(base, "sh", numHashes).drop("sh")
     val pairs = lshCandidatePairs(sigs, idCol, numHashes, bands)
     val sets = base.select(col(idCol).as("_id"), col("sh"))
@@ -180,20 +183,27 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dedup with shared-shingle blocking: a document
-    * pair becomes a candidate iff it shares at least one *selected* gram
-    * (hash ≡ 0 mod `blockMod` — a deterministic ~1/blockMod sample that
-    * both engines reproduce); candidates are re-ranked by exact Jaccard
-    * over the full gram sets. Only bucket-local pairs are ever formed.
+    * pair becomes a candidate iff it shares at least `minShared` *selected*
+    * grams (hash ≡ 0 mod `blockMod` — a deterministic ~1/blockMod sample
+    * that both engines reproduce); candidates are re-ranked by exact
+    * Jaccard over the full gram sets. Only bucket-local pairs are ever
+    * formed, and the `minShared` AND-amplification kills the one-common-
+    * phrase false candidates that would otherwise dominate the re-rank
+    * cost (a true near-dup above threshold shares many selected grams).
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, blockMod: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val base = docs.select(col(idCol), wordNgramHashes(col(textCol), n).as("gh"))
+                   n: Int = 3, blockMod: Int = 8, threshold: Double = 0.5,
+                   minShared: Int = 2): DataFrame = {
+    // cache: the gram arrays feed the block keys AND both re-rank branches
+    val base = docs.select(col(idCol), wordNgramHashes(col(textCol), n).as("gh")).cache()
     val keys = base.select(col(idCol), explode(col("gh")).as("k"))
       .filter(col("k") % blockMod === 0)
     val l = keys.select(col(idCol).as("id_a"), col("k"))
     val r = keys.select(col(idCol).as("id_b"), col("k"))
     val cand = l.join(r, Seq("k")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minShared)
+      .select("id_a", "id_b")
     val a = base.select(col(idCol).as("id_a"), col("gh").as("gh_a"))
     val b = base.select(col(idCol).as("id_b"), col("gh").as("gh_b"))
     cand.join(a, "id_a").join(b, "id_b")

@@ -42,7 +42,11 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  def litArray(xs: Array[Double]): Column = array(xs.toIndexedSeq.map(lit): _*)
+  /** One Literal node per plane (a 64-child `array(lit...)` tree per plane
+    * makes analysis/optimization of the 16-plane bucket expression
+    * disproportionately expensive).
+    */
+  def litArray(xs: Array[Double]): Column = typedlit(xs.toSeq)
 
   /** Multi-table hyperplane buckets: table `l` uses planes
     * `[l*bits, (l+1)*bits)`; its key is the sign-pattern integer. Returns
@@ -92,7 +96,10 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, queryIds: Seq[Long],
               k: Int, planes: Array[Array[Double]], bits: Int, numTables: Int): DataFrame = {
     val base = withNorm(emb, idCol, vecCol)
-    val buckets = hyperplaneBuckets(emb, idCol, vecCol, planes, bits, numTables)
+    // cache: the bucket table feeds both the query side and the corpus side
+    // of the candidate join; uncached, the 16-dot bucket expression subtree
+    // is planned and evaluated twice
+    val buckets = hyperplaneBuckets(emb, idCol, vecCol, planes, bits, numTables).cache()
     val qb = buckets.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("q_id"), col("tbl"), col("key"))
     val cand = buckets.join(broadcast(qb), Seq("tbl", "key"))
@@ -115,7 +122,8 @@ object Similarity {
   def cosineDup(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
                 planes: Array[Array[Double]], bits: Int, numTables: Int): DataFrame = {
     val base = withNorm(emb, idCol, vecCol)
-    val buckets = hyperplaneBuckets(emb, idCol, vecCol, planes, bits, numTables)
+    // cache: both sides of the bucket self-join share this table
+    val buckets = hyperplaneBuckets(emb, idCol, vecCol, planes, bits, numTables).cache()
     val l = buckets.select(col("tbl"), col("key"), col(idCol).as("id_a"))
     val r = buckets.select(col("tbl"), col("key"), col(idCol).as("id_b"))
     val cand = l.join(r, Seq("tbl", "key")).filter(col("id_a") < col("id_b"))
