@@ -35,8 +35,15 @@ object Similarity {
 
   /** Left-fold dot product — same summation order as a SQL
     * `list_reduce(list_transform(...))`, so results are bit-identical.
+    * Resolves to the native codegen'd [[graft.functions.ArrayDotProduct]]
+    * (sessions enable it via `spark.sql.extensions=graft.GraftExtensions`);
+    * the HOF formulation below is the registration-free fallback with
+    * identical semantics.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** HOF fallback for sessions without [[graft.GraftExtensions]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column =
