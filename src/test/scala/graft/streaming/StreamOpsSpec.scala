@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.llm.TextAnalysis
+import graft.streaming.StreamOps.SigEvent
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("stateless batch operators apply unchanged to a stream (text analysis)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = TextAnalysis.analyze(in.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("ta_out").outputMode("append").start()
+    try {
+      in.addData((1L, "the cat and the dog"), (2L, ""))
+      q.processAllAvailable()
+      val rows = spark.table("ta_out").collect()
+      assert(rows.length === 2)
+      val r1 = rows.find(_.getLong(0) == 1L).get
+      assert(r1.getAs[String]("lang_id") === "en")
+      assert(r1.getAs[Long]("n_tokens") === 5L)
+    } finally q.stop()
+  }
+
+  test("windowedEventCounts aggregates per watermarked window") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.windowedEventCounts(
+      in.toDF().toDF("ts", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("wc_out").outputMode("update").start()
+    try {
+      in.addData((ts(1), "click", 1.0), (ts(2), "click", 3.0), (ts(3), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc_out")
+        .select("event_type", "n", "avg_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows === Set(("click", 2L, 2.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streamingDedup keeps first occurrence per key within the watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamingDedup(
+      in.toDF().toDF("ts", "doc_id", "text"), Seq("text"), "ts")
+    val q = out.writeStream.format("memory").queryName("dd_out").outputMode("append").start()
+    try {
+      in.addData((ts(1), 1L, "aaa"), (ts(2), 2L, "aaa"), (ts(3), 3L, "bbb"))
+      q.processAllAvailable()
+      val texts = spark.table("dd_out").select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(texts === Set((1L, "aaa"), (3L, "bbb")))
+    } finally q.stop()
+  }
+
+  test("runningArgmax tracks the first-occurrence max per record across batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[SigEvent]
+    val q = StreamOps.runningArgmax(in.toDS())
+      .toDF("record", "i", "v")
+      .writeStream.format("memory").queryName("am_out").outputMode("update").start()
+    try {
+      in.addData(SigEvent("r", 1, 5.0), SigEvent("r", 2, 9.0), SigEvent("r", 3, 9.0))
+      q.processAllAvailable()
+      in.addData(SigEvent("r", 4, 12.0), SigEvent("s", 1, 1.0))
+      q.processAllAvailable()
+      val last = spark.table("am_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      // latest update per record: r's max moved to t=4 (0-based 3); ties kept first occurrence earlier
+      assert(last.contains(("r", 1L, 9.0)))  // batch 1: first-occurrence argmax at t=2 → i=1
+      assert(last.contains(("r", 3L, 12.0))) // batch 2: new max at t=4 → i=3
+      assert(last.contains(("s", 0L, 1.0)))
+    } finally q.stop()
+  }
+}
