@@ -64,9 +64,28 @@ final case class Opset(df: DataFrame, recordCol: String = "record", tCol: String
 
   /** Number of records (metadata-sized count). */
   def size: Long = records.count()
+
+  /** Persist the store as parquet, hash-distributed on the record key so
+    * a record's samples are co-located (the HDF5-store analog,
+    * opset.py:52/229's write path). `numFiles <= 0` keeps the current
+    * partitioning; with AQE enabled, `numFiles` is an upper bound — AQE
+    * may coalesce small outputs into fewer files (observed on Spark 4.1
+    * even for user-specified repartition), which preserves record
+    * co-location (whole hash buckets merge) and avoids the small-files
+    * problem at scale.
+    */
+  def save(path: String, numFiles: Int = 0): Unit = {
+    val out = if (numFiles > 0) df.repartition(numFiles, col(recordCol)) else df
+    out.write.mode("overwrite").parquet(path)
+  }
 }
 
 object Opset {
+  /** Load a store previously written by [[Opset.save]]. */
+  def load(spark: SparkSession, path: String,
+           recordCol: String = "record", tCol: String = "t"): Opset =
+    Opset(spark.read.parquet(path), recordCol, tCol)
+
   /** Sample-data helper (tabata opset.py:465 `datafile`): the canonical
     * test Opset at a given scale factor directory.
     */

@@ -45,6 +45,15 @@ class OpsetSpec extends SparkSpec {
     assert(appended.get("r1").count() === 2) // untouched records intact
   }
 
+  test("save/load roundtrips the store with record co-location") {
+    val dir = java.nio.file.Files.createTempDirectory("opset-save").toString + "/store"
+    os.save(dir, numFiles = 2)
+    val back = Opset.load(spark, dir)
+    assert(back.size === 4)
+    assert(back.df.count() === os.df.count())
+    assert(back.get("r3").count() === 3)
+  }
+
   test("sampleData loads the canonical events Opset") {
     val os = Opset.sampleData(spark)
     assert(os.df.columns.toSeq === Seq("record", "t", "event_type", "value"))
