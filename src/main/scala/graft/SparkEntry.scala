@@ -549,6 +549,13 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     },
 
+    "ann_ivf" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", AnnQueryIds, AnnK, cents, nProbe = 2)
+        .orderBy("q_id", "rank")
+    },
+
     // -- LLM: multimodal binary columns (row 34) --
     "mm_features" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -561,6 +568,7 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_tokens_bpe"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")
     },
@@ -914,11 +922,12 @@ object SparkEntry {
          |) ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
-      """SELECT doc_id,
-        |       CASE WHEN length(trim(text)) = 0 THEN 0
-        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        |       CAST(length(text) AS BIGINT) AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |       CASE WHEN length(trim(text)) = 0 THEN 0
+         |            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |       CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_tokens_bpe,
+         |       CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" -> textQualityOracle,
 

@@ -122,6 +122,78 @@ object Similarity {
       .select(col("q_id"), col(idCol), col("cos"), col("_rn").cast("long").as("rank"))
   }
 
+  /** IVF coarse quantizer: `k` centroids trained by a few distributed
+    * Lloyd iterations from deterministic seeds (the vectors whose ids hash
+    * lowest — reproducible, no RNG state). Each iteration is one
+    * aggregation: assign by best dot-to-centroid (norm-adjusted),
+    * groupBy-average. Returns the centroid matrix; only k×dim doubles
+    * ever reach the driver.
+    */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 5): Array[Array[Double]] = {
+    val base = emb.select(col(idCol), asDouble(col(vecCol)).as("_v")).cache()
+    try {
+      var cents: Array[Array[Double]] = base
+        .withColumn("_h", xxhash64(col(idCol)))
+        .orderBy("_h").limit(k)
+        .select("_v").collect()
+        .map(_.getSeq[Double](0).toArray)
+      (0 until iters).foreach { _ =>
+        val assign = bestCentroidCol(col("_v"), cents)
+        val sums = base.withColumn("_c", assign)
+          .groupBy("_c")
+          .agg(array((0 until cents(0).length).map(d =>
+            avg(element_at(col("_v"), d + 1))): _*).as("_mean"))
+          .collect()
+        val updated = cents.clone()
+        sums.foreach { r =>
+          updated(r.getInt(0)) = r.getSeq[Double](1).toArray
+        }
+        cents = updated
+      }
+      cents
+    } finally base.unpersist()
+  }
+
+  /** Index (0-based) of the nearest centroid by cosine. */
+  def bestCentroidCol(v: Column, cents: Array[Array[Double]]): Column = {
+    val scores = cents.map { c =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      dot(v, litArray(c)) / (norm(v) * lit(cn))
+    }
+    scores.zipWithIndex.tail.foldLeft((scores(0), lit(0)): (Column, Column)) {
+      case ((bestS, bestI), (s, i)) =>
+        (when(s > bestS, s).otherwise(bestS), when(s > bestS, lit(i)).otherwise(bestI))
+    }._2
+  }
+
+  /** IVF approximate top-k: vectors are inverted-listed by nearest
+    * centroid; a query probes its `nProbe` nearest lists and re-ranks
+    * exactly within them. The centroid table is tiny and broadcast
+    * implicitly as literals; candidate work is list-local.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryIds: Seq[Long],
+              k: Int, cents: Array[Array[Double]], nProbe: Int = 2): DataFrame = {
+    val base = withNorm(emb, idCol, vecCol)
+      .withColumn("_c", bestCentroidCol(col("_v"), cents))
+    // query → its nProbe nearest centroid ids (driver-side tiny cross of
+    // query rows × centroids is avoided: compute ranks distributed)
+    val qScores = cents.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(col("_v"), litArray(c)) / (col("_n") * lit(cn))).as("s"), lit(i).as("c"))
+    }
+    val q = base.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("q_id"), col("_v").as("_qv"), col("_n").as("_qn"),
+        slice(reverse(array_sort(array(qScores: _*))), 1, nProbe).as("_probes"))
+      .select(col("q_id"), col("_qv"), col("_qn"), explode(col("_probes.c")).as("_c"))
+    val scored = base.join(broadcast(q), Seq("_c"))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", round(dot(col("_v"), col("_qv")) / (col("_n") * col("_qn")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("q_id"), col(idCol), col("cos"), col("_rn").cast("long").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket with multi-table
     * hyperplane LSH, pair within buckets only, keep pairs with exact
     * cosine ≥ threshold. Output: (id_a, id_b, cos).

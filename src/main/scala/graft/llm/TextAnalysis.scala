@@ -24,6 +24,22 @@ object TextAnalysis {
   def matchCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern)).cast("long")
 
+  /** GPT-2-style pre-tokenizer pattern (simplified to constructs both
+    * Java regex and RE2 interpret identically): contractions, optional
+    * leading-space letter runs, digit runs, symbol runs. No whitespace
+    * arm — the regex scanner skips unmatched whitespace between tokens,
+    * so counting matches counts tokens.
+    */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+
+  /** BPE-ish token count: non-overlapping matches of [[BpePattern]] —
+    * approximates a byte-pair pre-tokenizer's segment count without a
+    * vocabulary (e.g. `don't stop` → `don`, `'t`, ` stop` = 3).
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("long")
+
   /** Per-language stopword lists for the language-ID heuristic. Order is
     * the deterministic tie-break order.
     */

@@ -53,6 +53,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low") // tight clusters → buckets catch mates
   }
 
+  test("IVF: deterministic centroids; probed top-k recovers cluster-mates") {
+    val c1 = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 3, iters = 3)
+    val c2 = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 3, iters = 3)
+    assert(c1.flatten.toSeq === c2.flatten.toSeq)
+    val queries = Seq(0L, 1L, 2L)
+    val exact = Similarity.topK(emb, "vec_id", "embedding", queries, 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 3, c1, nProbe = 2)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall too low") // 3 tight clusters, k=3
+  }
+
   test("cosineDup finds cluster-mate pairs above threshold, ordered ids") {
     val planes = Similarity.hyperplanes(12, Dim)
     val pairs = Similarity.cosineDup(emb, "vec_id", "embedding", 0.95, planes, 3, 4)

@@ -19,6 +19,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(onText[Long]("word", TextAnalysis.tokenCount) === 1L)
   }
 
+  test("bpeTokenCount segments like a vocabularyless BPE pre-tokenizer") {
+    assert(onText[Long]("don't stop", TextAnalysis.bpeTokenCount) === 3L) // don | 't | _stop
+    assert(onText[Long]("abc 123 !?", TextAnalysis.bpeTokenCount) === 3L)
+    assert(onText[Long]("", TextAnalysis.bpeTokenCount) === 0L)
+    assert(onText[Long]("   ", TextAnalysis.bpeTokenCount) === 0L)
+  }
+
   test("langId picks the language with most stopword hits, 'und' when none") {
     assert(onText[String]("the cat and the dog is in the house", TextAnalysis.langId) === "en")
     assert(onText[String]("le chat et la maison est pour une fois", TextAnalysis.langId) === "fr")
