@@ -502,6 +502,12 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "dedup_exact_salted" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.core.Salting.saltedDedupExact(docs, "doc_id", Seq("text"))
+        .select("doc_id", "dup_count").orderBy("doc_id")
+    },
+
     // -- LLM: MinHash-LSH near-dedup (row 28) --
     "dedup_minhash_sig" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -792,6 +798,12 @@ object SparkEntry {
         |         count(*) OVER (PARTITION BY text) AS dup_count
         |  FROM documents
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact_salted" ->
+      """SELECT doc_id, dup_count FROM (
+        |  SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+        |  FROM documents GROUP BY text
+        |) ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_sig" ->
       s"""WITH $ShingleCte

@@ -109,10 +109,16 @@ object TextAnalysis {
     * fingerprint differently. Within ASCII, char == code unit == code
     * point == UTF-8 byte.
     *
-    * Implemented with `aggregate`/`transform` higher-order functions —
-    * evaluated per-row inside codegen, distributed, no UDF.
+    * Resolves to the native codegen'd
+    * [[graft.functions.AsciiRollingHash]] — one pass over the UTF-8 bytes,
+    * no per-character substring allocation (sessions register it via
+    * `spark.sql.extensions=graft.GraftExtensions`). [[fingerprintHof]] is
+    * the registration-free fallback with identical semantics.
     */
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column): Column = call_function("graft_fingerprint", text)
+
+  /** HOF fallback for sessions without [[graft.GraftExtensions]]. */
+  def fingerprintHof(text: Column): Column = {
     val asciiOnly = regexp_replace(text, "[^\\x00-\\x7F]", "")
     aggregate(
       transform(filter(split(asciiOnly, ""), c => c =!= ""), c => ascii(c).cast("long")),

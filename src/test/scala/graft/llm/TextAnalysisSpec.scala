@@ -40,6 +40,10 @@ class TextAnalysisSpec extends SparkSpec {
     // non-ASCII (incl. a surrogate-pair emoji) is stripped before hashing,
     // so the result equals the plain-ASCII fingerprint on any engine.
     assert(onText[Long]("héllo 😀wörld", TextAnalysis.fingerprint) === ref("hllo wrld"))
+    // the native byte-level expression and the HOF codepoint fallback agree
+    for (t <- Seq("hello world", "héllo 😀wörld", "", "a1!"))
+      assert(onText[Long](t, TextAnalysis.fingerprint) ===
+        onText[Long](t, TextAnalysis.fingerprintHof))
   }
 
   test("quality score is in [0,1] and favors longer stopword-rich text") {
