@@ -54,6 +54,21 @@ class SelectorSpec extends SparkSpec {
       s"gaps: ${scores.collect().mkString(", ")}")
   }
 
+  test("indicator bank scales to a full (width × order × ±sigma) grid") {
+    val grid = for {
+      l <- Seq(3, 5)
+      d <- Seq(1, 2)
+      e <- Seq(1.0, -1.0)
+    } yield IndicatorCode("value", l, d, e * 2.0)
+    val (bank, eps) = Indicators.bank(df, "record", "t", grid, deg = 2)
+    assert(eps.size === 8)
+    // epsilon cache: one epsilon per distinct (col, w, d) = 4
+    assert(eps.map { case (c, e) => ((c.col, math.abs(c.halfWidth), c.order), e) }.toMap.size === 4)
+    val cols = bank.columns.toSet
+    grid.foreach(c => assert(cols.contains(c.name), c.name))
+    assert(bank.count() === df.count())
+  }
+
   test("belief is a normalized distribution per record") {
     val (bank, _) = Indicators.bank(df, "record", "t", codes, 2)
     val sel = Selector.fit(bank, selected, "record", "t", featCols,
