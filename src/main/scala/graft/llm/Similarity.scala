@@ -155,11 +155,15 @@ object Similarity {
     } finally base.unpersist()
   }
 
-  /** Index (0-based) of the nearest centroid by cosine. */
+  /** Index (0-based) of the nearest centroid by cosine. The vector's own
+    * norm is constant across centroids, so the argmax only needs
+    * `dot(v, c)/|c|` — dropping it removes a per-centroid norm
+    * recomputation from the assignment expression.
+    */
   def bestCentroidCol(v: Column, cents: Array[Array[Double]]): Column = {
     val scores = cents.map { c =>
       val cn = math.sqrt(c.map(x => x * x).sum)
-      dot(v, litArray(c)) / (norm(v) * lit(cn))
+      dot(v, litArray(c)) / lit(cn)
     }
     scores.zipWithIndex.tail.foldLeft((scores(0), lit(0)): (Column, Column)) {
       case ((bestS, bestI), (s, i)) =>
@@ -178,9 +182,10 @@ object Similarity {
       .withColumn("_c", bestCentroidCol(col("_v"), cents))
     // query → its nProbe nearest centroid ids (driver-side tiny cross of
     // query rows × centroids is avoided: compute ranks distributed)
+    // probe ranking is also norm(q)-invariant
     val qScores = cents.zipWithIndex.map { case (c, i) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(col("_v"), litArray(c)) / (col("_n") * lit(cn))).as("s"), lit(i).as("c"))
+      struct((dot(col("_v"), litArray(c)) / lit(cn)).as("s"), lit(i).as("c"))
     }
     val q = base.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("q_id"), col("_v").as("_qv"), col("_n").as("_qn"),
