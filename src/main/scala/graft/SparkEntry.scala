@@ -82,18 +82,24 @@ object SparkEntry {
     * window chains per query would multiply the benchmark for no semantic
     * difference).
     */
-  private val bankCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def sessionKey(s: SparkSession): String =
+    System.identityHashCode(s).toHexString
+
+  // Cache keys include the session identity: the cached plans/models are bound
+  // to the SparkSession that built them, and a stale entry from a stopped
+  // session would fail (or worse, run) against the wrong context.
+  private val bankCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def cachedBank(s: SparkSession, dir: String): DataFrame =
-    bankCache.getOrElseUpdate(dir,
+    bankCache.getOrElseUpdate((sessionKey(s), dir),
       Indicators.bank(opset(s, dir).df, "record", "t", IndCodes, SgDeg)._1.cache())
 
   /** Labels + fitted tree per sf dir: a user fits once and predicts many
     * times, so instants_fit/predict/scores share one fit.
     */
   private val selectorCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Selector.SelectorModel)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (DataFrame, Selector.SelectorModel)]
   private def fittedSelector(s: SparkSession, dir: String): (DataFrame, Selector.SelectorModel) =
-    selectorCache.getOrElseUpdate(dir, {
+    selectorCache.getOrElseUpdate((sessionKey(s), dir), {
       val selected = Splits.argmaxInstants(opset(s, dir), "value")
       val sel = Selector.fit(cachedBank(s, dir), selected, "record", "t", InstFeatCols)
       (selected, sel)
@@ -102,9 +108,9 @@ object SparkEntry {
   /** Predicted instants per sf dir (belief + argmax over the cached bank),
     * shared by instants_predict and instants_scores.
     */
-  private val computedCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val computedCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def computedInstants(s: SparkSession, dir: String): DataFrame =
-    computedCache.getOrElseUpdate(dir, {
+    computedCache.getOrElseUpdate((sessionKey(s), dir), {
       val (_, sel) = fittedSelector(s, dir)
       Selector.predictInstants(
         Selector.belief(sel, cachedBank(s, dir), "record", "t"), "record", "t").cache()
@@ -469,11 +475,7 @@ object SparkEntry {
     "tube_fit" -> { (s, dir) =>
       // Ensemble fit over the full factor pool (rows-only driver check;
       // determinism pinned by TubeSpec).
-      val wRec = Window.partitionBy("record")
-      val wOrd = Window.partitionBy("record").orderBy("t")
-      val base = tubeBase(s, dir)
-        .withColumn("MEDIAN", expr("percentile(value, 0.5)").over(wRec))
-        .withColumn("CAUSAL", first(col("value")).over(wOrd))
+      val base = Tube.withDerivedFactors(tubeBase(s, dir), "record", "t", "value")
       val models = Tube.fit(base, "record", "t", "value",
         Seq("TIME", "TIME2", "SGV", "MEDIAN", "CAUSAL"))
       import s.implicits._
@@ -917,7 +919,7 @@ object SparkEntry {
 
     "mm_features" ->
       s"""SELECT doc_id,
-         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
          |       ascii_hash,
          |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ords), (a, b) -> a + b) AS BIGINT) AS ascii_sum,
          |       ascii_hash % 16 AS bucket
@@ -927,7 +929,7 @@ object SparkEntry {
          |                     (a, b) -> (a * 31 + b) % ${TextAnalysis.FpMod}) AS ascii_hash
          |  FROM (
          |    SELECT doc_id, text,
-         |           list_transform(string_split(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'), ''),
+         |           list_transform(string_split(regexp_replace(coalesce(text, ''), '[^\\x00-\\x7F]', '', 'g'), ''),
          |                          c -> CAST(ord(c) AS BIGINT)) AS ords
          |    FROM documents
          |  )

@@ -19,17 +19,30 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
-  /** Distributed correlation matrix of `cols` (one aggregation pass). */
-  def corrMatrix(df: DataFrame, cols: Seq[String]): Array[Array[Double]] = {
+  /** Distributed correlation matrix of `cols` plus the row count — ONE
+    * aggregation pass. Fails fast on a null correlation (zero-variance or
+    * all-null column): `Row.getAs[Double]` would otherwise unbox null to
+    * 0.0 and the eigen-system would be silently wrong.
+    */
+  def corrMatrixAndCount(df: DataFrame, cols: Seq[String]): (Array[Array[Double]], Long) = {
     val p = cols.size
-    val exprs = for (i <- 0 until p; j <- i until p)
-      yield corr(col(cols(i)), col(cols(j))).as(s"c_${i}_$j")
+    val exprs = (for (i <- 0 until p; j <- i until p)
+      yield corr(col(cols(i)), col(cols(j))).as(s"c_${i}_$j")) :+
+      count(lit(1)).as("_n")
     val row = df.agg(exprs.head, exprs.tail: _*).head()
-    Array.tabulate(p, p) { (i, j) =>
+    val m = Array.tabulate(p, p) { (i, j) =>
       val (a, b) = (math.min(i, j), math.max(i, j))
-      row.getAs[Double](s"c_${a}_$b")
+      val idx = row.fieldIndex(s"c_${a}_$b")
+      require(!row.isNullAt(idx),
+        s"corr(${cols(a)}, ${cols(b)}) is null (zero-variance or all-null column)")
+      row.getDouble(idx)
     }
+    (m, row.getAs[Long]("_n"))
   }
+
+  /** Distributed correlation matrix of `cols` (one aggregation pass). */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): Array[Array[Double]] =
+    corrMatrixAndCount(df, cols)._1
 
   /** Cyclic Jacobi eigen-decomposition of a symmetric matrix. Returns
     * (eigenvalues, eigenvectors-as-rows) sorted by descending eigenvalue,
@@ -89,8 +102,9 @@ object Pca {
     */
   def circle(df: DataFrame, cols: Seq[String], spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val c = corrMatrix(df, cols)
-    val n = df.count().toDouble
+    val (c, nRows) = corrMatrixAndCount(df, cols)
+    require(nRows >= 2, s"PCA needs at least 2 rows, got $nRows")
+    val n = nRows.toDouble
     val (vals, vecs) = jacobiEigen(c)
     val total = vals.sum
     val rows = for {

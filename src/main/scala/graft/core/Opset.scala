@@ -99,7 +99,12 @@ object Opset {
     // events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses
     // to read by default (PARQUET_TYPE_ILLEGAL). ts is only an ordering
     // key here, and long nanoseconds order identically, so read it as
-    // long. Runtime-settable session conf — works for any caller session.
+    // long. DELIBERATE session-conf mutation: the driver's smoke session
+    // is outside our control, so the read must be self-sufficient. Side
+    // effect: later nanos-timestamp reads in the same session also decode
+    // as longs — acceptable here (every session in this rig wants it; see
+    // Verify/Bench/TestSpark builders), but don't copy this pattern into
+    // a general-purpose library.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")
     // Materialize `record` BEFORE the window and partition the window on it:

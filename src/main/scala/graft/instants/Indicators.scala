@@ -67,7 +67,11 @@ object Indicators {
     val l = math.abs(code.halfWidth)
     val w = 2 * l + 1
     val sg = SignalOps.sgDf(df, code.col, rec, t, w, deg, code.order, "_isg")
-    val ind = SignalOps.indicatorDf(sg, "_isg", rec, t, code.sigma * eps, code.name)
+    // direction comes from the sign of the configured sigma, NOT of
+    // sigma*eps: for a perfectly-smooth signal eps == 0 and the product
+    // would silently flip an upward indicator to downward crossings
+    val ind = SignalOps.indicatorDf(sg, "_isg", rec, t,
+        lit(code.sigma * eps), positive = code.sigma > 0, code.name)
       .drop("_isg")
     if (code.halfWidth >= 0) ind
     else {

@@ -97,6 +97,12 @@ object Selector {
   /** Belief (instants.py:483): tree class per sample mapped to ±1, SG
     * first derivative (window 2·filterWidth+1, deg 2), positive part,
     * normalized per record. Output: input columns + `belief`.
+    *
+    * NOTE: records shorter than `2·filterWidth+1` samples are DROPPED
+    * (the SG smoothing contract — scipy would raise on them); such
+    * records get no predicted instant and no score row. Callers needing
+    * every record should lower `filterWidth` or pre-filter and handle
+    * short records separately.
     */
   def belief(sel: SelectorModel, features: DataFrame, rec: String, t: String,
              filterWidth: Int = 10): DataFrame = {

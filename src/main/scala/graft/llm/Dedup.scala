@@ -113,7 +113,10 @@ object Dedup {
     import spark.implicits._
     // cache: the shingle-hash arrays feed the signatures AND both sides of
     // the candidate re-rank join — without it the md5 shingle chain is
-    // evaluated three times
+    // evaluated three times. The cached plan lives until session cleanup
+    // (it cannot be unpersisted before the lazily-returned DataFrame is
+    // consumed); long-lived sessions deduplicating many corpora should
+    // spark.catalog.clearCache() between runs.
     val base = docs.select(
       col(idCol),
       array_distinct(ngramHashes(col(textCol), shingleLen)).as("sh"),

@@ -33,14 +33,19 @@ object Multimodal {
   /** View a text table as a binary media table: payload + typed metadata
     * struct. With real media the payload would come off the source as-is.
     */
-  def asBinary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def asBinary(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // null media treated as an empty payload — keeps the per-partition
+    // extraction total (no NPE on decoded.length) and matches a
+    // COALESCE(text, '') oracle
+    val t = coalesce(col(textCol), lit(""))
     docs.select(
       col(idCol),
-      encode(col(textCol), "UTF-8").as("payload"),
+      encode(t, "UTF-8").as("payload"),
       struct(
-        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        octet_length(t).cast("long").as("n_bytes"),
         lit("text/plain").as("mime"),
       ).as("meta"))
+  }
 
   /** STUB — a real pipeline would decode the image/audio container here
     * (e.g. JPEG → pixel array). No codecs in this container, so the

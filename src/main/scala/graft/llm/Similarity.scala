@@ -157,18 +157,17 @@ object Similarity {
 
   /** Index (0-based) of the nearest centroid by cosine. The vector's own
     * norm is constant across centroids, so the argmax only needs
-    * `dot(v, c)/|c|` — dropping it removes a per-centroid norm
-    * recomputation from the assignment expression.
+    * `dot(v, c)/|c|`. Implemented as `array_sort` over (−score, index)
+    * structs — a when/otherwise fold would duplicate the running-best
+    * subtree at every step, growing the expression ~2^k; this is linear
+    * in k and keeps the first-index tiebreak (min of (−s, i)).
     */
   def bestCentroidCol(v: Column, cents: Array[Array[Double]]): Column = {
-    val scores = cents.map { c =>
+    val scored = cents.zipWithIndex.map { case (c, i) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
-      dot(v, litArray(c)) / lit(cn)
+      struct((-(dot(v, litArray(c)) / lit(cn))).as("ns"), lit(i).as("c"))
     }
-    scores.zipWithIndex.tail.foldLeft((scores(0), lit(0)): (Column, Column)) {
-      case ((bestS, bestI), (s, i)) =>
-        (when(s > bestS, s).otherwise(bestS), when(s > bestS, lit(i)).otherwise(bestI))
-    }._2
+    element_at(array_sort(array(scored.toIndexedSeq: _*)), 1).getField("c")
   }
 
   /** IVF approximate top-k: vectors are inverted-listed by nearest

@@ -54,11 +54,10 @@ object Tube {
     * index), MEDIAN (record median of the target), CAUSAL (record's first
     * target value). All are window computations — no driver iteration.
     */
-  def withDerivedFactors(os: Opset, target: String): DataFrame = {
-    val wRec = Window.partitionBy(os.recordCol)
-    val wOrd = Window.partitionBy(os.recordCol).orderBy(os.tCol)
-    os.df
-      .withColumn("TIME", (col(os.tCol) - 1).cast("double"))
+  def withDerivedFactors(df: DataFrame, rec: String, t: String, target: String): DataFrame = {
+    val wRec = Window.partitionBy(rec)
+    val wOrd = Window.partitionBy(rec).orderBy(t)
+    df.withColumn("TIME", (col(t) - 1).cast("double"))
       .withColumn("MEDIAN", expr(s"percentile($target, 0.5)").over(wRec))
       .withColumn("CAUSAL", first(col(target)).over(wOrd))
   }
