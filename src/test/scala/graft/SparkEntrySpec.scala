@@ -1,0 +1,35 @@
+package graft
+
+/** Guards the driver contract: every oracle key must have a query (a
+  * dangling oracle silently weakens the correctness gate), rows-only
+  * queries are a known closed set, and the inventory only grows.
+  */
+class SparkEntrySpec extends SparkSpec {
+
+  private val RowsOnly = Set(
+    "tube_fit", "instants_fit", "instants_predict", "instants_scores",
+    "pca_circle", "ann_ivf")
+
+  test("every oracleSql key has a matching queries entry") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+  }
+
+  test("every query without an oracle is a known rows-only query") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === RowsOnly,
+      s"unexpected rows-only queries: ${rowsOnly -- RowsOnly}; missing: ${RowsOnly -- rowsOnly}")
+  }
+
+  test("the graded inventory does not shrink") {
+    assert(SparkEntry.queries.size >= 47)
+    assert(SparkEntry.oracleSql.size >= 41)
+  }
+
+  test("oracle SQL is non-empty and references no Spark-only syntax") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, name)
+      assert(!sql.contains("`"), s"$name: backticks are Spark-only quoting")
+    }
+  }
+}
