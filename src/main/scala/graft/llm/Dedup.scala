@@ -2,7 +2,6 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -16,14 +15,20 @@ import org.apache.spark.sql.expressions.Window
 object Dedup {
 
   /** Exact dedup: group identical keys, keep the smallest id as winner.
-    * One shuffle on the (hashed) key; map-side partial aggregation applies.
+    *
+    * Aggregation-shaped on purpose: `groupBy(keys).agg(min(id), count)` gets
+    * map-side partial aggregation, so a key duplicated a million times ships
+    * one partial row per map task instead of routing the whole group through
+    * a single reducer's window sort. Winner rows are recovered by joining the
+    * (much smaller) winners table back on `idCol`, which must be unique —
+    * the usual dedup contract.
     */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    val winners = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("dup_count"))
+    df.join(winners, Seq(idCol))
   }
 
   /** A deterministic 32-bit token hash both Spark and an ANSI-SQL oracle
@@ -84,9 +89,14 @@ object Dedup {
       val cs = (0 until rowsPerBand).map(i => col(s"sig_${b * rowsPerBand + i}").as(s"h_$i"))
       struct(lit(b).as("band") +: cs: _*).as(s"_band_$b")
     }
+    // cache: `banded` feeds BOTH sides of the self-join below; uncached, each
+    // side re-computes every array_min(transform(..)) signature + the explode
+    // from scratch (the signature chain is the expensive part). Same pattern
+    // as Similarity.lshTopK's cached bucket table.
     val banded = sigs
       .select(col(idCol) +: bandCols: _*)
       .select(col(idCol), explode(array((0 until bands).map(b => col(s"_band_$b")): _*)).as("bucket"))
+      .cache()
     // Within-bucket pairs: bucket sizes are tiny relative to the corpus, so
     // the self-join shuffles on the bucket key and never goes all-pairs.
     val l = banded.as("l")
@@ -196,11 +206,21 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, blockMod: Int = 8, threshold: Double = 0.5,
-                   minShared: Int = 2): DataFrame = {
+                   minShared: Int = 2, maxDocFreq: Int = 128): DataFrame = {
     // cache: the gram arrays feed the block keys AND both re-rank branches
     val base = docs.select(col(idCol), wordNgramHashes(col(textCol), n).as("gh")).cache()
-    val keys = base.select(col(idCol), explode(col("gh")).as("k"))
+    val allKeys = base.select(col(idCol), explode(col("gh")).as("k"))
       .filter(col("k") % blockMod === 0)
+    // Stop-gram cap: a block key shared by more than `maxDocFreq` documents
+    // is corpus-wide boilerplate — it would create one O(df²) candidate
+    // bucket while carrying no discriminating signal (a true near-dup above
+    // `threshold` shares many *rare* grams too). The hot-key set is tiny by
+    // construction, so the anti-join broadcasts.
+    val hot = allKeys.groupBy("k").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq).select("k")
+    // cache: `keys` feeds both sides of the candidate self-join; uncached,
+    // the hot-gram aggregation above would run once per side.
+    val keys = allKeys.join(broadcast(hot), Seq("k"), "left_anti").cache()
     val l = keys.select(col(idCol).as("id_a"), col("k"))
     val r = keys.select(col(idCol).as("id_b"), col("k"))
     val cand = l.join(r, Seq("k")).filter(col("id_a") < col("id_b"))

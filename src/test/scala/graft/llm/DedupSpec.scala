@@ -52,6 +52,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("ngramJaccard: hot-gram cap drops boilerplate blocks without changing the pair set") {
+    // sf0.001 documents: real duplicate clusters + shared boilerplate
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(maxDf: Int) =
+      Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, blockMod = 8,
+          threshold = 0.5, minShared = 2, maxDocFreq = maxDf)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = pairs(128)
+    val uncapped = pairs(Int.MaxValue)
+    assert(capped === uncapped)
+    assert(capped.nonEmpty)
+  }
+
   test("minhashCoeff is deterministic and within safe ranges") {
     val (a1, b1) = Dedup.minhashCoeff(3)
     val (a2, b2) = Dedup.minhashCoeff(3)
