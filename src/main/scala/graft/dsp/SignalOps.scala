@@ -47,9 +47,6 @@ object SignalOps {
     */
   def sgDf(df: DataFrame, x: String, rec: String, t: String,
            w: Int, deg: Int, deriv: Int, out: String): DataFrame = {
-    val half = w / 2
-    val cw   = SavGol.centralWeights(w, deg, deriv)
-    val ew   = SavGol.edgeWeights(w, deg, deriv)
     val wOrd  = Window.partitionBy(rec).orderBy(t)
     val wFull = Window.partitionBy(rec).orderBy(t)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -59,38 +56,56 @@ object SignalOps {
       .withColumn("_sg_n", count(lit(1)).over(wFull))
       .filter(col("_sg_n") >= w)
 
-    val rn = col("_sg_rn")
-    val n  = col("_sg_n")
+    base
+      .withColumn(out, sgExpr(col(x), rec, t, col("_sg_rn"), col("_sg_n"), w, deg, deriv))
+      .drop("_sg_rn", "_sg_n")
+  }
+
+  /** The SG filtered value as one Column, given already-materialized
+    * row-number (`rn`, 1-based, long) and record-length (`n`) columns.
+    * Callers that need several SG columns over the same `(rec, t)` ordering
+    * (e.g. [[graft.instants.Indicators.bank]]) share ONE (rn, n) pair and
+    * put every SG expression in the same projection — all the window terms
+    * land in the same WindowExec batch instead of one chain per call. The
+    * caller must have filtered records shorter than `w` (or guard the
+    * expression with `when(n >= w, ...)`).
+    */
+  def sgExpr(x: Column, rec: String, t: String, rn: Column, n: Column,
+             w: Int, deg: Int, deriv: Int): Column = {
+    val half = w / 2
+    val cw   = SavGol.centralWeights(w, deg, deriv)
+    val ew   = SavGol.edgeWeights(w, deg, deriv)
+    val wOrd  = Window.partitionBy(rec).orderBy(t)
+    val wFull = Window.partitionBy(rec).orderBy(t)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     // Interior: dot product over offsets -half..half via lag/lead.
     val interior = (0 until w).map { j =>
       val off = j - half
-      val term = if (off < 0) lag(col(x), -off).over(wOrd)
-                 else if (off > 0) lead(col(x), off).over(wOrd)
-                 else col(x)
+      val term = if (off < 0) lag(x, -off).over(wOrd)
+                 else if (off > 0) lead(x, off).over(wOrd)
+                 else x
       term * lit(cw(j))
     }.reduce(_ + _)
 
     // Left edge row i (0-based): dot of edge row i with the FIRST w samples.
     def leftEdge(i: Int): Column =
-      (0 until w).map(j => nth_value(col(x), j + 1).over(wFull) * lit(ew(i)(j))).reduce(_ + _)
+      (0 until w).map(j => nth_value(x, j + 1).over(wFull) * lit(ew(i)(j))).reduce(_ + _)
     // Right edge (mirror): f^(d)(n-1-i) = (-1)^d * edge(i) . reverse(last w
     // samples). "j-th sample from the end" (j = 0-based) is expressed as
     // max(when(rn = n - j, x)) over the full frame (exactly one row matches).
     val sgn = if (deriv % 2 == 0) 1.0 else -1.0
-    def fromEnd(j: Int): Column = max(when(rn === n - lit(j), col(x))).over(wFull)
+    def fromEnd(j: Int): Column = max(when(rn === n - lit(j), x)).over(wFull)
     def rightEdge(i: Int): Column =
       (0 until w).map(j => fromEnd(j) * lit(sgn * ew(i)(j))).reduce(_ + _)
 
-    val sg = (0 until half).foldLeft(
+    (0 until half).foldLeft(
       (0 until half).foldLeft(interior) { (acc, i) =>
         when(rn === lit(i + 1).cast("long"), leftEdge(i)).otherwise(acc)
       }
     ) { (acc, i) =>
       when(rn === n - lit(i), rightEdge(i)).otherwise(acc)
     }
-
-    base.withColumn(out, sg).drop("_sg_rn", "_sg_n")
   }
 
   /** DuckDB CTE chain equivalent to [[sgDf]]: returns (cteClauses,

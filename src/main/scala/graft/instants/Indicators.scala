@@ -51,12 +51,57 @@ object Indicators {
     * floor for the crossing thresholds. One distributed aggregation.
     */
   def epsilon(df: DataFrame, rec: String, t: String, x: String,
-              w: Int, d: Int, deg: Int): Double = {
-    val b = SignalOps.sgDf(df, x, rec, t, w, deg, d, "_eb")
-    val c = SignalOps.sgDf(b, "_eb", rec, t, 2 * w + 1, deg, d, "_ec")
-    c.withColumn("_er", col("_eb") - col("_ec"))
-      .groupBy(col(rec)).agg(stddev_pop(col("_er")).as("_es"))
-      .agg(max(col("_es"))).head().getDouble(0)
+              w: Int, d: Int, deg: Int): Double =
+    epsilons(df, rec, t, Seq((x, w, d)), deg)((x, w, d))
+
+  /** All epsilons of a grid in ONE distributed job: every combo's residual
+    * `SG_w(x,d) − SG_{2w+1}(SG_w(x,d),d)` is computed in the same projection
+    * (sharing one materialized (row-number, record-length) pair and one
+    * WindowExec batch) and all the per-record stddevs + global maxes fold
+    * into a single two-level aggregation — instead of a separate two-SG
+    * chain + aggregation job per (col, w, order).
+    *
+    * Per-combo record eligibility (a record participates in combo i's
+    * stddev iff it has at least 2w_i+1 samples) is enforced by null-guarding
+    * the residual: stddev_pop and max both ignore nulls, which reproduces
+    * the per-combo record drop of the sequential formulation exactly.
+    */
+  def epsilons(df: DataFrame, rec: String, t: String,
+               combos: Seq[(String, Int, Int)], deg: Int): Map[(String, Int, Int), Double] = {
+    require(combos.nonEmpty, "epsilons: empty combo grid")
+    val wOrd = Window.partitionBy(rec).orderBy(t)
+    val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val minW = combos.map(_._2).min
+    val rn = col("_eps_rn")
+    val n  = col("_eps_n")
+    val base = df
+      .withColumn("_eps_rn", row_number().over(wOrd).cast("long"))
+      .withColumn("_eps_n", count(lit(1)).over(wFull))
+      .filter(n >= minW)
+    // stage 1: b_i = SG_w(x, d), defined where the record has >= w samples
+    val withB = combos.zipWithIndex.foldLeft(base) { case (d0, ((x, w, o), i)) =>
+      d0.withColumn(s"_eps_b_$i",
+        when(n >= w, SignalOps.sgExpr(col(x), rec, t, rn, n, w, deg, o)))
+    }
+    // stage 2: residual r_i = b_i − SG_{2w+1}(b_i, d), where n >= 2w+1
+    val withR = combos.zipWithIndex.foldLeft(withB) { case (d0, ((_, w, o), i)) =>
+      val w2 = 2 * w + 1
+      d0.withColumn(s"_eps_r_$i",
+        when(n >= w2,
+          col(s"_eps_b_$i") - SignalOps.sgExpr(col(s"_eps_b_$i"), rec, t, rn, n, w2, deg, o)))
+    }
+    val sds  = combos.indices.map(i => stddev_pop(col(s"_eps_r_$i")).as(s"_eps_s_$i"))
+    val tops = combos.indices.map(i => max(col(s"_eps_s_$i")).as(s"_eps_e_$i"))
+    val row = withR
+      .groupBy(col(rec)).agg(sds.head, sds.tail: _*)
+      .agg(tops.head, tops.tail: _*)
+      .head()
+    combos.zipWithIndex.map { case (cmb, i) =>
+      require(!row.isNullAt(i),
+        s"epsilon: no record has the >= ${2 * cmb._2 + 1} samples required for " +
+          s"(col=${cmb._1}, w=${cmb._2}, order=${cmb._3}) — shorten the window or supply longer records")
+      cmb -> row.getDouble(i)
+    }.toMap
   }
 
   /** Add the indicator column for one code; `eps` is its noise floor.
@@ -83,19 +128,51 @@ object Indicators {
 
   /** The full bank for a grid of codes over one signal column. Returns the
     * augmented DataFrame and the effective (code, epsilon) list.
+    *
+    * Fused build: one [[epsilons]] job covers every distinct
+    * (col, w, order) of the grid, then ONE materialized (row-number,
+    * record-length) pair feeds the positional features and one shared SG
+    * column per distinct combo — codes differing only in sigma sign or the
+    * reversed variant reuse the same smoothed column instead of re-running
+    * the whole window chain per code (the old per-code fold re-computed
+    * row_number/count and the SG chain once per code).
+    *
+    * Records shorter than the widest code window are dropped (same final
+    * row set as folding [[withIndicator]], whose per-code filters compound).
     */
   def bank(df: DataFrame, rec: String, t: String, codes: Seq[IndicatorCode],
            deg: Int): (DataFrame, Seq[(IndicatorCode, Double)]) = {
-    val epsCache = scala.collection.mutable.Map.empty[(String, Int, Int), Double]
-    val withEps = codes.map { cd =>
-      val w = 2 * math.abs(cd.halfWidth) + 1
-      val e = epsCache.getOrElseUpdate((cd.col, w, cd.order),
-        epsilon(df, rec, t, cd.col, w, cd.order, deg))
-      (cd, e)
+    def comboOf(cd: IndicatorCode): (String, Int, Int) =
+      (cd.col, 2 * math.abs(cd.halfWidth) + 1, cd.order)
+    val combos = codes.map(comboOf).distinct
+    val epsMap = epsilons(df, rec, t, combos, deg)
+    val withEps = codes.map(cd => (cd, epsMap(comboOf(cd))))
+
+    val wOrd = Window.partitionBy(rec).orderBy(t)
+    val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val maxW = combos.map(_._2).max
+    val n = col("_bk_n")
+    val base = df
+      .withColumn("_bk_rn", row_number().over(wOrd).cast("long"))
+      .withColumn("_bk_n", count(lit(1)).over(wFull))
+      .filter(n >= maxW)
+      .withColumn("LEN", (col(t) - 1).cast("double"))
+      .withColumn("REV", (n - col(t)).cast("double"))
+      .withColumn("PERCENT",
+        when(n > 1, col("LEN") / (n - 1).cast("double")).otherwise(lit(0.0)))
+    val sgName = combos.zipWithIndex.map { case (c, i) => c -> s"_bk_sg_$i" }.toMap
+    val withSg = combos.foldLeft(base) { case (d, cmb @ (x, w, o)) =>
+      d.withColumn(sgName(cmb), SignalOps.sgExpr(col(x), rec, t, col("_bk_rn"), n, w, deg, o))
     }
-    val out = withEps.foldLeft(withPositional(df, rec, t)) { case (d, (cd, e)) =>
-      withIndicator(d, rec, t, cd, e, deg)
+    val out = withEps.foldLeft(withSg) { case (d, (cd, e)) =>
+      // direction comes from the sign of the configured sigma, NOT of
+      // sigma*eps: for a perfectly-smooth signal eps == 0 and the product
+      // would silently flip an upward indicator to downward crossings
+      val ind = SignalOps.indicatorDf(d, sgName(comboOf(cd)), rec, t,
+        lit(cd.sigma * e), positive = cd.sigma > 0, cd.name)
+      if (cd.halfWidth >= 0) ind
+      else ind.withColumn(cd.name, last(col(cd.name)).over(wFull) - col(cd.name))
     }
-    (out, withEps)
+    (out.drop("_bk_rn" +: "_bk_n" +: combos.map(sgName): _*), withEps)
   }
 }
