@@ -104,8 +104,17 @@ object SparkEntry {
     selectorCache.getOrElseUpdate((s, dir), {
       val selected = Splits.argmaxInstants(opset(s, dir), "value")
       val sel = Selector.fit(cachedBank(s, dir), selected, "record", "t", InstFeatCols)
+      treeExport = Some(Selector.treeSql(sel))
       (selected, sel)
     })
+
+  /** SQL export of the most recently fitted tree. Verify runs every query
+    * (fitting at the graded dir) BEFORE dumping oracleSql, so the dump
+    * carries the exact tree the Spark-side instants_fit/predict/scores
+    * results used; until a fit has run the three oracle entries are
+    * omitted and the driver records the weaker rows-only check.
+    */
+  @volatile private var treeExport: Option[String] = None
 
   /** Predicted instants per sf dir (belief + argmax over the cached bank),
     * shared by instants_predict and instants_scores.
@@ -153,6 +162,81 @@ object SparkEntry {
        |), ev AS (
        |  SELECT max(s) AS eps FROM esd
        |)""".stripMargin
+  }
+
+  /** DuckDB CTE chain computing the UNROUNDED indicator bank — the instants
+    * feature columns exactly as Spark's cachedBank computes them; final
+    * relation `bankq`. Shared by instants_features (which rounds in its
+    * final select) and the tree-export oracles (which must evaluate the
+    * tree CASE on unrounded features, as spark.ml's transform does).
+    */
+  private def bankOracleCtes: String = {
+    val w = 2 * 3 + 1
+    val (i1, r1) = SignalOps.indicatorOracleCtes("opset", "value", "record", "t",
+      w, SgDeg, 1, "_sg > 2.0 * (SELECT eps FROM ev)", "i1")
+    val (i2, r2) = SignalOps.indicatorOracleCtes("opset", "value", "record", "t",
+      w, SgDeg, 1, "_sg < -2.0 * (SELECT eps FROM ev)", "i2")
+    s"""$epsilonCtes, $i1, $i2, pos AS (
+       |  SELECT record, t, value,
+       |         CAST(t - 1 AS DOUBLE) AS "LEN",
+       |         CAST(count(*) OVER (PARTITION BY record) - t AS DOUBLE) AS "REV",
+       |         CASE WHEN count(*) OVER (PARTITION BY record) > 1
+       |              THEN CAST(t - 1 AS DOUBLE) / CAST(count(*) OVER (PARTITION BY record) - 1 AS DOUBLE)
+       |              ELSE 0.0 END AS pct
+       |  FROM opset
+       |), bankq AS (
+       |  SELECT p.record, p.t, p.value, p."LEN", p."REV", p.pct AS "PERCENT",
+       |         z1.z AS "${IndCodes(0).name}",
+       |         z2.z AS "${IndCodes(1).name}",
+       |         (last_value(z1.z) OVER (PARTITION BY p.record ORDER BY p.t ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) - z1.z AS "${IndCodes(2).name}"
+       |  FROM pos p JOIN $r1 z1 ON p.record = z1.record AND p.t = z1.t
+       |             JOIN $r2 z2 ON p.record = z2.record AND p.t = z2.t
+       |)""".stripMargin
+  }
+
+  /** DuckDB CTE chain turning the tree's per-sample class into a predicted
+    * instant, mirroring [[Selector.belief]] (w=21, deg 2, deriv 1 SG of the
+    * ±1 class signal, positive part, per-record normalization) and
+    * [[Selector.predictInstants]] (argmax, first-max tiebreak). Relations:
+    * `ipq` (±1 class signal), `predq` (record, i).
+    */
+  private def treePredictCtes(tree: String): String = {
+    val (dp, dpRel) = SignalOps.sgOracleCtes("ipq", "_ip", "record", "t", 21, SgDeg, 1, "_dp", "bl")
+    s"""ipq AS (
+       |  SELECT record, t, ($tree) * 2 - 1 AS _ip FROM bankq
+       |), $dp, belq AS (
+       |  SELECT record, t, greatest(_dp, 0.0) AS p,
+       |         sum(greatest(_dp, 0.0)) OVER (PARTITION BY record) AS z
+       |  FROM $dpRel
+       |), predq AS (
+       |  SELECT record, CAST(t - 1 AS BIGINT) AS i FROM (
+       |    SELECT record, t,
+       |           row_number() OVER (PARTITION BY record
+       |             ORDER BY p / (CASE WHEN z = 0.0 THEN 1.0 ELSE z END) DESC, t) AS rn
+       |    FROM belq
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** The three tree-pipeline oracles, derivable only once a fit has run
+    * (the tree CASE is data-dependent); merged into [[oracleSql]].
+    */
+  private def treeOracles: Map[String, String] = treeExport match {
+    case None => Map.empty
+    case Some(tree) => Map(
+      "instants_fit" ->
+        s"""WITH $OpsetCte, $bankOracleCtes
+           |SELECT record, t, CAST(($tree) AS BIGINT) AS cls
+           |FROM bankq ORDER BY record, t""".stripMargin,
+      "instants_predict" ->
+        s"""WITH $OpsetCte, $bankOracleCtes, ${treePredictCtes(tree)}
+           |SELECT record, i FROM predq ORDER BY record""".stripMargin,
+      "instants_scores" ->
+        s"""WITH $OpsetCte, $bankOracleCtes, ${treePredictCtes(tree)}, $InstantsCte
+           |SELECT s.record, s.i AS t0, p.i AS t1, p.i - s.i AS gap
+           |FROM instants s JOIN predq p USING (record)
+           |ORDER BY s.record""".stripMargin,
+    )
   }
 
   // Tube parameters shared by the tube_* queries/oracles.
@@ -464,11 +548,13 @@ object SparkEntry {
         .orderBy("record", "t")
     },
 
+    // graded surface of the fit: every leaf decision of the fitted tree,
+    // hash-checked against the oracle evaluating Selector.treeSql's CASE
+    // export over independently computed features (importances remain
+    // available via SelectorModel.importances, spec-tested)
     "instants_fit" -> { (s, dir) =>
-      import s.implicits._
       val (_, sel) = fittedSelector(s, dir)
-      sel.importances.map { case (f, v) => (f, math.rint(v * 1e4) / 1e4) }
-        .toDF("feature", "importance").orderBy("feature")
+      Selector.classify(sel, cachedBank(s, dir), "record", "t").orderBy("record", "t")
     },
 
     "instants_predict" -> ((s, dir) => computedInstants(s, dir).orderBy("record")),
@@ -750,29 +836,13 @@ object SparkEntry {
       s"""WITH $OpsetCte, $epsilonCtes
          |SELECT $SgW AS w, 1 AS d, round(eps, 6) AS eps FROM ev""".stripMargin,
 
-    "instants_features" -> {
-      val w = 2 * 3 + 1
-      val (i1, r1) = SignalOps.indicatorOracleCtes("opset", "value", "record", "t",
-        w, SgDeg, 1, "_sg > 2.0 * (SELECT eps FROM ev)", "i1")
-      val (i2, r2) = SignalOps.indicatorOracleCtes("opset", "value", "record", "t",
-        w, SgDeg, 1, "_sg < -2.0 * (SELECT eps FROM ev)", "i2")
-      s"""WITH $OpsetCte, $epsilonCtes, $i1, $i2, pos AS (
-         |  SELECT record, t, value,
-         |         CAST(t - 1 AS DOUBLE) AS "LEN",
-         |         CAST(count(*) OVER (PARTITION BY record) - t AS DOUBLE) AS "REV",
-         |         CASE WHEN count(*) OVER (PARTITION BY record) > 1
-         |              THEN CAST(t - 1 AS DOUBLE) / CAST(count(*) OVER (PARTITION BY record) - 1 AS DOUBLE)
-         |              ELSE 0.0 END AS pct
-         |  FROM opset
-         |)
-         |SELECT p.record, p.t, p."LEN", p."REV", round(p.pct, 6) AS "PERCENT", p.value,
-         |       round(z1.z, 6) AS "${IndCodes(0).name}",
-         |       round(z2.z, 6) AS "${IndCodes(1).name}",
-         |       round((last_value(z1.z) OVER (PARTITION BY p.record ORDER BY p.t ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) - z1.z, 6) AS "${IndCodes(2).name}"
-         |FROM pos p JOIN $r1 z1 ON p.record = z1.record AND p.t = z1.t
-         |           JOIN $r2 z2 ON p.record = z2.record AND p.t = z2.t
-         |ORDER BY p.record, p.t""".stripMargin
-    },
+    "instants_features" ->
+      s"""WITH $OpsetCte, $bankOracleCtes
+         |SELECT record, t, "LEN", "REV", round("PERCENT", 6) AS "PERCENT", value,
+         |       round("${IndCodes(0).name}", 6) AS "${IndCodes(0).name}",
+         |       round("${IndCodes(1).name}", 6) AS "${IndCodes(1).name}",
+         |       round("${IndCodes(2).name}", 6) AS "${IndCodes(2).name}"
+         |FROM bankq ORDER BY record, t""".stripMargin,
 
     "tube_highlight" ->
       s"""WITH $OpsetCte, $InstantsCte, ext AS (
@@ -1013,7 +1083,7 @@ object SparkEntry {
          |SELECT record, t, 'value' AS variable, 'value' AS name, '-' AS unit,
          |       CAST(value AS DOUBLE) AS y
          |FROM opset ORDER BY record, t""".stripMargin,
-  )
+  ) ++ treeOracles
 
   // ----- long oracle bodies ----------------------------------------------
 

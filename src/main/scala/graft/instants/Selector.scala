@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.classification.{DecisionTreeClassificationModel, DecisionTreeClassifier}
+import org.apache.spark.ml.tree.{ContinuousSplit, InternalNode, LeafNode, Node}
 import graft.dsp.SignalOps
 
 /** Instant detection learner — the reference's flagship (tabata
@@ -92,6 +93,37 @@ object Selector {
       }
       SelectorModel(keep, model)
     } finally labeled.unpersist()
+  }
+
+  /** Per-sample tree class (the fitted detector applied as a classifier):
+    * one row per bank sample, `cls` = the leaf class 0/1 as BIGINT. This is
+    * the hash-checkable surface of a fit — an oracle evaluating
+    * [[treeSql]]'s CASE export over independently computed features must
+    * reproduce every leaf decision.
+    */
+  def classify(sel: SelectorModel, features: DataFrame, rec: String, t: String): DataFrame =
+    sel.model.transform(assemble(features, sel.features))
+      .select(col(rec), col(t), col("prediction").cast("long").as("cls"))
+
+  /** The fitted tree exported as an ANSI-SQL CASE expression over the
+    * double-quoted feature column names. spark.ml continuous splits send
+    * `feature <= threshold` to the left child (`Split.shouldGoLeft`), so
+    * the export preserves boundary semantics exactly; leaf values are the
+    * 0.0/1.0 class predictions.
+    */
+  def treeSql(sel: SelectorModel): String = {
+    def walk(node: Node): String = node match {
+      case l: LeafNode => l.prediction.toString
+      case n: InternalNode => n.split match {
+        case s: ContinuousSplit =>
+          val f = sel.features(s.featureIndex)
+          s"""(CASE WHEN "$f" <= ${s.threshold} THEN ${walk(n.leftChild)} ELSE ${walk(n.rightChild)} END)"""
+        case other =>
+          throw new IllegalArgumentException(
+            s"treeSql: unsupported split type ${other.getClass.getName} (all bank features are continuous)")
+      }
+    }
+    walk(sel.model.rootNode)
   }
 
   /** Belief (instants.py:483): tree class per sample mapped to ±1, SG
