@@ -239,6 +239,53 @@ object SparkEntry {
     )
   }
 
+  /** The ann_ivf oracle over the frozen centroids, mirroring
+    * [[Similarity.ivfTopK]]: per-(vector, centroid) scores, assignment by
+    * (score DESC, index ASC), query probes by (score DESC, index DESC) —
+    * the exact tiebreaks of the Spark side's struct array_sorts — then
+    * exact cosine re-rank within the probed lists.
+    */
+  private def ivfOracle: Map[String, String] = ivfCentsExport match {
+    case None => Map.empty
+    case Some(cents) =>
+      val arms = cents.zipWithIndex.map { case (c, i) =>
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        val clit = c.mkString("[", ", ", "]::DOUBLE[]")
+        s"SELECT vec_id, $i AS i, ${dotSql("v", s"($clit)")} / $cn AS s FROM nrm"
+      }.mkString("\n  UNION ALL\n  ")
+      Map("ann_ivf" ->
+        s"""WITH $EmbCte, csc AS (
+           |  $arms
+           |), asg AS (
+           |  SELECT vec_id, i AS c FROM (
+           |    SELECT vec_id, i,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i ASC) AS rn
+           |    FROM csc
+           |  ) WHERE rn = 1
+           |), prb AS (
+           |  SELECT vec_id AS q_id, i AS c FROM (
+           |    SELECT vec_id, i,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS rn
+           |    FROM csc WHERE vec_id IN (${AnnQueryIds.mkString(", ")})
+           |  ) WHERE rn <= $IvfProbe
+           |), q AS (
+           |  SELECT vec_id AS q_id, v AS qv, n AS qn FROM nrm
+           |  WHERE vec_id IN (${AnnQueryIds.mkString(", ")})
+           |), cand AS (
+           |  SELECT p.q_id, a.vec_id
+           |  FROM prb p JOIN asg a ON a.c = p.c
+           |  WHERE a.vec_id <> p.q_id
+           |), scored AS (
+           |  SELECT c.q_id, c.vec_id,
+           |         round(${dotSql("nrm.v", "q.qv")} / (nrm.n * q.qn), 6) AS cos
+           |  FROM cand c JOIN nrm ON nrm.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id
+           |)
+           |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+           |  FROM scored
+           |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin)
+  }
+
   // Tube parameters shared by the tube_* queries/oracles.
   private val TubeQ = Tube.TubeFactor // 2.0
   private val TubeFactors = Seq("TIME", "TIME2", "SGV")
@@ -346,6 +393,18 @@ object SparkEntry {
   private val AnnQueryIds = Seq(0L, 1L, 2L, 3L, 4L)
   private val CosDupThreshold = 0.4
   private lazy val Planes = Similarity.hyperplanes(LshBits * LshTables, EmbDim)
+
+  // IVF parameters shared by the ann_ivf query/oracle.
+  private val IvfK = 8
+  private val IvfIters = 3
+  private val IvfProbe = 2
+
+  /** Centroids of the most recent ann_ivf run, frozen as literals for the
+    * oracle (same Verify-time pattern as [[treeExport]]): the oracle checks
+    * the assign + probe + re-rank math given the trained centroids, which
+    * both engines then share bit-for-bit.
+    */
+  @volatile private var ivfCentsExport: Option[Array[Array[Double]]] = None
 
   /** DuckDB CTE: lowercased whitespace tokens of each document. */
   private val TokCte =
@@ -668,8 +727,9 @@ object SparkEntry {
 
     "ann_ivf" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
-      Similarity.ivfTopK(emb, "vec_id", "embedding", AnnQueryIds, AnnK, cents, nProbe = 2)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
+      ivfCentsExport = Some(cents)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", AnnQueryIds, AnnK, cents, nProbe = IvfProbe)
         .orderBy("q_id", "rank")
     },
 
@@ -1083,7 +1143,7 @@ object SparkEntry {
          |SELECT record, t, 'value' AS variable, 'value' AS name, '-' AS unit,
          |       CAST(value AS DOUBLE) AS y
          |FROM opset ORDER BY record, t""".stripMargin,
-  ) ++ treeOracles
+  ) ++ treeOracles ++ ivfOracle
 
   // ----- long oracle bodies ----------------------------------------------
 
