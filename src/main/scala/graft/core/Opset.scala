@@ -18,9 +18,8 @@ import org.apache.spark.sql.expressions.Window
   *
   * Positional indexing (opset.py:135 `__getitem__`, opset.py:164 slices,
   * opset.py:207 `current_record`, opset.py:195 `rewind`) is defined on the
-  * lexicographically sorted record-name list. Record names are metadata-sized
-  * (≪ data), so the global sort window in [[recordIndex]] is cheap relative
-  * to the signal data itself.
+  * lexicographically sorted record-name list; [[recordIndex]] builds it with
+  * a range sort + per-partition ranks, never a single-partition window.
   */
 final case class Opset(df: DataFrame, recordCol: String = "record", tCol: String = "t") {
 
@@ -29,10 +28,24 @@ final case class Opset(df: DataFrame, recordCol: String = "record", tCol: String
 
   /** (record, pos) with pos 0-based in sorted-name order — the positional
     * index backing get/slice/rewind. Reference: opset.py:135.
+    *
+    * Two-phase global index instead of an unpartitioned window: [[records]]
+    * range-sorts the distinct names across partitions, and `zipWithIndex`
+    * adds per-partition ranks plus broadcast cumulative partition offsets.
+    * An Opset keyed by doc-id has billions of records; a
+    * `Window.orderBy(record)` here would funnel them all through ONE
+    * partition's sort (the "No Partition Defined" WindowExec), while this
+    * stays fully parallel — the only serial state is one count per
+    * partition.
     */
   def recordIndex: DataFrame = {
-    val w = Window.orderBy(col(recordCol))
-    records.select(col(recordCol), (row_number().over(w) - 1).cast("long").as("pos"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = df.sparkSession
+    val rdd = records.rdd.zipWithIndex.map { case (r, i) => Row(r.getString(0), i) }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField(recordCol, StringType),
+      StructField("pos", LongType))))
   }
 
   /** One record's signal (opset.py:135 `__getitem__` by name). */
