@@ -112,9 +112,13 @@ object Pca {
       i <- cols.indices
     } yield {
       val lambdaSample = vals(k) * n / (n - 1.0)
+      // HALF_UP to match Spark/DuckDB `round` (repo convention; math.rint
+      // is HALF_EVEN and would diverge on exact .5 boundaries)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       (cols(i), (k + 1).toLong,
-        math.rint(vecs(k)(i) * math.sqrt(math.max(lambdaSample, 0.0)) * 1e6) / 1e6,
-        math.rint(vals(k) / total * 1e6) / 1e6)
+        r6(vecs(k)(i) * math.sqrt(math.max(lambdaSample, 0.0))),
+        r6(vals(k) / total))
     }
     rows.toDF("variable", "component", "x", "evr")
   }

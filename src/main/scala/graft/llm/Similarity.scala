@@ -36,11 +36,13 @@ object Similarity {
   /** Left-fold dot product — same summation order as a SQL
     * `list_reduce(list_transform(...))`, so results are bit-identical.
     * Resolves to the native codegen'd [[graft.functions.ArrayDotProduct]]
-    * (sessions enable it via `spark.sql.extensions=graft.GraftExtensions`);
-    * the HOF formulation below is the registration-free fallback with
-    * identical semantics.
+    * when the session registered [[graft.GraftExtensions]], and falls back
+    * to the semantically identical HOF formulation otherwise — callers
+    * never see an unresolved-function error.
     */
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def dot(a: Column, b: Column): Column =
+    if (graft.functions.Native.registered) call_function("graft_dot", a, b)
+    else dotHof(a, b)
 
   /** HOF fallback for sessions without [[graft.GraftExtensions]]. */
   def dotHof(a: Column, b: Column): Column =

@@ -111,11 +111,13 @@ object TextAnalysis {
     *
     * Resolves to the native codegen'd
     * [[graft.functions.AsciiRollingHash]] — one pass over the UTF-8 bytes,
-    * no per-character substring allocation (sessions register it via
-    * `spark.sql.extensions=graft.GraftExtensions`). [[fingerprintHof]] is
-    * the registration-free fallback with identical semantics.
+    * no per-character substring allocation — when the session registered
+    * [[graft.GraftExtensions]], and falls back to the semantically
+    * identical [[fingerprintHof]] otherwise.
     */
-  def fingerprint(text: Column): Column = call_function("graft_fingerprint", text)
+  def fingerprint(text: Column): Column =
+    if (graft.functions.Native.registered) call_function("graft_fingerprint", text)
+    else fingerprintHof(text)
 
   /** HOF fallback for sessions without [[graft.GraftExtensions]]. */
   def fingerprintHof(text: Column): Column = {
