@@ -349,6 +349,69 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** DuckDB twin of [[Tube.scoresMatrix]] over [[tubeBase]] with targets
+    * `value ~ (TIME, TIME2, SGV)` and `SGV ~ (TIME, TIME2)` — the same
+    * single window pass (one `wr` spec), arithmetic written in the Spark
+    * expressions' operation order.
+    */
+  private def tubeScoresMultiSql: String = {
+    val (sgCtes, sgRel) = SignalOps.sgOracleCtes("opset", "value", "record", "t", SgW, SgDeg, 0, "sgv")
+    def b1Sql(sx: String, sxx: String, sxy: String, sy: String): String =
+      s"CASE WHEN abs(n * $sxx - $sx * $sx) > 1e-9 THEN (n * $sxy - $sx * $sy) / (n * $sxx - $sx * $sx) ELSE 0.0 END"
+    s"""WITH $OpsetCte, $sgCtes, tb AS (
+       |  SELECT o.record, o.t, o.value AS y,
+       |         CAST(o.t - 1 AS DOUBLE) AS tm,
+       |         CAST(o.t - 1 AS DOUBLE) * CAST(o.t - 1 AS DOUBLE) AS tm2,
+       |         s.sgv AS sgv
+       |  FROM opset o JOIN $sgRel s ON o.record = s.record AND o.t = s.t
+       |), ts AS (
+       |  SELECT record, t, y, tm, tm2, sgv,
+       |         CAST(count(*) OVER wr AS DOUBLE) AS n,
+       |         sum(y) OVER wr AS sy,
+       |         sum(tm) OVER wr AS sx1, sum(tm * tm) OVER wr AS sxx1, sum(tm * y) OVER wr AS sxy1,
+       |         sum(tm2) OVER wr AS sx2, sum(tm2 * tm2) OVER wr AS sxx2, sum(tm2 * y) OVER wr AS sxy2,
+       |         sum(sgv) OVER wr AS sx3, sum(sgv * sgv) OVER wr AS sxx3, sum(sgv * y) OVER wr AS sxy3,
+       |         sum(sgv) OVER wr AS sy2,
+       |         sum(tm * sgv) OVER wr AS sxyb1,
+       |         sum(tm2 * sgv) OVER wr AS sxyb2
+       |  FROM tb WINDOW wr AS (PARTITION BY record)
+       |), tc AS (
+       |  SELECT record, t, y, tm, tm2, sgv, n, sy, sy2, sx1, sx2, sx3,
+       |         ${b1Sql("sx1", "sxx1", "sxy1", "sy")} AS b11,
+       |         ${b1Sql("sx2", "sxx2", "sxy2", "sy")} AS b12,
+       |         ${b1Sql("sx3", "sxx3", "sxy3", "sy")} AS b13,
+       |         ${b1Sql("sx1", "sxx1", "sxyb1", "sy2")} AS b21,
+       |         ${b1Sql("sx2", "sxx2", "sxyb2", "sy2")} AS b22
+       |  FROM ts
+       |), tp AS (
+       |  SELECT record, t, y, sgv,
+       |         (sy - b11 * sx1) / n + b11 * tm AS p11,
+       |         (sy - b12 * sx2) / n + b12 * tm2 AS p12,
+       |         (sy - b13 * sx3) / n + b13 * sgv AS p13,
+       |         (sy2 - b21 * sx1) / n + b21 * tm AS p21,
+       |         (sy2 - b22 * sx2) / n + b22 * tm2 AS p22
+       |  FROM tc
+       |), tz AS (
+       |  SELECT record, t, y, sgv,
+       |         (p11 + p12 + p13) / 3 AS z1,
+       |         least(least(p11, p12), p13) AS pmin1,
+       |         greatest(greatest(p11, p12), p13) AS pmax1,
+       |         (p21 + p22) / 2 AS z2,
+       |         least(p21, p22) AS pmin2,
+       |         greatest(p21, p22) AS pmax2
+       |  FROM tp
+       |), est AS (
+       |  SELECT record, t, y, sgv,
+       |         z1 - $TubeQ * (z1 - pmin1) AS zmin1, z1 + $TubeQ * (pmax1 - z1) AS zmax1,
+       |         z2 - $TubeQ * (z2 - pmin2) AS zmin2, z2 + $TubeQ * (pmax2 - z2) AS zmax2
+       |  FROM tz
+       |)
+       |SELECT record, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(CASE WHEN y > zmax1 OR y < zmin1 THEN 1 ELSE 0 END) AS BIGINT) AS value,
+       |       CAST(sum(CASE WHEN sgv > zmax2 OR sgv < zmin2 THEN 1 ELSE 0 END) AS BIGINT) AS "SGV"
+       |FROM est GROUP BY record ORDER BY record""".stripMargin
+  }
+
   // MinHash-LSH parameters shared by the dedup_minhash_* queries/oracles.
   private val MhShingle = 5
   private val MhHashes = 8
@@ -511,6 +574,11 @@ object SparkEntry {
     "opset_clean" -> ((s, dir) =>
       opset(s, dir).clean.df.agg(count(lit(1)).cast("long").as("n"))),
 
+    "opset_sorted" -> ((s, dir) =>
+      // custom sortkey (opset.py:74): records in DESCENDING numeric order
+      opset(s, dir).withSortKey(c => -c.cast("long")).recordIndex
+        .orderBy("pos")),
+
     // -- column metadata (rows 8-10) --
     "meta_nameunit" -> { (s, _) =>
       val rows = MetaLabels.map { lab =>
@@ -662,6 +730,14 @@ object SparkEntry {
     "tube_scores" -> { (s, dir) =>
       val est = Tube.estimate(tubeBase(s, dir), "record", "t", "value", TubeFactors, TubeQ)
       Tube.scores(est, "record").orderBy("record")
+    },
+
+    "tube_scores_multi" -> { (s, dir) =>
+      // the reference's records×targets score matrix (tubes.py:392): two
+      // fitted targets, one shared shuffle/window pass
+      Tube.scoresMatrix(tubeBase(s, dir), "record",
+        Seq("value" -> TubeFactors, "SGV" -> Seq("TIME", "TIME2")), TubeQ)
+        .orderBy("record")
     },
 
     // -- LLM: exact dedup (row 27) --
@@ -839,6 +915,13 @@ object SparkEntry {
 
     "opset_clean" -> "SELECT CAST(0 AS BIGINT) AS n",
 
+    "opset_sorted" ->
+      s"""WITH $OpsetCte
+         |SELECT record,
+         |       CAST(row_number() OVER (ORDER BY -CAST(record AS BIGINT), record) - 1 AS BIGINT) AS pos
+         |FROM (SELECT DISTINCT record FROM opset)
+         |ORDER BY pos""".stripMargin,
+
     "meta_nameunit" ->
       ("SELECT * FROM (VALUES " +
         MetaLabels.map { lab =>
@@ -945,6 +1028,8 @@ object SparkEntry {
          |SELECT record, CAST(count(*) AS BIGINT) AS n,
          |       CAST(sum(CASE WHEN y > zmax OR y < zmin THEN 1 ELSE 0 END) AS BIGINT) AS n_out
          |FROM est GROUP BY record ORDER BY record""".stripMargin,
+
+    "tube_scores_multi" -> tubeScoresMultiSql,
 
     "dedup_exact" ->
       """SELECT doc_id, n_chars, dup_count FROM (

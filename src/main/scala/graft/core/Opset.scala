@@ -18,13 +18,28 @@ import org.apache.spark.sql.expressions.Window
   *
   * Positional indexing (opset.py:135 `__getitem__`, opset.py:164 slices,
   * opset.py:207 `current_record`, opset.py:195 `rewind`) is defined on the
-  * lexicographically sorted record-name list; [[recordIndex]] builds it with
-  * a range sort + per-partition ranks, never a single-partition window.
+  * lexicographically sorted record-name list (or a caller-supplied
+  * [[Opset.withSortKey]] order, opset.py:74 `sortkey`); [[recordIndex]]
+  * builds it with a range sort + per-partition ranks, never a
+  * single-partition window.
   */
-final case class Opset(df: DataFrame, recordCol: String = "record", tCol: String = "t") {
+final case class Opset(df: DataFrame, recordCol: String = "record", tCol: String = "t",
+                       sortKey: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None) {
+
+  /** Positional order with a custom key (opset.py:74 `sortkey`): records
+    * sort by `key(record)` with the name itself as tie-break (the
+    * reference's Python `sorted` is stable; the explicit tie-break makes
+    * the order deterministic on a cluster too).
+    */
+  def withSortKey(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Opset =
+    copy(sortKey = Some(key))
+
+  private def recordOrder: Seq[org.apache.spark.sql.Column] =
+    sortKey.map(k => Seq(k(col(recordCol)), col(recordCol)))
+      .getOrElse(Seq(col(recordCol)))
 
   /** Distinct record names, sorted — the reference's `self.records` list. */
-  def records: DataFrame = df.select(recordCol).distinct().orderBy(recordCol)
+  def records: DataFrame = df.select(recordCol).distinct().orderBy(recordOrder: _*)
 
   /** (record, pos) with pos 0-based in sorted-name order — the positional
     * index backing get/slice/rewind. Reference: opset.py:135.
@@ -42,7 +57,7 @@ final case class Opset(df: DataFrame, recordCol: String = "record", tCol: String
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val spark = df.sparkSession
-    val rdd = records.rdd.zipWithIndex.map { case (r, i) => Row(r.getString(0), i) }
+    val rdd = records.rdd.zipWithIndex().map { case (r, i) => Row(r.getString(0), i) }
     spark.createDataFrame(rdd, StructType(Seq(
       StructField(recordCol, StringType),
       StructField("pos", LongType))))

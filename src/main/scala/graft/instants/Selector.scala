@@ -33,6 +33,29 @@ object Selector {
       features.zip(model.featureImportances.toArray.toIndexedSeq)
   }
 
+  /** Persist a fitted detector (the reference re-attaches its pickled
+    * `_clf` to new files, instants.py:683). The tree uses spark.ml's
+    * native writer; the kept feature names (whose ORDER is the
+    * VectorAssembler index mapping — losing it would silently permute
+    * every split) ride along as a tiny parquet table. Both land under
+    * `path`, so the model lives on whatever filesystem the data does.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession,
+           sel: SelectorModel, path: String): Unit = {
+    import spark.implicits._
+    sel.model.write.overwrite().save(s"$path/tree")
+    sel.features.zipWithIndex.map { case (f, i) => (i, f) }
+      .toDF("idx", "feature")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/features")
+  }
+
+  /** Reload a detector written by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): SelectorModel = {
+    val feats = spark.read.parquet(s"$path/features")
+      .orderBy("idx").collect().map(_.getAs[String]("feature")).toSeq
+    SelectorModel(feats, DecisionTreeClassificationModel.load(s"$path/tree"))
+  }
+
   /** Per-sample label (instants.py:529): 0 for 0-based position ≤ the
     * record's selected instant `i`, 1 after (the reference's −1/+1 coded
     * as spark.ml's 0/1).
@@ -167,6 +190,11 @@ object Selector {
       .withColumn("gap", col("t1") - col("t0"))
 
   /** The reference `score` (instants.py:672): max |gap|. */
-  def score(scores: DataFrame): Long =
-    scores.agg(max(abs(col("gap")))).head().getLong(0)
+  def score(scores: DataFrame): Long = {
+    val row = scores.agg(max(abs(col("gap")))).head()
+    require(!row.isNullAt(0),
+      "score: empty scores table — no record survived prediction (records " +
+        "shorter than the SG window 2*filterWidth+1 are dropped by belief)")
+    row.getLong(0)
+  }
 }

@@ -141,6 +141,60 @@ object Tube {
       count(lit(1)).as("n"),
       sum(when(col("y") > col("zmax") || col("y") < col("zmin"), 1L).otherwise(0L)).as("n_out"))
 
+  /** The reference's full score matrix (tubes.py:392 `scores`): one row per
+    * record, `n` samples plus one out-of-tube count per fitted target —
+    * `targets` maps each target column to its factor columns.
+    *
+    * Single-pass by construction: every target's tube bounds are window
+    * expressions over the SAME `partitionBy(record)` spec, so all targets
+    * share one shuffle and one WindowExec batch, followed by one
+    * aggregation — NOT one estimate job per target (the reference loops
+    * records × targets; at 100 TB that loop must collapse into one scan).
+    */
+  def scoresMatrix(df: DataFrame, rec: String,
+                   targets: Seq[(String, Seq[String])],
+                   q: Double = TubeFactor): DataFrame = {
+    require(targets.nonEmpty, "scoresMatrix: no fitted targets")
+    val w = Window.partitionBy(rec)
+    val outCols = targets.map { case (target, factors) =>
+      val y = col(target)
+      val preds = factors.map { f =>
+        val (b0, b1) = ols1Cols(col(f), y, w)
+        b0 + b1 * col(f)
+      }
+      val z = preds.reduce(_ + _) / preds.size
+      val pMin = preds.reduce(least(_, _))
+      val pMax = preds.reduce(greatest(_, _))
+      val zmin = z - lit(q) * (z - pMin)
+      val zmax = z + lit(q) * (pMax - z)
+      when(y > zmax || y < zmin, 1L).otherwise(0L).as(s"_out_$target")
+    }
+    df.select(col(rec) +: outCols: _*)
+      .groupBy(col(rec))
+      .agg(count(lit(1)).as("n"),
+        targets.map { case (tgt, _) => sum(col(s"_out_$tgt")).as(tgt) }: _*)
+  }
+
+  /** The reference `describe` (tubes.py:359): one row per fitted target,
+    * one column per factor of the pool, value = how many regressions of
+    * the target's ensemble use that factor. Metadata-sized (targets ×
+    * factors), built driver-side from the fitted models.
+    */
+  def describe(spark: org.apache.spark.sql.SparkSession,
+               fitted: Seq[(String, Seq[TubeModel])],
+               factorPool: Seq[String]): DataFrame = {
+    val rows = fitted.map { case (target, models) =>
+      org.apache.spark.sql.Row.fromSeq(
+        target +: factorPool.map(f => models.count(_.factors.contains(f)).toLong))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("target",
+        org.apache.spark.sql.types.StringType) +:
+        factorPool.map(f => org.apache.spark.sql.types.StructField(f,
+          org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   // ---- ensemble fit (tubes.py:177) -------------------------------------
 
   /** One fitted regression of the ensemble. */
@@ -151,6 +205,41 @@ object Tube {
       factors.zip(coefs.toIndexedSeq).map { case (f, c) => col(f) * c }
         .foldLeft(lit(intercept): Column)(_ + _)
   }
+
+  // ---- model persistence (the reference pickles Tube state with its
+  // HDF5 store; here the fitted ensembles become one tiny parquet table,
+  // so they live wherever the data lives — local disk, HDFS, S3) --------
+
+  /** Persist fitted ensembles (target → models). Row = one regression:
+    * (target, idx, factors, intercept, coefs, r2); `idx` preserves the
+    * ensemble order (tie-break order in [[fit]]'s keep-best).
+    */
+  def saveFitted(spark: org.apache.spark.sql.SparkSession,
+                 fitted: Seq[(String, Seq[TubeModel])], path: String): Unit = {
+    import spark.implicits._
+    fitted.flatMap { case (target, models) =>
+      models.zipWithIndex.map { case (m, i) =>
+        (target, i, m.factors, m.intercept, m.coefs.toSeq, m.r2)
+      }
+    }.toDF("target", "idx", "factors", "intercept", "coefs", "r2")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload ensembles written by [[saveFitted]], exactly (parquet doubles
+    * are binary round-trips, unlike JSON text).
+    */
+  def loadFitted(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, Seq[TubeModel])] =
+    spark.read.parquet(path)
+      .orderBy("target", "idx").collect()
+      .map { r =>
+        (r.getAs[String]("target"),
+          TubeModel(r.getAs[scala.collection.Seq[String]]("factors").toSeq,
+            r.getAs[Double]("intercept"),
+            r.getAs[scala.collection.Seq[Double]]("coefs").toArray,
+            r.getAs[Double]("r2")))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toSeq.sortBy(_._1)
 
   private def lcg(x: Long): Long = (x * 6364136223846793005L + 1442695040888963407L) >>> 11
 
@@ -174,6 +263,14 @@ object Tube {
     val train = df.filter(bucket < pctBuckets).cache()
     val valid = df.filter(bucket >= pctBuckets && bucket < 2 * pctBuckets).cache()
     try {
+      // An empty sample would flow null aggregate sums into an all-zero
+      // normal-equation matrix and yield a silent all-zero-coefficient
+      // model (r2=0) — fail fast instead (the usual cause: tiny inputs
+      // with the default samplesPct).
+      require(train.head(1).nonEmpty && valid.head(1).nonEmpty,
+        s"Tube.fit: the deterministic hash sample (samplesPct=$samplesPct) " +
+          "left an empty train or validation set — raise samplesPct or " +
+          "supply more rows")
       val models = (0 until retries).map { k =>
         // factor subset: LCG-shuffled pool, LCG-picked size (≤ maxFeatures)
         val r0 = lcg(seed + k)

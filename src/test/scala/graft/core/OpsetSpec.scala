@@ -35,6 +35,16 @@ class OpsetSpec extends SparkSpec {
     assert(os.recordAt(9) === None)
   }
 
+  test("withSortKey reorders the positional index (opset.py sortkey)") {
+    // reverse lexicographic via a descending key
+    val rev = os.withSortKey(c => -ascii(substring(c, 2, 1)))
+    assert(rev.records.as[String].collect().toSeq === Seq("r4", "r3", "r2", "r1"))
+    assert(rev.recordAt(0) === Some("r4"))
+    assert(rev.slice(1, 3).records.as[String].collect().toSeq.sorted === Seq("r2", "r3"))
+    // the unsorted Opset is untouched
+    assert(os.recordAt(0) === Some("r1"))
+  }
+
   test("put upserts: replaces an existing record, appends a new one") {
     val replaced = os.put(Seq(("r2", 1L, 99.0), ("r2", 2L, 98.0)).toDF("record", "t", "value"))
     assert(replaced.get("r2").orderBy("t").select("value").as[Double].collect().toSeq === Seq(99.0, 98.0))

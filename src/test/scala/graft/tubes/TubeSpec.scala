@@ -70,6 +70,69 @@ class TubeSpec extends SparkSpec {
     assert(a.head.r2 > 0.9)
   }
 
+  test("scoresMatrix matches per-target estimate + scores") {
+    val base = df.withColumn("TIME2", $"TIME" * $"TIME")
+    val targets = Seq("value" -> Seq("TIME", "TIME2"), "TIME2" -> Seq("TIME"))
+    val m = Tube.scoresMatrix(base, "record", targets, 2.0)
+      .orderBy("record").collect()
+    targets.foreach { case (tgt, factors) =>
+      val est = Tube.estimate(base, "record", "t", tgt, factors, 2.0)
+      val single = Tube.scores(est, "record").orderBy("record").collect()
+      m.zip(single).foreach { case (mr, sr) =>
+        assert(mr.getAs[String]("record") === sr.getAs[String]("record"))
+        assert(mr.getAs[Long]("n") === sr.getAs[Long]("n"))
+        assert(mr.getAs[Long](tgt) === sr.getAs[Long]("n_out"),
+          s"target $tgt record ${mr.getAs[String]("record")}")
+      }
+    }
+  }
+
+  test("describe counts factor usage per target's ensemble") {
+    val fitted = Seq(
+      "a" -> Seq(Tube.TubeModel(Seq("TIME"), 0.0, Array(1.0), 0.9),
+        Tube.TubeModel(Seq("TIME", "TIME2"), 0.0, Array(1.0, 2.0), 0.8)),
+      "b" -> Seq(Tube.TubeModel(Seq("TIME2"), 0.0, Array(1.0), 0.7)))
+    val d = Tube.describe(spark, fitted, Seq("TIME", "TIME2", "SGV"))
+      .orderBy("target").collect()
+    assert(d.map(_.getAs[String]("target")).toSeq === Seq("a", "b"))
+    assert(d(0).getAs[Long]("TIME") === 2L)
+    assert(d(0).getAs[Long]("TIME2") === 1L)
+    assert(d(0).getAs[Long]("SGV") === 0L)
+    assert(d(1).getAs[Long]("TIME") === 0L)
+    assert(d(1).getAs[Long]("TIME2") === 1L)
+  }
+
+  test("saveFitted/loadFitted round-trips ensembles exactly") {
+    val fitted = Seq(
+      "value" -> Seq(
+        Tube.TubeModel(Seq("TIME", "TIME2"), 1.25, Array(2.5, -0.125), 0.875),
+        Tube.TubeModel(Seq("SGV"), -3.0, Array(0.0625), 0.5)),
+      "other" -> Seq(Tube.TubeModel(Seq("TIME"), 0.1, Array(1e-17), -0.25)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-tube-models").toString
+    Tube.saveFitted(spark, fitted, s"$dir/models")
+    val back = Tube.loadFitted(spark, s"$dir/models")
+    assert(back.map(_._1) === Seq("other", "value"))
+    val bm = back.toMap
+    fitted.foreach { case (tgt, ms) =>
+      val rs = bm(tgt)
+      assert(rs.size === ms.size)
+      ms.zip(rs).foreach { case (a, b) =>
+        assert(a.factors === b.factors)
+        assert(a.intercept === b.intercept)
+        assert(a.coefs.toSeq === b.coefs.toSeq)
+        assert(a.r2 === b.r2)
+      }
+    }
+  }
+
+  test("fit fails fast when the hash sample is empty") {
+    val tiny = Seq(("r", 1L, 1.0, 0.0)).toDF("record", "t", "value", "TIME")
+    val e = intercept[IllegalArgumentException] {
+      Tube.fit(tiny, "record", "t", "value", Seq("TIME"), samplesPct = 0.01)
+    }
+    assert(e.getMessage.contains("samplesPct"))
+  }
+
   test("highlight flags exactly the extracted rows") {
     val os = Opset((1 to 10).map(i => ("r", i.toLong, i.toDouble)).toDF("record", "t", "value"))
     val extract = os.copy(df = os.df.filter($"t" >= 3 && $"t" <= 5))
