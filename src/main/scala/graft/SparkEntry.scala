@@ -816,6 +816,23 @@ object SparkEntry {
         .toDF().orderBy("doc_id")
     },
 
+    "mm_image" -> { (s, dir) =>
+      // REAL image decode, end-to-end checkable: each doc gets a solid
+      // PNG whose dims/color are closed forms of doc_id; the bytes travel
+      // the actual JDK PNG encoder AND decoder on executors, while the
+      // oracle computes the expected features analytically. A decoder bug
+      // (channel order, dims, premature EOF) breaks the hash match.
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+      val bin = ids.mapPartitions(_.map { id =>
+        (id, Multimodal.solidPng(
+          (id % 7 + 1).toInt, (id % 5 + 1).toInt,
+          (id % 256).toInt, (id * 3 % 256).toInt, (id * 7 % 256).toInt))
+      }).toDF("doc_id", "payload")
+      Multimodal.imageFeatures(bin).toDF().orderBy("doc_id")
+    },
+
     // -- LLM: text analysis (rows 35-38) --
     "text_tokens" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -1175,6 +1192,16 @@ object SparkEntry {
          |    FROM documents
          |  )
          |) ORDER BY doc_id""".stripMargin,
+
+    "mm_image" ->
+      """SELECT doc_id, TRUE AS ok,
+        |       CAST(doc_id % 7 + 1 AS BIGINT) AS width,
+        |       CAST(doc_id % 5 + 1 AS BIGINT) AS height,
+        |       CAST((doc_id % 7 + 1) * (doc_id % 5 + 1) AS BIGINT) AS n_pixels,
+        |       CAST((doc_id % 7 + 1) * (doc_id % 5 + 1) * (doc_id % 256) AS BIGINT) AS sum_r,
+        |       CAST((doc_id % 7 + 1) * (doc_id % 5 + 1) * (doc_id * 3 % 256) AS BIGINT) AS sum_g,
+        |       CAST((doc_id % 7 + 1) * (doc_id % 5 + 1) * (doc_id * 7 % 256) AS BIGINT) AS sum_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       s"""SELECT doc_id,

@@ -1,0 +1,45 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Real-image multimodal path: the bytes travel the actual JDK PNG
+  * encoder/decoder on executors; features/thumbnails are exact on
+  * synthetic solid-color images.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("imageFeatures decodes real PNG bytes exactly") {
+    val bin = Seq(
+      (1L, Multimodal.solidPng(3, 2, 10, 20, 30)),
+      (2L, Multimodal.solidPng(1, 1, 255, 0, 128)),
+    ).toDF("doc_id", "payload")
+    val f = Multimodal.imageFeatures(bin).collect().sortBy(_.doc_id)
+    assert(f(0) === Multimodal.ImageFeatures(1L, ok = true, 3L, 2L, 6L,
+      60L, 120L, 180L))
+    assert(f(1) === Multimodal.ImageFeatures(2L, ok = true, 1L, 1L, 1L,
+      255L, 0L, 128L))
+  }
+
+  test("corrupt payloads degrade to ok = false, never throw") {
+    val bin = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, Array.emptyByteArray),
+      (3L, null.asInstanceOf[Array[Byte]]),
+    ).toDF("doc_id", "payload")
+    val f = Multimodal.imageFeatures(bin).collect().sortBy(_.doc_id)
+    assert(f.length === 3)
+    assert(f.forall(r => !r.ok && r.width == 0L && r.n_pixels == 0L))
+  }
+
+  test("thumbnails resize through a real re-encode round trip") {
+    val bin = Seq((7L, Multimodal.solidPng(8, 8, 40, 50, 60))).toDF("doc_id", "payload")
+    val thumbs = Multimodal.thumbnails(bin, 2, 3).toDF("doc_id", "payload")
+    val f = Multimodal.imageFeatures(thumbs).head()
+    assert(f === Multimodal.ImageFeatures(7L, ok = true, 2L, 3L, 6L,
+      6L * 40, 6L * 50, 6L * 60))
+    // undecodable rows drop instead of crashing the scan
+    val bad = Seq((8L, Array[Byte](9, 9))).toDF("doc_id", "payload")
+    assert(Multimodal.thumbnails(bad, 2, 2).count() === 0L)
+  }
+}
