@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, Md5Prefix32, SetOverlap, ShingleHashes, WordNgramHashes}
 import graft.llm.TextAnalysis
 
 /** Session extensions registering graft's native Catalyst expressions so
@@ -29,6 +29,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           s"graft_fingerprint requires exactly 1 argument, got ${children.size}")
         AsciiRollingHash(children(0), TextAnalysis.FpMod)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, null, "graft_shingle_hashes",
+        "graft_shingle_hashes(text, n) - distinct char-n-gram md5-prefix hashes, one pass", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_shingle_hashes requires exactly 2 arguments, got ${children.size}")
+        require(children(1).foldable, "graft_shingle_hashes: n must be a literal")
+        ShingleHashes(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_32"),
+      new ExpressionInfo(classOf[Md5Prefix32].getName, null, "graft_md5_32",
+        "graft_md5_32(s) - first 4 md5 bytes as unsigned long, no hex round trip", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_md5_32 requires exactly 1 argument, got ${children.size}")
+        Md5Prefix32(children(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_ngram_hashes"),
+      new ExpressionInfo(classOf[WordNgramHashes].getName, null, "graft_word_ngram_hashes",
+        "graft_word_ngram_hashes(text, n) - distinct word-n-gram md5-prefix hashes, one pass", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_word_ngram_hashes requires exactly 2 arguments, got ${children.size}")
+        require(children(1).foldable, "graft_word_ngram_hashes: n must be a literal")
+        WordNgramHashes(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_set_overlap"),
+      new ExpressionInfo(classOf[SetOverlap].getName, null, "graft_set_overlap",
+        "graft_set_overlap(a, b) - struct(inter, uni) distinct-set sizes in one pass", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_set_overlap requires exactly 2 arguments, got ${children.size}")
+        SetOverlap(children(0), children(1))
       }))
   }
 }

@@ -758,7 +758,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val base = docs.select(col("doc_id"),
-        array_distinct(Dedup.ngramHashes(col("text"), MhShingle)).as("sh"))
+        Dedup.distinctNgramHashes(col("text"), MhShingle).as("sh"))
       Dedup.minhashSignature(base, "sh", MhHashes).drop("sh").orderBy("doc_id")
     },
 

@@ -33,9 +33,13 @@ object Dedup {
 
   /** A deterministic 32-bit token hash both Spark and an ANSI-SQL oracle
     * can compute: the first 8 hex chars of md5, read as an integer.
+    * Resolves to the native [[graft.functions.Md5Prefix32]] (one digest
+    * call, no hex string round trip) when the session registered
+    * [[graft.GraftExtensions]]; the declarative chain otherwise.
     */
   def md5Hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    if (graft.functions.Native.registered) call_function("graft_md5_32", c)
+    else conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Character n-gram set of `text` (distinct substrings of length n;
     * a text shorter than n yields itself as the single shingle).
@@ -129,17 +133,16 @@ object Dedup {
     // spark.catalog.clearCache() between runs.
     val base = docs.select(
       col(idCol),
-      array_distinct(ngramHashes(col(textCol), shingleLen)).as("sh"),
+      distinctNgramHashes(col(textCol), shingleLen).as("sh"),
     ).cache()
     val sigs = minhashSignature(base, "sh", numHashes).drop("sh")
     val pairs = lshCandidatePairs(sigs, idCol, numHashes, bands)
     val sets = base.select(col(idCol).as("_id"), col("sh"))
+    val (inter, uni) = overlapCols($"sh_a", $"sh_b")
     pairs
       .join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
-      .withColumn("uni", size(array_union($"sh_a", $"sh_b")).cast("double"))
-      .withColumn("jaccard", round($"inter" / $"uni", 6))
+      .withColumn("jaccard", round(inter / uni, 6))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
   }
@@ -147,6 +150,32 @@ object Dedup {
   /** md5-based 32-bit hashes of the distinct character n-grams of `text`. */
   def ngramHashes(text: Column, n: Int): Column =
     transform(charShingles(text, n), g => md5Hash32(g))
+
+  /** `array_distinct(ngramHashes(text, n))` — the shingle-set column every
+    * MinHash/Jaccard operator starts from. Resolves to the one-pass native
+    * [[graft.functions.ShingleHashes]] when registered (the declarative
+    * chain pays a substring + hex md5 + conv parse per shingle through
+    * generic HOF evaluation — the dominant cost of MinHash at any scale).
+    */
+  def distinctNgramHashes(text: Column, n: Int): Column =
+    if (graft.functions.Native.registered)
+      call_function("graft_shingle_hashes", text, lit(n))
+    else array_distinct(ngramHashes(text, n))
+
+  /** `(inter, uni)` distinct-set sizes of two long-array columns as
+    * doubles — `size(array_intersect)` / `size(array_union)` semantics.
+    * Resolves to the one-pass native [[graft.functions.SetOverlap]] when
+    * registered: the exact-Jaccard re-rank evaluates this once per
+    * candidate pair, and a near-dup mega-cluster legitimately makes all
+    * its C(k,2) pairs candidates, so per-pair cost is the whole game.
+    */
+  def overlapCols(a: Column, b: Column): (Column, Column) =
+    if (graft.functions.Native.registered) {
+      val ov = call_function("graft_set_overlap", a, b)
+      (ov.getField("inter").cast("double"), ov.getField("uni").cast("double"))
+    } else
+      (size(array_intersect(a, b)).cast("double"),
+        size(array_union(a, b)).cast("double"))
 
   /** Lowercased whitespace tokens (empty text → empty array). */
   def tokens(text: Column): Column =
@@ -188,12 +217,15 @@ object Dedup {
     * (lowercased whitespace tokens, n-grams joined with one space; fewer
     * than n tokens yields the whole token list as the single gram).
     */
-  def wordNgramHashes(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => md5Hash32(concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+  def wordNgramHashes(text: Column, n: Int): Column =
+    if (graft.functions.Native.registered)
+      call_function("graft_word_ngram_hashes", text, lit(n))
+    else {
+      val toks = tokens(text)
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => md5Hash32(concat_ws(" ", slice(toks, i, lit(n))))))
+    }
 
   /** n-gram Jaccard near-dedup with shared-shingle blocking: a document
     * pair becomes a candidate iff it shares at least `minShared` *selected*
@@ -229,10 +261,9 @@ object Dedup {
       .select("id_a", "id_b")
     val a = base.select(col(idCol).as("id_a"), col("gh").as("gh_a"))
     val b = base.select(col(idCol).as("id_b"), col("gh").as("gh_b"))
+    val (inter, uni) = overlapCols(col("gh_a"), col("gh_b"))
     cand.join(a, "id_a").join(b, "id_b")
-      .withColumn("jaccard",
-        round(size(array_intersect(col("gh_a"), col("gh_b"))).cast("double")
-          / size(array_union(col("gh_a"), col("gh_b"))).cast("double"), 6))
+      .withColumn("jaccard", round(inter / uni, 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

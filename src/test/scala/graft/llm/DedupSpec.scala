@@ -65,6 +65,66 @@ class DedupSpec extends SparkSpec {
     assert(capped.nonEmpty)
   }
 
+  test("native shingle/md5 expressions match the declarative chain exactly") {
+    // pure declarative twins (md5Hash32/distinctNgramHashes auto-resolve
+    // native in this extensions-enabled session)
+    def declMd5(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    def declShingles(c: org.apache.spark.sql.Column, n: Int) =
+      array_distinct(transform(Dedup.charShingles(c, n), g => declMd5(g)))
+    val texts = Seq(
+      null.asInstanceOf[String], "", "ab", "aaaaaaaa",
+      "hello world hello world",
+      "héllo wörld ünïcode", // 2-byte UTF-8
+      "a😀b😀c defg",        // non-BMP (surrogate pairs)
+    ).toDF("text")
+    val got = texts.select(
+      Dedup.distinctNgramHashes(col("text"), 5).as("nat"),
+      declShingles(col("text"), 5).as("dec"),
+      call_function("graft_md5_32", col("text")).as("m_nat"),
+      declMd5(col("text")).as("m_dec"),
+    ).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"shingles diverge: $r")
+      assert(r.isNullAt(2) === r.isNullAt(3))
+      if (!r.isNullAt(2)) assert(r.getLong(2) === r.getLong(3))
+    }
+
+    // word grams: native vs declarative (incl. null/empty/short/multibyte)
+    def declWordGrams(c: org.apache.spark.sql.Column, n: Int) = {
+      val toks = Dedup.tokens(c)
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => declMd5(concat_ws(" ", slice(toks, i, lit(n))))))
+    }
+    val wg = texts.select(
+      Dedup.wordNgramHashes(col("text"), 3).as("nat"),
+      declWordGrams(col("text"), 3).as("dec")).collect()
+    wg.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1))
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"word grams diverge: $r")
+    }
+
+    // set overlap: native vs array_intersect/array_union sizes
+    val arrs = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(5L, 5L, 6L), Seq(6L, 6L, 5L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+    ).toDF("a", "b")
+    val ov = arrs.select(
+      call_function("graft_set_overlap", col("a"), col("b")).as("o"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("i"),
+      size(array_union(col("a"), col("b"))).cast("long").as("u")).collect()
+    ov.foreach { r =>
+      val o = r.getStruct(0)
+      assert(o.getLong(0) === r.getLong(1), s"inter diverges: $r")
+      assert(o.getLong(1) === r.getLong(2), s"union diverges: $r")
+    }
+  }
+
   test("minhashCoeff is deterministic and within safe ranges") {
     val (a1, b1) = Dedup.minhashCoeff(3)
     val (a2, b2) = Dedup.minhashCoeff(3)
