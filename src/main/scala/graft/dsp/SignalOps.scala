@@ -56,9 +56,34 @@ object SignalOps {
       .withColumn("_sg_n", count(lit(1)).over(wFull))
       .filter(col("_sg_n") >= w)
 
+    val (fw, lw) = sgEdgeArrays(col(x), rec, t, col("_sg_rn"), col("_sg_n"), w)
     base
-      .withColumn(out, sgExpr(col(x), rec, t, col("_sg_rn"), col("_sg_n"), w, deg, deriv))
-      .drop("_sg_rn", "_sg_n")
+      .withColumn("_sg_fw", fw).withColumn("_sg_lw", lw)
+      .withColumn(out, sgExpr(col(x), rec, t, col("_sg_rn"), col("_sg_n"), w, deg, deriv,
+        col("_sg_fw"), col("_sg_lw")))
+      .drop("_sg_rn", "_sg_n", "_sg_fw", "_sg_lw")
+  }
+
+  /** The edge-sample arrays of one (signal, window) pair: the record's
+    * FIRST w samples and its REVERSED last w samples, each as one
+    * full-frame window column. Materialize both ONCE (one `withColumn`
+    * each) and pass the resulting attribute to [[sgExpr]] — window
+    * extraction hoists every syntactic occurrence of a window expression
+    * separately, so inlining these in the per-edge-row CASE branches
+    * would plant w window frames per edge row (440 at w=21) instead
+    * of 2 per (signal, window).
+    *
+    * `collect_list` skips nulls: SG inputs must be non-null (the scipy
+    * reference poisons the fit on NaN; here null samples would silently
+    * shift the edge arrays — same contract, enforced upstream).
+    */
+  def sgEdgeArrays(x: Column, rec: String, t: String, rn: Column, n: Column,
+                   w: Int): (Column, Column) = {
+    val wFull = Window.partitionBy(rec).orderBy(t)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val xd = x.cast("double")
+    (collect_list(when(rn <= lit(w), xd)).over(wFull),
+      reverse(collect_list(when(rn > n - lit(w), xd)).over(wFull)))
   }
 
   /** The SG filtered value as one Column, given already-materialized
@@ -70,14 +95,13 @@ object SignalOps {
     * caller must have filtered records shorter than `w` (or guard the
     * expression with `when(n >= w, ...)`).
     */
-  def sgExpr(x: Column, rec: String, t: String, rn: Column, n: Column,
-             w: Int, deg: Int, deriv: Int): Column = {
+  def sgExpr(x: Column, rn: Column, n: Column,
+             w: Int, deg: Int, deriv: Int,
+             firstW: Column, lastW: Column,
+             wOrd: org.apache.spark.sql.expressions.WindowSpec): Column = {
     val half = w / 2
     val cw   = SavGol.centralWeights(w, deg, deriv)
     val ew   = SavGol.edgeWeights(w, deg, deriv)
-    val wOrd  = Window.partitionBy(rec).orderBy(t)
-    val wFull = Window.partitionBy(rec).orderBy(t)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     // Interior: dot product over offsets -half..half via lag/lead.
     val interior = (0 until w).map { j =>
@@ -88,16 +112,19 @@ object SignalOps {
       term * lit(cw(j))
     }.reduce(_ + _)
 
-    // Left edge row i (0-based): dot of edge row i with the FIRST w samples.
-    def leftEdge(i: Int): Column =
-      (0 until w).map(j => nth_value(x, j + 1).over(wFull) * lit(ew(i)(j))).reduce(_ + _)
-    // Right edge (mirror): f^(d)(n-1-i) = (-1)^d * edge(i) . reverse(last w
-    // samples). "j-th sample from the end" (j = 0-based) is expressed as
-    // max(when(rn = n - j, x)) over the full frame (exactly one row matches).
+    // Edges: per-edge-row dot products over the MATERIALIZED
+    // [[sgEdgeArrays]] columns — plain CASE-branch arithmetic, evaluated
+    // lazily only on the half matching rows, zero window frames. Same
+    // left-fold add order as a per-tap reduce chain — bit-identical sums,
+    // so the SQL oracles mirror unchanged.
+    def dotLit(arr: Column, cs: Array[Double]): Column =
+      (0 until w).map(j => element_at(arr, j + 1) * lit(cs(j))).reduce(_ + _)
+    // Left edge row i (0-based): dot of edge row i with the FIRST w
+    // samples. Right edge (mirror): f^(d)(n-1-i) = (-1)^d * edge(i) .
+    // reverse(last w samples) — lastW is already reversed.
     val sgn = if (deriv % 2 == 0) 1.0 else -1.0
-    def fromEnd(j: Int): Column = max(when(rn === n - lit(j), x)).over(wFull)
-    def rightEdge(i: Int): Column =
-      (0 until w).map(j => fromEnd(j) * lit(sgn * ew(i)(j))).reduce(_ + _)
+    def leftEdge(i: Int): Column = dotLit(firstW, ew(i))
+    def rightEdge(i: Int): Column = dotLit(lastW, ew(i).map(sgn * _))
 
     (0 until half).foldLeft(
       (0 until half).foldLeft(interior) { (acc, i) =>
@@ -107,6 +134,13 @@ object SignalOps {
       when(rn === n - lit(i), rightEdge(i)).otherwise(acc)
     }
   }
+
+  /** [[sgExpr]] with the conventional (rec, t) window spec. */
+  def sgExpr(x: Column, rec: String, t: String, rn: Column, n: Column,
+             w: Int, deg: Int, deriv: Int,
+             firstW: Column, lastW: Column): Column =
+    sgExpr(x, rn, n, w, deg, deriv, firstW, lastW,
+      Window.partitionBy(rec).orderBy(t))
 
   /** DuckDB CTE chain equivalent to [[sgDf]]: returns (cteClauses,
     * finalRelationName); the final relation exposes (rec, t, out).

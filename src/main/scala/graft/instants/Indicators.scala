@@ -80,15 +80,24 @@ object Indicators {
       .filter(n >= minW)
     // stage 1: b_i = SG_w(x, d), defined where the record has >= w samples
     val withB = combos.zipWithIndex.foldLeft(base) { case (d0, ((x, w, o), i)) =>
-      d0.withColumn(s"_eps_b_$i",
-        when(n >= w, SignalOps.sgExpr(col(x), rec, t, rn, n, w, deg, o)))
+      val (fw, lw) = SignalOps.sgEdgeArrays(col(x), rec, t, rn, n, w)
+      d0.withColumn(s"_eps_fw_$i", fw).withColumn(s"_eps_lw_$i", lw)
+        .withColumn(s"_eps_b_$i",
+          when(n >= w, SignalOps.sgExpr(col(x), rec, t, rn, n, w, deg, o,
+            col(s"_eps_fw_$i"), col(s"_eps_lw_$i"))))
+        .drop(s"_eps_fw_$i", s"_eps_lw_$i")
     }
     // stage 2: residual r_i = b_i − SG_{2w+1}(b_i, d), where n >= 2w+1
     val withR = combos.zipWithIndex.foldLeft(withB) { case (d0, ((_, w, o), i)) =>
       val w2 = 2 * w + 1
-      d0.withColumn(s"_eps_r_$i",
-        when(n >= w2,
-          col(s"_eps_b_$i") - SignalOps.sgExpr(col(s"_eps_b_$i"), rec, t, rn, n, w2, deg, o)))
+      val b = col(s"_eps_b_$i")
+      val (fw, lw) = SignalOps.sgEdgeArrays(b, rec, t, rn, n, w2)
+      d0.withColumn(s"_eps_fw2_$i", fw).withColumn(s"_eps_lw2_$i", lw)
+        .withColumn(s"_eps_r_$i",
+          when(n >= w2,
+            b - SignalOps.sgExpr(b, rec, t, rn, n, w2, deg, o,
+              col(s"_eps_fw2_$i"), col(s"_eps_lw2_$i"))))
+        .drop(s"_eps_fw2_$i", s"_eps_lw2_$i")
     }
     val sds  = combos.indices.map(i => stddev_pop(col(s"_eps_r_$i")).as(s"_eps_s_$i"))
     val tops = combos.indices.map(i => max(col(s"_eps_s_$i")).as(s"_eps_e_$i"))
@@ -162,7 +171,12 @@ object Indicators {
         when(n > 1, col("LEN") / (n - 1).cast("double")).otherwise(lit(0.0)))
     val sgName = combos.zipWithIndex.map { case (c, i) => c -> s"_bk_sg_$i" }.toMap
     val withSg = combos.foldLeft(base) { case (d, cmb @ (x, w, o)) =>
-      d.withColumn(sgName(cmb), SignalOps.sgExpr(col(x), rec, t, col("_bk_rn"), n, w, deg, o))
+      val nm = sgName(cmb)
+      val (fw, lw) = SignalOps.sgEdgeArrays(col(x), rec, t, col("_bk_rn"), n, w)
+      d.withColumn(s"${nm}_fw", fw).withColumn(s"${nm}_lw", lw)
+        .withColumn(nm, SignalOps.sgExpr(col(x), rec, t, col("_bk_rn"), n, w, deg, o,
+          col(s"${nm}_fw"), col(s"${nm}_lw")))
+        .drop(s"${nm}_fw", s"${nm}_lw")
     }
     val out = withEps.foldLeft(withSg) { case (d, (cd, e)) =>
       // direction comes from the sign of the configured sigma, NOT of
