@@ -73,7 +73,15 @@ object Selector {
                         minInstances: Int, seed: Long, k: Int,
                         rec: String, t: String): DecisionTreeClassificationModel = {
     val pct = math.max(1, math.round(samplePct * 100).toInt)
+    // The sketch/histogram rounds of tree training run once per depth
+    // level; spreading a samplePct-sized sample over the full parent
+    // fan-out makes every round scheduling-bound. coalesce (no shuffle)
+    // keeps the sample's partition count proportional to its share of
+    // the data while still spanning the cluster at scale.
+    val parts = math.max(2,
+      (labeled.rdd.getNumPartitions * math.min(1.0, samplePct * 2)).toInt)
     val sample = labeled.filter(pmod(xxhash64(col(rec), col(t), lit(seed + k)), lit(100)) < pct)
+      .coalesce(parts)
     new DecisionTreeClassifier()
       .setFeaturesCol("_fv").setLabelCol("label")
       .setMinInstancesPerNode(minInstances)
