@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import graft.core.Opset
+import graft.instants.Splits
+import graft.llm.Dedup
+import graft.tubes.Tube
+
+/** Physical-plan regression guards for the scale claims in BASELINE.md's
+  * plan audit: these are the properties that decide whether a query that
+  * works at sf0.1 still works at 1000 executors and 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def collectAll[A](p: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] = {
+    // plain children stop at AQE / query-stage / reused-exchange
+    // boundaries — unwrap them so the walk sees the whole physical plan
+    val kids: Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    val self = if (f.isDefinedAt(p)) Seq(f(p)) else Seq.empty
+    self ++ kids.flatMap(c => collectAll(c)(f))
+  }
+
+  test("no operator plans a single-partition (unpartitioned) window") {
+    val os = Opset.fromEvents(spark, dir)
+    for (df <- Seq(os.recordIndex, os.slice(1, 3).df,
+        Dedup.exact(spark.read.parquet(s"$dir/documents.parquet"), "doc_id", Seq("text")))) {
+      val bad = collectAll(plan(df)) {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"unpartitioned WindowExec in:\n${plan(df)}")
+    }
+  }
+
+  test("Dedup.exact is aggregation-shaped: no window, map-side partial agg") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Dedup.exact(docs, "doc_id", Seq("text")))
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "exact dedup must not sort groups through a window")
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size >= 2, "expected partial + final HashAggregate")
+  }
+
+  test("record filters sit below the record shuffle (filter-before-exchange)") {
+    val os = Opset.fromEvents(spark, dir)
+    val p = plan(os.get("1"))
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // the t-index window's subtree must already contain the record filter
+    val filtersBelow = windows.flatMap(w => collectAll(w) {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("user_id") || f.condition.toString.contains("record") => f
+    })
+    assert(filtersBelow.nonEmpty,
+      s"record filter not pushed below the window:\n$p")
+  }
+
+  test("split joins broadcast the metadata-sized instant table") {
+    val os = Opset.fromEvents(spark, dir)
+    val lr = Splits.argmaxInstants(os, "value")
+    val p = plan(Splits.left(os, lr).df)
+    val bcasts = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, s"expected BroadcastHashJoin:\n$p")
+  }
+
+  test("tube scoresMatrix shares ONE record shuffle across all targets") {
+    val base = (1 to 50).flatMap(i => Seq(("a", i.toLong, i * 1.0), ("b", i.toLong, 50.0 - i)))
+      .toDF("record", "t", "value")
+      .withColumn("TIME", (col("t") - 1).cast("double"))
+      .withColumn("TIME2", col("TIME") * col("TIME"))
+    val m = Tube.scoresMatrix(base, "record",
+      Seq("value" -> Seq("TIME", "TIME2"), "TIME2" -> Seq("TIME")), 2.0)
+    val shuffles = collectAll(plan(m)) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1,
+      s"multi-target scoring must not shuffle per target:\n${plan(m)}")
+  }
+}
