@@ -67,4 +67,23 @@ object StreamOps {
           Iterator((rec, best.bestT - 1, best.bestV)) // 0-based instant
       }
   }
+
+  /** Stream a transformed signal stream INTO an Opset store: append-mode
+    * parquet sink readable by [[graft.core.Opset.load]], with
+    * exactly-once file commits via the checkpoint. Returns the started
+    * query; await/stop is the caller's choice (the default
+    * `Trigger.AvailableNow` drains the backlog and stops — the
+    * batch-refresh pattern of a large-scale ingest job).
+    */
+  def writeOpsetStore(df: DataFrame, path: String, checkpoint: String,
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .start()
 }

@@ -78,4 +78,25 @@ class StreamOpsSpec extends SparkSpec {
       assert(last.contains(("s", 0L, 1.0)))
     } finally q.stop()
   }
+
+  test("writeOpsetStore lands a stream as an Opset.load-able parquet store") {
+    implicit val sc = spark.sqlContext
+    import graft.core.Opset
+    val in = MemoryStream[(String, Long, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-store").toString
+    in.addData(("r1", 1L, 10.0), ("r1", 2L, 11.0), ("r2", 1L, 20.0))
+    val q = StreamOps.writeOpsetStore(
+      in.toDF().toDF("record", "t", "value"),
+      s"$dir/store", s"$dir/ckpt")
+    q.awaitTermination() // AvailableNow: drains the backlog and stops
+    val os = Opset.load(spark, s"$dir/store")
+    assert(os.size === 2L)
+    assert(os.get("r1").count() === 2L)
+    // exactly-once: restarting over the same checkpoint adds nothing
+    val q2 = StreamOps.writeOpsetStore(
+      in.toDF().toDF("record", "t", "value"),
+      s"$dir/store", s"$dir/ckpt")
+    q2.awaitTermination()
+    assert(Opset.load(spark, s"$dir/store").df.count() === 3L)
+  }
 }
