@@ -12,6 +12,12 @@ object EntryProbeMain {
     spark.sparkContext.setLogLevel("ERROR")
     val n = SparkEntry.entry(spark).count()
     println(s"ENTRY rows=$n")
+    // graft-function call sites must fall back to their HOF twins here
+    // (no GraftExtensions in this session)
+    for (q <- Seq("ann_topk", "text_fingerprint", "dedup_minhash_sig", "dedup_jaccard")) {
+      val c = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      println(s"PLAIN $q rows=$c")
+    }
     spark.stop()
   }
 }
