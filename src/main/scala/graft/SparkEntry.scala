@@ -116,6 +116,15 @@ object SparkEntry {
     */
   @volatile private var treeExport: Option[String] = None
 
+  /** The tube_fit factor pool and the kept ensemble models, exported at
+    * Verify time so the oracle can re-score each model's held-out r2
+    * independently (same pattern as [[treeExport]]).
+    */
+  private val TubeFitPool = Seq("TIME", "TIME2", "SGV", "MEDIAN", "CAUSAL")
+  private val TubeFitPct = 0.01 // 1 bucket of 100 trains, the next validates
+  private val TubeFitSeed = 42L
+  @volatile private var tubeFitExport: Option[Seq[Tube.TubeModel]] = None
+
   /** Predicted instants per sf dir (belief + argmax over the cached bank),
     * shared by instants_predict and instants_scores.
     */
@@ -410,6 +419,52 @@ object SparkEntry {
        |       CAST(sum(CASE WHEN y > zmax1 OR y < zmin1 THEN 1 ELSE 0 END) AS BIGINT) AS value,
        |       CAST(sum(CASE WHEN sgv > zmax2 OR sgv < zmin2 THEN 1 ELSE 0 END) AS BIGINT) AS "SGV"
        |FROM est GROUP BY record ORDER BY record""".stripMargin
+  }
+
+  /** The tube_fit oracle: re-score every exported ensemble model. DuckDB
+    * rebuilds the factor table (including window MEDIAN/CAUSAL), selects
+    * the SAME md5-bucket validation rows the Spark fit held out, evaluates
+    * the exported (intercept, coefs) literally, and recomputes the
+    * held-out r2 — arithmetic written in the Spark expressions' operation
+    * order, rounded to 4 decimals on both sides.
+    */
+  private def tubeFitOracle: Map[String, String] = tubeFitExport match {
+    case None => Map.empty
+    case Some(models) =>
+      val (sgCtes, sgRel) = SignalOps.sgOracleCtes("opset", "value", "record", "t", SgW, SgDeg, 0, "sgv")
+      val factorSql = Map("TIME" -> "tm", "TIME2" -> "tm2", "SGV" -> "sgv",
+        "MEDIAN" -> "med", "CAUSAL" -> "cau")
+      val pct = math.max(1, math.round(TubeFitPct * 100).toInt)
+      val arms = models.zipWithIndex.map { case (m, i) =>
+        val p = m.factors.zip(m.coefs.toIndexedSeq)
+          .foldLeft(m.intercept.toString) { case (acc, (f, c)) =>
+            s"($acc + ${factorSql(f)} * $c)" }
+        s"""SELECT CAST($i AS BIGINT) AS model_id, '${m.factors.mkString(",")}' AS factors,
+           |       round(CASE WHEN abs(syy - sy * sy / n) > 1e-9
+           |                  THEN 1.0 - ssres / (syy - sy * sy / n)
+           |                  ELSE 0.0 END, 4) AS r2
+           |FROM (
+           |  SELECT sum((y - $p) * (y - $p)) AS ssres, sum(y) AS sy,
+           |         sum(y * y) AS syy, CAST(count(*) AS DOUBLE) AS n
+           |  FROM vld
+           |)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      Map("tube_fit" ->
+        s"""WITH $OpsetCte, $sgCtes, tbf AS (
+           |  SELECT o.record, o.t, o.value AS y,
+           |         CAST(o.t - 1 AS DOUBLE) AS tm,
+           |         CAST(o.t - 1 AS DOUBLE) * CAST(o.t - 1 AS DOUBLE) AS tm2,
+           |         s.sgv AS sgv,
+           |         median(o.value) OVER (PARTITION BY o.record) AS med,
+           |         first_value(o.value) OVER (PARTITION BY o.record ORDER BY o.t) AS cau
+           |  FROM opset o JOIN $sgRel s ON o.record = s.record AND o.t = s.t
+           |), vld AS (
+           |  SELECT * FROM tbf
+           |  WHERE CAST(concat('0x', substr(md5(concat_ws('|', record, t, '$TubeFitSeed')), 1, 8)) AS BIGINT) % 100
+           |        BETWEEN $pct AND ${2 * pct - 1}
+           |)
+           |$arms
+           |ORDER BY model_id""".stripMargin)
   }
 
   // MinHash-LSH parameters shared by the dedup_minhash_* queries/oracles.
@@ -709,14 +764,20 @@ object SparkEntry {
     },
 
     "tube_fit" -> { (s, dir) =>
-      // Ensemble fit over the full factor pool (rows-only driver check;
-      // determinism pinned by TubeSpec).
+      // Ensemble fit over the full factor pool. The kept models are
+      // exported as literals (same Verify-time pattern as treeExport) and
+      // the oracle RE-SCORES each one: DuckDB reproduces the md5-bucket
+      // validation sample, evaluates the exported coefficients, and must
+      // land on the same held-out r2 — an independent check of the
+      // sampling, the factor algebra, and the scoring.
       val base = Tube.withDerivedFactors(tubeBase(s, dir), "record", "t", "value")
-      val models = Tube.fit(base, "record", "t", "value",
-        Seq("TIME", "TIME2", "SGV", "MEDIAN", "CAUSAL"))
+      val models = Tube.fit(base, "record", "t", "value", TubeFitPool,
+        samplesPct = TubeFitPct, seed = TubeFitSeed)
+      tubeFitExport = Some(models)
       import s.implicits._
       models.zipWithIndex
-        .map { case (m, i) => (i.toLong, m.factors.mkString(","), math.rint(m.r2 * 1e4) / 1e4) }
+        .map { case (m, i) => (i.toLong, m.factors.mkString(","),
+          BigDecimal(m.r2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
         .toDF("model_id", "factors", "r2").orderBy("model_id")
     },
 
@@ -1255,7 +1316,7 @@ object SparkEntry {
          |SELECT record, t, 'value' AS variable, 'value' AS name, '-' AS unit,
          |       CAST(value AS DOUBLE) AS y
          |FROM opset ORDER BY record, t""".stripMargin,
-  ) ++ treeOracles ++ ivfOracle
+  ) ++ treeOracles ++ ivfOracle ++ tubeFitOracle
 
   // ----- long oracle bodies ----------------------------------------------
 

@@ -249,7 +249,9 @@ object Tube {
     *    the seed — reproducible, unlike the reference's global RNG);
     *  - train/validation rows are disjoint deterministic hash samples of
     *    ~`samplesPct` of every record (reference: per-record
-    *    `np.random.choice`);
+    *    `np.random.choice`); the bucket hash is md5-based so an ANSI-SQL
+    *    oracle can reproduce the exact sample (and so independently
+    *    re-score every kept model — see SparkEntry's tube_fit oracle);
     *  - each retry solves OLS by normal equations aggregated over the
     *    CACHED sample — one full-data scan for the whole fit, then
     *    driver-side k×k solves (k ≤ maxFeatures + 1);
@@ -259,7 +261,8 @@ object Tube {
           retries: Int = 10, keepBest: Int = 5, samplesPct: Double = 0.01,
           maxFeatures: Int = 5, seed: Long = 42L): Seq[TubeModel] = {
     val pctBuckets = math.max(1, math.round(samplesPct * 100).toInt)
-    val bucket = pmod(xxhash64(col(rec), col(t), lit(seed)), lit(100))
+    val bucket = graft.llm.Dedup.md5Hash32(
+      concat_ws("|", col(rec), col(t), lit(seed))) % 100
     val train = df.filter(bucket < pctBuckets).cache()
     val valid = df.filter(bucket >= pctBuckets && bucket < 2 * pctBuckets).cache()
     try {
@@ -296,7 +299,9 @@ object Tube {
         // Held-out r² over the validation sample.
         val p = model.predictCol
         val vr = valid.agg(
-          sum(pow(y - p, 2)).as("ssres"),
+          // (y-p)*(y-p), not pow(·,2): Math.pow is not guaranteed
+          // bit-exact for squaring, and the SQL oracle multiplies
+          sum((y - p) * (y - p)).as("ssres"),
           sum(y).as("sy"), sum(y * y).as("syy"),
           count(lit(1)).cast("double").as("n")).head()
         val (ssres, sy, syy, n) =
