@@ -125,6 +125,12 @@ object SparkEntry {
   private val TubeFitSeed = 42L
   @volatile private var tubeFitExport: Option[Seq[Tube.TubeModel]] = None
 
+  /** pca_circle's eigenvectors (rows) + row count, exported at Verify
+    * time; eigenVALUES are deliberately NOT exported — the oracle
+    * re-derives them from its own correlation matrix.
+    */
+  @volatile private var pcaEigenExport: Option[(Array[Array[Double]], Long)] = None
+
   /** Predicted instants per sf dir (belief + argmax over the cached bank),
     * shared by instants_predict and instants_scores.
     */
@@ -421,6 +427,45 @@ object SparkEntry {
        |FROM est GROUP BY record ORDER BY record""".stripMargin
   }
 
+  /** The pca_circle oracle: DuckDB computes its OWN correlation matrix of
+    * [[PcaCols]], recovers eigenvalue k as the Rayleigh quotient
+    * `v_k' C v_k` of the exported (unit) eigenvector, and re-derives the
+    * loadings `v_ik * sqrt(max(lambda_k * n/(n-1), 0))` and EVR
+    * `lambda_k / sum(lambda)`. The Jacobi sweep converges off-diagonals
+    * to ~1e-12 (Pca.jacobiEigen), so the recovered eigenvalues agree with
+    * the Spark side's far inside the shared round-6.
+    */
+  private def pcaCircleOracle: Map[String, String] = pcaEigenExport match {
+    case None => Map.empty
+    case Some((vecs, _)) =>
+      val p = PcaCols.size
+      def cName(i: Int, j: Int) = s"c_${math.min(i, j)}_${math.max(i, j)}"
+      val corrExprs = (for (i <- 0 until p; j <- i until p)
+        yield s"corr(${PcaCols(i)}, ${PcaCols(j)}) AS ${cName(i, j)}").mkString(",\n         ")
+      def lam(k: Int): String =
+        (for (i <- 0 until p; j <- 0 until p)
+          yield s"${vecs(k)(i)} * ${vecs(k)(j)} * ${cName(i, j)}").mkString("(", " + ", ")")
+      val lamCols = (0 until p).map(k => s"${lam(k)} AS l_$k").mkString(",\n         ")
+      val lamSum = (0 until p).map(k => s"l_$k").mkString("(", " + ", ")")
+      val arms = (for (k <- 0 until p; i <- 0 until p) yield
+        s"""SELECT '${PcaCols(i)}' AS variable, CAST(${k + 1} AS BIGINT) AS component,
+           |       round(${vecs(k)(i)} * sqrt(greatest(l_$k * n / (n - 1.0), 0.0)), 6) AS x,
+           |       round(l_$k / $lamSum, 6) AS evr
+           |FROM lam""".stripMargin).mkString("\nUNION ALL\n")
+      Map("pca_circle" ->
+        s"""WITH cagg AS (
+           |  SELECT $corrExprs,
+           |         CAST(count(*) AS DOUBLE) AS n
+           |  FROM lineitem
+           |), lam AS (
+           |  SELECT n,
+           |         $lamCols
+           |  FROM cagg
+           |)
+           |$arms
+           |ORDER BY component, variable""".stripMargin)
+  }
+
   /** The tube_fit oracle: re-score every exported ensemble model. DuckDB
     * rebuilds the factor table (including window MEDIAN/CAUSAL), selects
     * the SAME md5-bucket validation rows the Spark fit held out, evaluates
@@ -711,8 +756,14 @@ object SparkEntry {
     },
 
     "pca_circle" -> { (s, dir) =>
+      // eigenVECTORS export only: the oracle recovers each eigenvalue as
+      // the Rayleigh quotient v'Cv over DuckDB's OWN correlation matrix,
+      // then re-derives loadings and EVR — the eigensystem property is
+      // checked, not echoed.
       val li = s.read.parquet(s"$dir/lineitem.parquet")
-      Pca.circle(li, PcaCols, s).orderBy("component", "variable")
+      val (df, vecs, n) = Pca.circleWithEigen(li, PcaCols, s)
+      pcaEigenExport = Some((vecs, n))
+      df.orderBy("component", "variable")
     },
 
     // -- instants pipeline (rows 18-20, 22) --
@@ -1316,7 +1367,7 @@ object SparkEntry {
          |SELECT record, t, 'value' AS variable, 'value' AS name, '-' AS unit,
          |       CAST(value AS DOUBLE) AS y
          |FROM opset ORDER BY record, t""".stripMargin,
-  ) ++ treeOracles ++ ivfOracle ++ tubeFitOracle
+  ) ++ treeOracles ++ ivfOracle ++ tubeFitOracle ++ pcaCircleOracle
 
   // ----- long oracle bodies ----------------------------------------------
 

@@ -55,7 +55,13 @@ object Pca {
     val v = Array.tabulate(p, p)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
     var off = offDiag(a)
-    while (sweep < sweeps && off > 1e-12) {
+    // Tolerance is the SUM of squared off-diagonals: 1e-24 bounds each
+    // element near 1e-12, so a Rayleigh quotient v'Cv recomputed from the
+    // returned vectors (the pca_circle oracle does exactly that) agrees
+    // with the returned eigenvalue far inside round-6 — 1e-12 would only
+    // bound elements near 1e-6. Convergence is quadratic; the tighter
+    // threshold costs at most one extra sweep of a p×p driver matrix.
+    while (sweep < sweeps && off > 1e-24) {
       for (i <- 0 until p - 1; j <- i + 1 until p if math.abs(a(i)(j)) > 1e-15) {
         val theta = (a(j)(j) - a(i)(i)) / (2.0 * a(i)(j))
         val t =
@@ -100,7 +106,16 @@ object Pca {
     * the loading `x = vᵢ·√λ'` (λ' carries the reference's sklearn n/(n−1)
     * sample-variance factor) and the component's explained-variance ratio.
     */
-  def circle(df: DataFrame, cols: Seq[String], spark: SparkSession): DataFrame = {
+  def circle(df: DataFrame, cols: Seq[String], spark: SparkSession): DataFrame =
+    circleWithEigen(df, cols, spark)._1
+
+  /** [[circle]] plus the eigensystem and row count it used — the export
+    * surface for an independent oracle (re-derive each eigenvalue as the
+    * Rayleigh quotient v'Cv over an independently computed correlation
+    * matrix, then reproduce loadings and explained-variance ratios).
+    */
+  def circleWithEigen(df: DataFrame, cols: Seq[String], spark: SparkSession)
+      : (DataFrame, Array[Array[Double]], Long) = {
     import spark.implicits._
     val (c, nRows) = corrMatrixAndCount(df, cols)
     require(nRows >= 2, s"PCA needs at least 2 rows, got $nRows")
@@ -120,6 +135,6 @@ object Pca {
         r6(vecs(k)(i) * math.sqrt(math.max(lambdaSample, 0.0))),
         r6(vals(k) / total))
     }
-    rows.toDF("variable", "component", "x", "evr")
+    (rows.toDF("variable", "component", "x", "evr"), vecs, nRows)
   }
 }
