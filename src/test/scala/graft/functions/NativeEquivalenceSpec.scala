@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.llm.Dedup
+
+/** Property-style pinning of the native expressions against their
+  * declarative twins over generated inputs — the null/multibyte/short
+  * corner cases in DedupSpec plus the space between them. Inputs come
+  * from seeded scalacheck generators (scalatestplus is not in the
+  * offline cache), so failures reproduce exactly.
+  */
+class NativeEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // strings mixing ASCII, whitespace runs, 2-byte latin, CJK, non-BMP
+  // emoji (surrogate pairs), and the odd LONE surrogate — every UTF-8
+  // width class plus malformed input
+  private val genText: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf(" ", "  ", "\t", "\n"),
+    1 -> Gen.oneOf("é", "ü", "ß", "ñ"),
+    1 -> Gen.oneOf("水", "火", "Ж"),
+    1 -> Gen.oneOf("😀", "🎉", "𝔘"),
+    1 -> Gen.const("\ud83d"), // lone high surrogate (malformed)
+  )).map(_.mkString)
+
+  private def sampled[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private def declMd5(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  test("graft_shingle_hashes == declarative chain on generated strings") {
+    val df = (sampled(genText, 300, 7L) :+ null).toDF("text")
+    val bad = df.select(col("text"),
+        Dedup.distinctNgramHashes(col("text"), 5).as("nat"),
+        array_distinct(transform(Dedup.charShingles(col("text"), 5),
+          g => declMd5(g))).as("dec"))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
+  }
+
+  test("graft_word_ngram_hashes == declarative chain on generated strings") {
+    def decl(c: org.apache.spark.sql.Column, n: Int) = {
+      val toks = Dedup.tokens(c)
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => declMd5(concat_ws(" ", slice(toks, i, lit(n))))))
+    }
+    val df = (sampled(genText, 300, 11L) :+ null).toDF("text")
+    val bad = df.select(col("text"),
+        call_function("graft_word_ngram_hashes", col("text"), lit(3)).as("nat"),
+        decl(col("text"), 3).as("dec"))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
+  }
+
+  test("graft_set_overlap == array_intersect/array_union sizes on generated arrays") {
+    val genArr = Gen.listOf(Gen.chooseNum(0L, 30L)) // small domain → real overlaps
+    val pairs = sampled(Gen.zip(genArr, genArr), 300, 13L)
+    val df = pairs.toDF("a", "b")
+    val bad = df.select(
+        call_function("graft_set_overlap", col("a"), col("b")).as("o"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("i"),
+        size(array_union(col("a"), col("b"))).cast("long").as("u"))
+      .filter(col("o.inter") =!= col("i") || col("o.uni") =!= col("u"))
+    assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
+  }
+}
