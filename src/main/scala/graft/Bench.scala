@@ -59,16 +59,18 @@ object Bench {
       }
     }
 
+    // a query that failed in ANY pass is an error even if another pass
+    // timed it — a cold-cache breakage must not hide behind a lucky pass
     val qs = names.map { k =>
-      best.get(k) match {
-        case Some(sec) => s"${Json.q(k)}:$sec"
-        case None      => s"${Json.q(k)}:${Json.q("err " + errs.getOrElse(k, "unknown").take(160))}"
+      (best.get(k), errs.get(k)) match {
+        case (Some(sec), None) => s"${Json.q(k)}:$sec"
+        case (_, e)            => s"${Json.q(k)}:${Json.q("err " + e.getOrElse("unknown").take(160))}"
       }
     }.mkString("{", ",", "}")
-    val ok = names.flatMap(best.get)
-    val nerr = names.count(n => !best.contains(n))
-    val total = ok.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${ok.size},"n_err":$nerr,"n_runs":$runs,"sf":${Json.q(sfDir)}}""")
+    val okNames = names.filter(n => best.contains(n) && !errs.contains(n))
+    val nerr = names.size - okNames.size
+    val total = okNames.flatMap(best.get).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${okNames.size},"n_err":$nerr,"n_runs":$runs,"sf":${Json.q(sfDir)}}""")
     spark.stop()
   }
 }

@@ -100,13 +100,19 @@ object SparkEntry {
     */
   private val selectorCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, Selector.SelectorModel)]
-  private def fittedSelector(s: SparkSession, dir: String): (DataFrame, Selector.SelectorModel) =
-    selectorCache.getOrElseUpdate((s, dir), {
+  private def fittedSelector(s: SparkSession, dir: String): (DataFrame, Selector.SelectorModel) = {
+    evictStopped()
+    val r = selectorCache.getOrElseUpdate((s, dir), {
       val selected = Splits.argmaxInstants(opset(s, dir), "value")
       val sel = Selector.fit(cachedBank(s, dir), selected, "record", "t", InstFeatCols)
-      treeExport = Some(Selector.treeSql(sel))
       (selected, sel)
     })
+    // refresh OUTSIDE the miss path: the export is a single most-recent
+    // slot, so a cache HIT (dir A queried again after dir B) must still
+    // leave the export describing A's tree for the oracle dump
+    treeExport = Some(Selector.treeSql(r._2))
+    r
+  }
 
   /** SQL export of the most recently fitted tree. Verify runs every query
     * (fitting at the graded dir) BEFORE dumping oracleSql, so the dump
@@ -136,12 +142,14 @@ object SparkEntry {
     */
   private val computedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def computedInstants(s: SparkSession, dir: String): DataFrame =
+  private def computedInstants(s: SparkSession, dir: String): DataFrame = {
+    evictStopped()
     computedCache.getOrElseUpdate((s, dir), {
       val (_, sel) = fittedSelector(s, dir)
       Selector.predictInstants(
         Selector.belief(sel, cachedBank(s, dir), "record", "t"), "record", "t").cache()
     })
+  }
 
   private def evictStopped(): Unit = {
     def stopped(k: (SparkSession, String)): Boolean = k._1.sparkContext.isStopped

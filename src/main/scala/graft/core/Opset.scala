@@ -55,11 +55,14 @@ final case class Opset(df: DataFrame, recordCol: String = "record", tCol: String
     */
   def recordIndex: DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
-    val rdd = records.rdd.zipWithIndex().map { case (r, i) => Row(r.getString(0), i) }
+    // keep the record column's native type (string, long doc-id, ...) —
+    // the index must not assume string keys
+    val recField = records.schema.fields.head
+    val rdd = records.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i) }
     spark.createDataFrame(rdd, StructType(Seq(
-      StructField(recordCol, StringType),
+      recField.copy(name = recordCol),
       StructField("pos", LongType))))
   }
 

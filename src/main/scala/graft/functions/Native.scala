@@ -15,6 +15,13 @@ import org.apache.spark.sql.SparkSession
   * on the driver with an active session; with no active session at all we
   * answer `false` — the HOF fallback works everywhere, the native path is
   * only an optimization.
+  *
+  * CAVEAT: the probe answers for the session active at COLUMN-CONSTRUCTION
+  * time. A Column built under an extensions-enabled session and later
+  * analyzed against a plain session still fails resolution (and the
+  * reverse silently takes the HOF path) — build Columns in the session
+  * that will execute them, which is what every graft operator does (they
+  * take the DataFrame, whose session is active on the calling thread).
   */
 object Native {
   private val known = new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()

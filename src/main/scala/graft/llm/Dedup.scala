@@ -96,7 +96,10 @@ object Dedup {
     // cache: `banded` feeds BOTH sides of the self-join below; uncached, each
     // side re-computes every array_min(transform(..)) signature + the explode
     // from scratch (the signature chain is the expensive part). Same pattern
-    // as Similarity.lshTopK's cached bucket table.
+    // as Similarity.lshTopK's cached bucket table. Like every operator-local
+    // cache here it cannot be unpersisted before the lazily-returned result
+    // is consumed — long-lived sessions deduplicating many corpora should
+    // spark.catalog.clearCache() between runs (see minhashLsh's note).
     val banded = sigs
       .select(col(idCol) +: bandCols: _*)
       .select(col(idCol), explode(array((0 until bands).map(b => col(s"_band_$b")): _*)).as("bucket"))
@@ -235,6 +238,14 @@ object Dedup {
     * formed, and the `minShared` AND-amplification kills the one-common-
     * phrase false candidates that would otherwise dominate the re-rank
     * cost (a true near-dup above threshold shares many selected grams).
+    *
+    * RECALL CAVEAT of the cap: a clique of MORE than `maxDocFreq`
+    * near-identical documents (mass-produced boilerplate) pushes every
+    * shared gram's document frequency over the cap, so its pairs are not
+    * candidates — by design, since that bucket is exactly the O(df²)
+    * blow-up the cap exists to prevent. Catch those cliques with
+    * [[Dedup.exact]] / [[Dedup.minhashLsh]] (banding keys on the whole
+    * signature, not a single gram), or raise `maxDocFreq` knowingly.
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, blockMod: Int = 8, threshold: Double = 0.5,

@@ -64,24 +64,6 @@ object Tube {
 
   // ---- per-record closed-form OLS --------------------------------------
 
-  /** The six sufficient statistics of a 1-factor OLS as window columns. */
-  private def olsSums(x: Column, y: Column, w: org.apache.spark.sql.expressions.WindowSpec) = {
-    val n   = count(lit(1)).over(w).cast("double")
-    (n, sum(x).over(w), sum(y).over(w), sum(x * x).over(w), sum(x * y).over(w), sum(y * y).over(w))
-  }
-
-  /** (b0, b1) of `y ~ b0 + b1 x` per window partition; a zero-variance
-    * factor degenerates to the mean predictor (b1 = 0), like the
-    * pseudo-inverse the reference's sklearn backend computes.
-    */
-  def ols1Cols(x: Column, y: Column, w: org.apache.spark.sql.expressions.WindowSpec): (Column, Column) = {
-    val (n, sx, sy, sxx, sxy, _) = olsSums(x, y, w)
-    val den = n * sxx - sx * sx
-    val b1 = when(abs(den) > 1e-9, (n * sxy - sx * sy) / den).otherwise(lit(0.0))
-    val b0 = (sy - b1 * sx) / n
-    (b0, b1)
-  }
-
   /** Per-record 1-factor OLS fit table: (record, b0, b1, r2) — the
     * SQL-oracle-checkable core of `build_tube` (tubes.py:252-255). One
     * groupBy on the record key, map-side partial aggregation of the six
@@ -111,6 +93,55 @@ object Tube {
 
   // ---- per-record ensemble estimate (tubes.py:306) ---------------------
 
+  /** Materialize the OLS sufficient statistics for every (target, factor)
+    * pair as REAL columns — one window aggregate each — and return the
+    * augmented frame plus each target's prediction expressions (plain
+    * projection arithmetic over the attributes). Window extraction hoists
+    * every syntactic occurrence of a `.over()` separately, so inlining
+    * the six sums per prediction into z/min/max/bounds would plant each
+    * aggregate 5+ times in the WindowExec; as attributes each is computed
+    * once. Distinct factors share their `sum(x)`/`sum(x*x)` columns
+    * across targets. Temp columns are prefixed `_tb_` for the caller to
+    * drop.
+    */
+  private def withOlsPreds(df: DataFrame, rec: String,
+                           targets: Seq[(String, Seq[String])])
+      : (DataFrame, Seq[Seq[Column]]) = {
+    val w = Window.partitionBy(rec)
+    val allFactors = targets.flatMap(_._2).distinct
+    val fIdx = allFactors.zipWithIndex.toMap
+    var d = df.withColumn("_tb_n", count(lit(1)).over(w).cast("double"))
+    allFactors.foreach { f =>
+      val x = col(f); val i = fIdx(f)
+      d = d.withColumn(s"_tb_sx_$i", sum(x).over(w))
+        .withColumn(s"_tb_sxx_$i", sum(x * x).over(w))
+    }
+    targets.zipWithIndex.foreach { case ((target, factors), k) =>
+      val y = col(target)
+      d = d.withColumn(s"_tb_sy_$k", sum(y).over(w))
+      factors.foreach { f =>
+        d = d.withColumn(s"_tb_sxy_${k}_${fIdx(f)}", sum(col(f) * y).over(w))
+      }
+    }
+    val n = col("_tb_n")
+    val preds = targets.zipWithIndex.map { case ((_, factors), k) =>
+      val sy = col(s"_tb_sy_$k")
+      factors.map { f =>
+        val i = fIdx(f)
+        val sx = col(s"_tb_sx_$i"); val sxx = col(s"_tb_sxx_$i")
+        val sxy = col(s"_tb_sxy_${k}_$i")
+        val den = n * sxx - sx * sx
+        val b1 = when(abs(den) > 1e-9, (n * sxy - sx * sy) / den).otherwise(lit(0.0))
+        val b0 = (sy - b1 * sx) / n
+        b0 + b1 * col(f)
+      }
+    }
+    (d, preds)
+  }
+
+  private def dropTb(df: DataFrame): DataFrame =
+    df.drop(df.columns.filter(_.startsWith("_tb_")).toIndexedSeq: _*)
+
   /** Tube estimate over a deterministic per-record ensemble: one 1-factor
     * OLS per factor column, ensemble mean `z`, envelope min/max, bounds
     * `zmin = z − q·(z − min)`, `zmax = z + q·(max − z)` (filter_width 0
@@ -119,15 +150,12 @@ object Tube {
     */
   def estimate(df: DataFrame, rec: String, t: String, target: String,
                factors: Seq[String], q: Double = TubeFactor): DataFrame = {
-    val w = Window.partitionBy(rec)
-    val preds = factors.map { f =>
-      val (b0, b1) = ols1Cols(col(f), col(target), w)
-      b0 + b1 * col(f)
-    }
+    val (d, allPreds) = withOlsPreds(df, rec, Seq(target -> factors))
+    val preds = allPreds.head
     val z = preds.reduce(_ + _) / preds.size
     val pMin = preds.reduce(least(_, _))
     val pMax = preds.reduce(greatest(_, _))
-    df.withColumn("z", z)
+    d.withColumn("z", z)
       .withColumn("zmin", col("z") - lit(q) * (col("z") - pMin))
       .withColumn("zmax", col("z") + lit(q) * (pMax - col("z")))
       .select(col(rec), col(t), col(target).as("y"), col("z"), col("zmin"), col("zmax"))
@@ -155,13 +183,9 @@ object Tube {
                    targets: Seq[(String, Seq[String])],
                    q: Double = TubeFactor): DataFrame = {
     require(targets.nonEmpty, "scoresMatrix: no fitted targets")
-    val w = Window.partitionBy(rec)
-    val outCols = targets.map { case (target, factors) =>
+    val (d, allPreds) = withOlsPreds(df, rec, targets)
+    val outCols = targets.zip(allPreds).map { case ((target, _), preds) =>
       val y = col(target)
-      val preds = factors.map { f =>
-        val (b0, b1) = ols1Cols(col(f), y, w)
-        b0 + b1 * col(f)
-      }
       val z = preds.reduce(_ + _) / preds.size
       val pMin = preds.reduce(least(_, _))
       val pMax = preds.reduce(greatest(_, _))
@@ -169,7 +193,7 @@ object Tube {
       val zmax = z + lit(q) * (pMax - z)
       when(y > zmax || y < zmin, 1L).otherwise(0L).as(s"_out_$target")
     }
-    df.select(col(rec) +: outCols: _*)
+    d.select(col(rec) +: outCols: _*)
       .groupBy(col(rec))
       .agg(count(lit(1)).as("n"),
         targets.map { case (tgt, _) => sum(col(s"_out_$tgt")).as(tgt) }: _*)
