@@ -90,7 +90,7 @@ object SparkEntry {
   private val bankCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def cachedBank(s: SparkSession, dir: String): DataFrame = {
-    evictStopped()
+    evictStopped(); hookCleanup(s)
     bankCache.getOrElseUpdate((s, dir),
       Indicators.bank(opset(s, dir).df, "record", "t", IndCodes, SgDeg)._1.cache())
   }
@@ -101,7 +101,7 @@ object SparkEntry {
   private val selectorCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, Selector.SelectorModel)]
   private def fittedSelector(s: SparkSession, dir: String): (DataFrame, Selector.SelectorModel) = {
-    evictStopped()
+    evictStopped(); hookCleanup(s)
     val r = selectorCache.getOrElseUpdate((s, dir), {
       val selected = Splits.argmaxInstants(opset(s, dir), "value")
       val sel = Selector.fit(cachedBank(s, dir), selected, "record", "t", InstFeatCols)
@@ -143,12 +143,15 @@ object SparkEntry {
   private val computedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def computedInstants(s: SparkSession, dir: String): DataFrame = {
-    evictStopped()
-    computedCache.getOrElseUpdate((s, dir), {
-      val (_, sel) = fittedSelector(s, dir)
+    evictStopped(); hookCleanup(s)
+    // fittedSelector refreshes treeExport even on ITS cache hit; call it
+    // here unconditionally (not only in the miss path) so a cache HIT at
+    // dir A after a fit at dir B still leaves the export describing A's
+    // tree for the oracle dump.
+    val (_, sel) = fittedSelector(s, dir)
+    computedCache.getOrElseUpdate((s, dir),
       Selector.predictInstants(
-        Selector.belief(sel, cachedBank(s, dir), "record", "t"), "record", "t").cache()
-    })
+        Selector.belief(sel, cachedBank(s, dir), "record", "t"), "record", "t").cache())
   }
 
   private def evictStopped(): Unit = {
@@ -157,6 +160,34 @@ object SparkEntry {
     selectorCache.keys.filter(stopped).foreach(selectorCache.remove)
     computedCache.keys.filter(stopped).foreach(computedCache.remove)
   }
+
+  /** Sessions whose context already carries the eviction listener, weakly
+    * keyed so the guard set itself never pins a session.
+    */
+  private val cleanupHooked =
+    java.util.Collections.newSetFromMap(
+      java.util.Collections.synchronizedMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  /** Evict `s`'s cache entries the moment its context stops: without the
+    * listener a stopped-then-abandoned session stays pinned by the strong
+    * TrieMap keys until some LATER cache lookup happens to run
+    * [[evictStopped]] — indefinitely, in a long-lived process that never
+    * touches these queries again.
+    */
+  private def hookCleanup(s: SparkSession): Unit =
+    if (cleanupHooked.add(s)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          // the context is already stopped here — drop references only,
+          // no unpersist (its RDDs died with the context)
+          bankCache.keys.filter(_._1 eq s).foreach(bankCache.remove)
+          selectorCache.keys.filter(_._1 eq s).foreach(selectorCache.remove)
+          computedCache.keys.filter(_._1 eq s).foreach(computedCache.remove)
+        }
+      })
+    }
 
   /** Drop every memoized plan/model bound to `s` and unpersist its cached
     * data. Bench calls this between timing passes so every pass is a cold

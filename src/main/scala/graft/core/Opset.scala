@@ -54,16 +54,35 @@ final case class Opset(df: DataFrame, recordCol: String = "record", tCol: String
     * partition.
     */
   def recordIndex: DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val spark = df.sparkSession
-    // keep the record column's native type (string, long doc-id, ...) —
-    // the index must not assume string keys
-    val recField = records.schema.fields.head
-    val rdd = records.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i) }
-    spark.createDataFrame(rdd, StructType(Seq(
-      recField.copy(name = recordCol),
-      StructField("pos", LongType))))
+    // Fully declarative and LAZY two-phase global rank (the former
+    // rdd.zipWithIndex() launched an eager Spark job at plan-CONSTRUCTION
+    // time — ZippedWithIndexRDD computes partition offsets in its
+    // constructor — and its RDD boundary blocked Catalyst across every
+    // recordIndex consumer):
+    //   1. range-sort the distinct names ([[records]] already orderBys),
+    //   2. stamp each row with monotonically_increasing_id — physically
+    //      `pid << 33 | local-row-index`, so after a range sort the pid
+    //      ascends with the global order and the low bits are the
+    //      per-partition rank,
+    //   3. broadcast-join cumulative per-partition counts (one row per
+    //      shuffle partition — metadata-sized, so its unpartitioned
+    //      window is safe at any scale).
+    // The nondeterministic mid projection pins the Sort below it in BOTH
+    // join branches (EliminateSorts stops at nondeterministic projects),
+    // and the range exchange is shared between them via ReuseExchange, so
+    // pid/local values agree; keeps the record column's native type
+    // (string, long doc-id, ...).
+    val mid = records
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", spark_partition_id().cast("long"))
+    val wOff = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = mid.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
+      .select("_pid", "_off")
+    mid.join(broadcast(offsets), "_pid")
+      .select(col(recordCol),
+        (col("_off") + (col("_mid") - shiftleft(col("_pid"), 33))).as("pos"))
   }
 
   /** One record's signal (opset.py:135 `__getitem__` by name). */

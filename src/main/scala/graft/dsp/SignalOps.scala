@@ -73,15 +73,22 @@ object SignalOps {
     * would plant w window frames per edge row (440 at w=21) instead
     * of 2 per (signal, window).
     *
-    * `collect_list` skips nulls: SG inputs must be non-null (the scipy
-    * reference poisons the fit on NaN; here null samples would silently
-    * shift the edge arrays — same contract, enforced upstream).
+    * `collect_list` skips nulls: a null sample inside an edge window would
+    * silently SHIFT the collected array and yield wrong (not null) SG
+    * values on edge rows — so a null edge sample raises instead of
+    * corrupting. (The scipy reference poisons the fit on NaN; interior
+    * rows keep that visible-poisoning behavior via lag/lead null
+    * propagation.)
     */
   def sgEdgeArrays(x: Column, rec: String, t: String, rn: Column, n: Column,
                    w: Int): (Column, Column) = {
     val wFull = Window.partitionBy(rec).orderBy(t)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val xd = x.cast("double")
+    val xd = when(x.isNull, raise_error(lit(
+        "sgEdgeArrays: null sample in an SG edge window — collect_list " +
+          "would silently shift the edge fit; clean the signal first"))
+        .cast("double"))
+      .otherwise(x.cast("double"))
     (collect_list(when(rn <= lit(w), xd)).over(wFull),
       reverse(collect_list(when(rn > n - lit(w), xd)).over(wFull)))
   }

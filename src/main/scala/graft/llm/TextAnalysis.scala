@@ -129,18 +129,18 @@ object TextAnalysis {
     )
   }
 
-  /** The full analysis DataFrame over a `documents`-shaped table. Uses
-    * the HOF fingerprint so it works in ANY session — callers without
-    * `spark.sql.extensions=graft.GraftExtensions` (e.g. the driver's
-    * smoke session running `SparkEntry.entry`) must not hit an
-    * unregistered-function error.
+  /** The full analysis DataFrame over a `documents`-shaped table. Safe in
+    * ANY session: [[fingerprint]] probes [[graft.functions.Native]] and
+    * uses the codegen'd native expression when `graft.GraftExtensions` is
+    * registered, the HOF twin otherwise (e.g. the driver's smoke session
+    * running `SparkEntry.entry`).
     */
   def analyze(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val quality = qualityCols(t)
     docs.select(
       (col(idCol) +: quality.map { case (n, c) => c.as(n) }) ++
-        Seq(langId(t).as("lang_id"), fingerprintHof(t).as("fingerprint")): _*
+        Seq(langId(t).as("lang_id"), fingerprint(t).as("fingerprint")): _*
     )
   }
 }

