@@ -77,6 +77,16 @@ object SparkEntry {
   private val InstFeatCols =
     Seq("LEN", "REV", "PERCENT", "value") ++ IndCodes.map(_.name)
 
+  /** Two-signal indicator grid for instants_multi: exercises the fused
+    * multi-column bank path (one shared (rn, n) pair, one epsilons job
+    * covering BOTH columns' noise floors, both SG chains in the same
+    * WindowExec batch).
+    */
+  private val MultiCodes = Seq(
+    IndicatorCode("value", 3, 1, 2.0), // upward crossings of the raw signal
+    IndicatorCode("v2", 3, 1, -2.0),   // downward crossings of the squared signal
+  )
+
   /** Indicator bank per sf dir, computed once and cached (all four
     * instants_* queries and the fit below share it — recomputing the
     * window chains per query would multiply the benchmark for no semantic
@@ -201,21 +211,48 @@ object SparkEntry {
       computedCache.remove(k).foreach(_.unpersist(false)))
   }
 
-  /** DuckDB CTEs computing the epsilon noise floor for (w=SgW, d=1):
-    * max over records of stddev_pop(SG_w(x,1) − SG_{2w+1}(SG_w(x,1), 1)).
-    * Final relation `ev` has the single scalar column `eps`.
+  /** DuckDB CTEs computing the epsilon noise floor of column `x` of
+    * relation `src` for (w=SgW, d=1): max over records of
+    * stddev_pop(SG_w(x,1) − SG_{2w+1}(SG_w(x,1), 1)). Final relation
+    * `${p}ev` has the single scalar column `eps`; `p` prefixes every CTE
+    * so several epsilon chains can coexist in one query.
     */
-  private def epsilonCtes: String = {
-    val (b, bRel) = SignalOps.sgOracleCtes("opset", "value", "record", "t", SgW, SgDeg, 1, "_eb", "e1")
-    val (c, cRel) = SignalOps.sgOracleCtes(bRel, "_eb", "record", "t", 2 * SgW + 1, SgDeg, 1, "_ec", "e2")
-    s"""$b, $c, erd AS (
+  private def epsilonCtesFor(src: String, x: String, p: String): String = {
+    val (b, bRel) = SignalOps.sgOracleCtes(src, x, "record", "t", SgW, SgDeg, 1, "_eb", s"${p}e1")
+    val (c, cRel) = SignalOps.sgOracleCtes(bRel, "_eb", "record", "t", 2 * SgW + 1, SgDeg, 1, "_ec", s"${p}e2")
+    s"""$b, $c, ${p}erd AS (
        |  SELECT b.record, b.t, b._eb - c._ec AS r
        |  FROM $bRel b JOIN $cRel c ON b.record = c.record AND b.t = c.t
-       |), esd AS (
-       |  SELECT record, stddev_pop(r) AS s FROM erd GROUP BY record
-       |), ev AS (
-       |  SELECT max(s) AS eps FROM esd
+       |), ${p}esd AS (
+       |  SELECT record, stddev_pop(r) AS s FROM ${p}erd GROUP BY record
+       |), ${p}ev AS (
+       |  SELECT max(s) AS eps FROM ${p}esd
        |)""".stripMargin
+  }
+
+  /** The single-signal epsilon chain every instants_* oracle shares
+    * (relation `ev`).
+    */
+  private def epsilonCtes: String = epsilonCtesFor("opset", "value", "")
+
+  /** The instants_multi oracle: two independent epsilon chains (raw
+    * `value`, derived `v2 = value²`) and two indicator chains over the
+    * same two-signal relation, joined per (record, t) — the DuckDB twin
+    * of [[graft.instants.Indicators.bank]]'s multi-column path.
+    */
+  private def instantsMultiOracle: String = {
+    val w = 2 * 3 + 1
+    val (i1, r1) = SignalOps.indicatorOracleCtes("op2", "value", "record", "t",
+      w, SgDeg, 1, "_sg > 2.0 * (SELECT eps FROM ev)", "m1")
+    val (i2, r2) = SignalOps.indicatorOracleCtes("op2", "v2", "record", "t",
+      w, SgDeg, 1, "_sg < -2.0 * (SELECT eps FROM v2ev)", "m2")
+    s"""WITH $OpsetCte, op2 AS (
+       |  SELECT record, t, value, value * value AS v2 FROM opset
+       |), ${epsilonCtesFor("op2", "value", "")}, ${epsilonCtesFor("op2", "v2", "v2")}, $i1, $i2
+       |SELECT z1.record, z1.t, round(z1.z, 6) AS "${MultiCodes(0).name}",
+       |       round(z2.z, 6) AS "${MultiCodes(1).name}"
+       |FROM $r1 z1 JOIN $r2 z2 ON z1.record = z2.record AND z1.t = z2.t
+       |ORDER BY z1.record, z1.t""".stripMargin
   }
 
   /** DuckDB CTE chain computing the UNROUNDED indicator bank — the instants
@@ -580,6 +617,36 @@ object SparkEntry {
       s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Dedup.MinhashP})) AS sig_$k"
     }
 
+  /** DuckDB CTE chain mirroring [[Dedup.minhashLsh]] end to end; final
+    * relation `mhp(id_a, id_b, jaccard)` holds the kept near-dup pairs.
+    * Shared by the dedup_minhash_pairs and dedup_clusters oracles.
+    */
+  private def minhashPairsCtes: String = {
+    val rpb = MhHashes / MhBands
+    val bandArms = (0 until MhBands).map { b =>
+      val hs = (0 until rpb).map(i => s"sig_${b * rpb + i} AS h_$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, $hs FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val hEq = (0 until rpb).map(i => s"l.h_$i = r.h_$i").mkString(" AND ")
+    s"""$ShingleCte, sig AS (
+       |  SELECT doc_id, ${sigExprs.mkString(",\n         ")} FROM sh
+       |), banded AS (
+       |  $bandArms
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND $hEq AND l.doc_id < r.doc_id
+       |), mhp AS (
+       |  SELECT id_a, id_b, jaccard FROM (
+       |    SELECT id_a, id_b,
+       |           round(len(list_intersect(a.hs, b.hs)) * 1.0
+       |                 / len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jaccard
+       |    FROM cand JOIN sh a ON a.doc_id = cand.id_a
+       |              JOIN sh b ON b.doc_id = cand.id_b
+       |  ) WHERE jaccard >= $MhThreshold
+       |)""".stripMargin
+  }
+
   // Word-ngram Jaccard parameters shared by dedup_jaccard query/oracle.
   private val JacN = 3
   private val JacMod = 8
@@ -831,6 +898,17 @@ object SparkEntry {
 
     "instants_predict" -> ((s, dir) => computedInstants(s, dir).orderBy("record")),
 
+    "instants_multi" -> { (s, dir) =>
+      // multi-signal indicator bank (Indicators.bank's multi-column path):
+      // raw signal + derived v2 = value², one fused epsilons/window pass
+      val base = opset(s, dir).df.withColumn("v2", col("value") * col("value"))
+      val (bankDf, _) = Indicators.bank(base, "record", "t", MultiCodes, SgDeg)
+      bankDf.select(col("record"), col("t"),
+          round(col(MultiCodes(0).name), 6).as(MultiCodes(0).name),
+          round(col(MultiCodes(1).name), 6).as(MultiCodes(1).name))
+        .orderBy("record", "t")
+    },
+
     "instants_scores" -> { (s, dir) =>
       val (selected, _) = fittedSelector(s, dir)
       Selector.allScores(selected, computedInstants(s, dir), "record").orderBy("record")
@@ -917,6 +995,16 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Dedup.minhashLsh(docs, "doc_id", "text", MhShingle, MhHashes, MhBands, MhThreshold)
         .orderBy("id_a", "id_b")
+    },
+
+    "dedup_clusters" -> { (s, dir) =>
+      // near-dup CLUSTER assignment: minhash pairs → connected components
+      // (min-label propagation) → every document labeled with its
+      // component representative + cluster size
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        MhShingle, MhHashes, MhBands, MhThreshold)
+      Dedup.clusters(docs, "doc_id", pairs).orderBy("doc_id")
     },
 
     // -- LLM: SimHash near-dedup (row 29) --
@@ -1218,30 +1306,33 @@ object SparkEntry {
          |SELECT doc_id, ${sigExprs.mkString(",\n       ")}
          |FROM sh ORDER BY doc_id""".stripMargin,
 
-    "dedup_minhash_pairs" -> {
-      val rpb = MhHashes / MhBands
-      val bandArms = (0 until MhBands).map { b =>
-        val hs = (0 until rpb).map(i => s"sig_${b * rpb + i} AS h_$i").mkString(", ")
-        s"SELECT doc_id, $b AS band, $hs FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
-      val hEq = (0 until rpb).map(i => s"l.h_$i = r.h_$i").mkString(" AND ")
-      s"""WITH $ShingleCte, sig AS (
-         |  SELECT doc_id, ${sigExprs.mkString(",\n         ")} FROM sh
-         |), banded AS (
-         |  $bandArms
-         |), cand AS (
-         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band = r.band AND $hEq AND l.doc_id < r.doc_id
+    "dedup_minhash_pairs" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b, jaccard FROM mhp ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_clusters" ->
+      // connected components over the minhash pair graph: DuckDB walks
+      // the symmetric edges with a recursive CTE (min reachable doc_id
+      // per node == the Spark side's converged min-label propagation)
+      s"""WITH RECURSIVE $minhashPairsCtes, edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mhp
+         |  UNION
+         |  SELECT id_b, id_a FROM mhp
+         |), walk(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.r = e.src
+         |), comp AS (
+         |  SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id
+         |), sz AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY cluster_id
          |)
-         |SELECT id_a, id_b, jaccard FROM (
-         |  SELECT id_a, id_b,
-         |         round(len(list_intersect(a.hs, b.hs)) * 1.0
-         |               / len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jaccard
-         |  FROM cand JOIN sh a ON a.doc_id = cand.id_a
-         |            JOIN sh b ON b.doc_id = cand.id_b
-         |) WHERE jaccard >= $MhThreshold ORDER BY id_a, id_b""".stripMargin
-    },
+         |SELECT c.doc_id, c.cluster_id, s.cluster_size
+         |FROM comp c JOIN sz s USING (cluster_id)
+         |ORDER BY c.doc_id""".stripMargin,
+
+    "instants_multi" -> instantsMultiOracle,
 
     "dedup_simhash" -> {
       val terms = (0 until Dedup.SimhashBits).map(b =>

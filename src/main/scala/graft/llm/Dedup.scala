@@ -83,7 +83,8 @@ object Dedup {
     * pairs (self-join per bucket on the *small* bucket contents only).
     * Pairs are deduplicated across bands.
     */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int,
+                        scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
@@ -96,14 +97,12 @@ object Dedup {
     // cache: `banded` feeds BOTH sides of the self-join below; uncached, each
     // side re-computes every array_min(transform(..)) signature + the explode
     // from scratch (the signature chain is the expensive part). Same pattern
-    // as Similarity.lshTopK's cached bucket table. Like every operator-local
-    // cache here it cannot be unpersisted before the lazily-returned result
-    // is consumed — long-lived sessions deduplicating many corpora should
-    // spark.catalog.clearCache() between runs (see minhashLsh's note).
-    val banded = sigs
+    // as Similarity.lshTopK's cached bucket table. It cannot be unpersisted
+    // before the lazily-returned result is consumed — release via `scope`
+    // after consuming (see [[graft.core.CacheScope]]).
+    val banded = scope.cache(sigs
       .select(col(idCol) +: bandCols: _*)
-      .select(col(idCol), explode(array((0 until bands).map(b => col(s"_band_$b")): _*)).as("bucket"))
-      .cache()
+      .select(col(idCol), explode(array((0 until bands).map(b => col(s"_band_$b")): _*)).as("bucket")))
     // Within-bucket pairs: bucket sizes are tiny relative to the corpus, so
     // the self-join shuffles on the bucket key and never goes all-pairs.
     val l = banded.as("l")
@@ -125,21 +124,21 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.6,
+      scope: graft.core.CacheScope = graft.core.CacheScope.session,
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // cache: the shingle-hash arrays feed the signatures AND both sides of
     // the candidate re-rank join — without it the md5 shingle chain is
-    // evaluated three times. The cached plan lives until session cleanup
-    // (it cannot be unpersisted before the lazily-returned DataFrame is
-    // consumed); long-lived sessions deduplicating many corpora should
-    // spark.catalog.clearCache() between runs.
-    val base = docs.select(
+    // evaluated three times. The cached plan must outlive this call (the
+    // returned DataFrame is lazy); release via `scope` after consuming
+    // (see [[graft.core.CacheScope]]).
+    val base = scope.cache(docs.select(
       col(idCol),
       distinctNgramHashes(col(textCol), shingleLen).as("sh"),
-    ).cache()
+    ))
     val sigs = minhashSignature(base, "sh", numHashes).drop("sh")
-    val pairs = lshCandidatePairs(sigs, idCol, numHashes, bands)
+    val pairs = lshCandidatePairs(sigs, idCol, numHashes, bands, scope)
     val sets = base.select(col(idCol).as("_id"), col("sh"))
     val (inter, uni) = overlapCols($"sh_a", $"sh_b")
     pairs
@@ -249,9 +248,11 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, blockMod: Int = 8, threshold: Double = 0.5,
-                   minShared: Int = 2, maxDocFreq: Int = 128): DataFrame = {
-    // cache: the gram arrays feed the block keys AND both re-rank branches
-    val base = docs.select(col(idCol), wordNgramHashes(col(textCol), n).as("gh")).cache()
+                   minShared: Int = 2, maxDocFreq: Int = 128,
+                   scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+    // cache: the gram arrays feed the block keys AND both re-rank branches;
+    // release via `scope` after consuming (see [[graft.core.CacheScope]])
+    val base = scope.cache(docs.select(col(idCol), wordNgramHashes(col(textCol), n).as("gh")))
     val allKeys = base.select(col(idCol), explode(col("gh")).as("k"))
       .filter(col("k") % blockMod === 0)
     // Stop-gram cap: a block key shared by more than `maxDocFreq` documents
@@ -263,7 +264,7 @@ object Dedup {
       .filter(col("_df") > maxDocFreq).select("k")
     // cache: `keys` feeds both sides of the candidate self-join; uncached,
     // the hot-gram aggregation above would run once per side.
-    val keys = allKeys.join(broadcast(hot), Seq("k"), "left_anti").cache()
+    val keys = scope.cache(allKeys.join(broadcast(hot), Seq("k"), "left_anti"))
     val l = keys.select(col(idCol).as("id_a"), col("k"))
     val r = keys.select(col(idCol).as("id_b"), col("k"))
     val cand = l.join(r, Seq("k")).filter(col("id_a") < col("id_b"))
@@ -277,5 +278,82 @@ object Dedup {
       .withColumn("jaccard", round(inter / uni, 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Connected components over a near-dup pair table: every id that
+    * appears in `pairs` gets `label` = the MINIMUM id reachable through
+    * the pair graph (the deterministic canonical representative). Output:
+    * (id, label).
+    *
+    * Iterative min-label propagation: each round joins the current labels
+    * to the symmetric edge table and takes the per-node min over
+    * neighbors — one shuffle on the id per round, converging in
+    * O(component diameter) rounds. Near-dup graphs are banded-LSH
+    * quasi-cliques (diameter 2-3 in practice), so the loop is a handful of
+    * rounds even at corpus scale; `maxIters` bounds pathological chains
+    * (a path graph of length > maxIters fails loudly rather than returning
+    * half-merged components). The driver only ever sees the converged/not
+    * bit per round, never data rows.
+    *
+    * Each round's result is `localCheckpoint`ed (eager): without lineage
+    * truncation the logical plan DOUBLES per round (round k's plan embeds
+    * round k-1's twice — once in the label join, once in the neighbor
+    * aggregate) and Catalyst analysis alone goes exponential by ~10
+    * rounds. On a cluster that cares about executor loss during the loop,
+    * swap for reliable `checkpoint` with a checkpoint dir — the algorithm
+    * is unchanged.
+    */
+  def components(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                 maxIters: Int = 50): DataFrame = {
+    // `edges` is loop-internal (nothing lazy escapes with it), so unlike
+    // the operator-local caches above it is released before returning.
+    val edges = pairs.select(col(aCol).as("_src"), col(bCol).as("_dst"))
+      .union(pairs.select(col(bCol).as("_src"), col(aCol).as("_dst")))
+      .distinct().cache()
+    try {
+      var labels = edges.select(col("_src").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint(true)
+      var round = 0
+      var converged = false
+      while (!converged && round < maxIters) {
+        val nbrMin = edges.join(labels.withColumnRenamed("id", "_dst"), "_dst")
+          .groupBy(col("_src").as("id")).agg(min("label").as("_nl"))
+        val updated = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        val changed = updated.join(labels.withColumnRenamed("label", "_old"), "id")
+          .filter(col("label") < col("_old")).count()
+        labels = updated
+        converged = changed == 0
+        round += 1
+      }
+      require(converged,
+        s"Dedup.components: not converged after $maxIters rounds — the pair " +
+          "graph has a component of diameter > maxIters; raise maxIters")
+      labels
+    } finally edges.unpersist(false)
+  }
+
+  /** Cluster assignment for EVERY document: `cluster_id` = the component
+    * representative from [[components]] (its own id when the document has
+    * no near-dup), plus the cluster size. The size join is
+    * aggregation-shaped (groupBy + join back, map-side partials) rather
+    * than a window over `cluster_id` — a boilerplate mega-cluster would
+    * otherwise funnel its whole membership through one window partition.
+    */
+  def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+               aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = components(pairs, aCol, bCol).withColumnRenamed("id", idCol)
+    // plain shuffle join, NOT a broadcast: comp has one row per document
+    // with a near-dup, which at corpus scale can be a large fraction of
+    // the table (AQE will still broadcast it when it measures small)
+    val assigned = docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster_id"))
+    val sizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    assigned.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
   }
 }

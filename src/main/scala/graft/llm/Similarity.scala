@@ -103,12 +103,14 @@ object Similarity {
     * brute force is measured in the ScalaTest spec.
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, queryIds: Seq[Long],
-              k: Int, planes: Array[Array[Double]], bits: Int, numTables: Int): DataFrame = {
+              k: Int, planes: Array[Array[Double]], bits: Int, numTables: Int,
+              scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
     val base = withNorm(emb, idCol, vecCol)
     // cache: the bucket table feeds both the query side and the corpus side
     // of the candidate join; uncached, the 16-dot bucket expression subtree
-    // is planned and evaluated twice
-    val buckets = hyperplaneBuckets(emb, idCol, vecCol, planes, bits, numTables).cache()
+    // is planned and evaluated twice. Release via `scope` after consuming
+    // (see [[graft.core.CacheScope]]).
+    val buckets = scope.cache(hyperplaneBuckets(emb, idCol, vecCol, planes, bits, numTables))
     val qb = buckets.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("q_id"), col("tbl"), col("key"))
     val cand = buckets.join(broadcast(qb), Seq("tbl", "key"))
@@ -205,10 +207,12 @@ object Similarity {
     * cosine ≥ threshold. Output: (id_a, id_b, cos).
     */
   def cosineDup(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
-                planes: Array[Array[Double]], bits: Int, numTables: Int): DataFrame = {
+                planes: Array[Array[Double]], bits: Int, numTables: Int,
+                scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
     val base = withNorm(emb, idCol, vecCol)
-    // cache: both sides of the bucket self-join share this table
-    val buckets = hyperplaneBuckets(emb, idCol, vecCol, planes, bits, numTables).cache()
+    // cache: both sides of the bucket self-join share this table; release
+    // via `scope` after consuming (see [[graft.core.CacheScope]])
+    val buckets = scope.cache(hyperplaneBuckets(emb, idCol, vecCol, planes, bits, numTables))
     val l = buckets.select(col("tbl"), col("key"), col(idCol).as("id_a"))
     val r = buckets.select(col("tbl"), col("key"), col(idCol).as("id_b"))
     val cand = l.join(r, Seq("tbl", "key")).filter(col("id_a") < col("id_b"))

@@ -26,8 +26,8 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("the graded inventory does not shrink") {
-    assert(SparkEntry.queries.size >= 47)
-    assert(SparkEntry.oracleSql.size >= 41)
+    assert(SparkEntry.queries.size >= 52)
+    assert(SparkEntry.oracleSql.size >= 43)
   }
 
   test("oracle SQL is non-empty and references no Spark-only syntax") {

@@ -134,4 +134,40 @@ class DedupSpec extends SparkSpec {
       assert(a >= 1 && a < 2147483647L && b >= 0 && b < 2147483647L)
     }
   }
+
+  test("components: min-label propagation finds exact connected components") {
+    import spark.implicits._
+    // two components: {1,2,3,7} chained 7-1, 1-2, 2-3 and {5,6}; 9 isolated
+    // in the pair table is impossible (it appears only via docs below)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 1L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("components: a long path converges (diameter bound, not round-1 luck)") {
+    import spark.implicits._
+    val pairs = (1L until 12L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L) && comp.size == 12)
+  }
+
+  test("clusters: every doc labeled, singletons self-clustered, sizes agg-shaped") {
+    import spark.implicits._
+    val docs = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 4L), (6L, 7L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(docs, "doc_id", pairs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 3L, 1L), (4L, 1L, 3L),
+      (5L, 5L, 1L), (6L, 6L, 2L), (7L, 6L, 2L), (8L, 8L, 1L)))
+  }
+
+  test("clusters: empty pair table makes every doc its own cluster") {
+    import spark.implicits._
+    val docs = (1L to 3L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Dedup.clusters(docs, "doc_id", pairs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)))
+  }
 }
