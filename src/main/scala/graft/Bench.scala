@@ -37,8 +37,10 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // per query: best time over passes (None until a pass succeeds) + last err
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    // per query: every pass's time (min is reported; the full list is
+    // emitted too, so a 2x swing is attributable to rig noise vs plan
+    // nondeterminism from the published numbers alone) + last err
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
     val errs = scala.collection.mutable.Map.empty[String, String]
 
     for (pass <- 1 to runs) {
@@ -51,7 +53,7 @@ object Bench {
         try {
           SparkEntry.queries(name)(spark, sfDir).count()
           val sec = (System.nanoTime() - t0) / 1e9
-          if (!best.get(name).exists(_ <= sec)) best(name) = sec
+          times(name) = times.getOrElse(name, Nil) :+ sec
         } catch {
           case e: Throwable =>
             errs(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
@@ -59,6 +61,7 @@ object Bench {
       }
     }
 
+    val best = times.view.mapValues(_.min).toMap
     // a query that failed in ANY pass is an error even if another pass
     // timed it — a cold-cache breakage must not hide behind a lucky pass
     val qs = names.map { k =>
@@ -67,10 +70,12 @@ object Bench {
         case (_, e)            => s"${Json.q(k)}:${Json.q("err " + e.getOrElse("unknown").take(160))}"
       }
     }.mkString("{", ",", "}")
+    val passes = names.flatMap(k => times.get(k).map(ts =>
+      s"${Json.q(k)}:${ts.mkString("[", ",", "]")}")).mkString("{", ",", "}")
     val okNames = names.filter(n => best.contains(n) && !errs.contains(n))
     val nerr = names.size - okNames.size
     val total = okNames.flatMap(best.get).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":${okNames.size},"n_err":$nerr,"n_runs":$runs,"sf":${Json.q(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"n_ok":${okNames.size},"n_err":$nerr,"n_runs":$runs,"sf":${Json.q(sfDir)}}""")
     spark.stop()
   }
 }

@@ -164,11 +164,28 @@ object SparkEntry {
         Selector.belief(sel, cachedBank(s, dir), "record", "t"), "record", "t").cache())
   }
 
+  /** MinHash near-dup pairs per sf dir, computed once and cached:
+    * dedup_clusters consumes the SAME pair table dedup_minhash_pairs
+    * grades (real usage: pair once, then cluster), so the shingle →
+    * signature → band chain runs once per session/dir, not once per query.
+    */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    evictStopped(); hookCleanup(s)
+    pairsCache.getOrElseUpdate((s, dir), {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.minhashLsh(docs, "doc_id", "text",
+        MhShingle, MhHashes, MhBands, MhThreshold).cache()
+    })
+  }
+
   private def evictStopped(): Unit = {
     def stopped(k: (SparkSession, String)): Boolean = k._1.sparkContext.isStopped
     bankCache.keys.filter(stopped).foreach(bankCache.remove)
     selectorCache.keys.filter(stopped).foreach(selectorCache.remove)
     computedCache.keys.filter(stopped).foreach(computedCache.remove)
+    pairsCache.keys.filter(stopped).foreach(pairsCache.remove)
   }
 
   /** Sessions whose context already carries the eviction listener, weakly
@@ -195,6 +212,7 @@ object SparkEntry {
           bankCache.keys.filter(_._1 eq s).foreach(bankCache.remove)
           selectorCache.keys.filter(_._1 eq s).foreach(selectorCache.remove)
           computedCache.keys.filter(_._1 eq s).foreach(computedCache.remove)
+          pairsCache.keys.filter(_._1 eq s).foreach(pairsCache.remove)
         }
       })
     }
@@ -209,6 +227,8 @@ object SparkEntry {
     selectorCache.keys.filter(_._1 eq s).foreach(selectorCache.remove)
     computedCache.keys.filter(_._1 eq s).foreach(k =>
       computedCache.remove(k).foreach(_.unpersist(false)))
+    pairsCache.keys.filter(_._1 eq s).foreach(k =>
+      pairsCache.remove(k).foreach(_.unpersist(false)))
   }
 
   /** DuckDB CTEs computing the epsilon noise floor of column `x` of
@@ -293,11 +313,15 @@ object SparkEntry {
     */
   private def treePredictCtes(tree: String): String = {
     val (dp, dpRel) = SignalOps.sgOracleCtes("ipq", "_ip", "record", "t", 21, SgDeg, 1, "_dp", "bl")
+    // the abs(_dp) <= 1e-12 floor mirrors Selector.BeliefNoiseFloor: SG of
+    // a constant class signal is cancellation noise the engines order
+    // differently; both must agree it is exactly zero
+    val pSql = "greatest(CASE WHEN abs(_dp) <= 1.0e-12 THEN 0.0 ELSE _dp END, 0.0)"
     s"""ipq AS (
        |  SELECT record, t, ($tree) * 2 - 1 AS _ip FROM bankq
        |), $dp, belq AS (
-       |  SELECT record, t, greatest(_dp, 0.0) AS p,
-       |         sum(greatest(_dp, 0.0)) OVER (PARTITION BY record) AS z
+       |  SELECT record, t, $pSql AS p,
+       |         sum($pSql) OVER (PARTITION BY record) AS z
        |  FROM $dpRel
        |), predq AS (
        |  SELECT record, CAST(t - 1 AS BIGINT) AS i FROM (
@@ -991,20 +1015,15 @@ object SparkEntry {
       Dedup.minhashSignature(base, "sh", MhHashes).drop("sh").orderBy("doc_id")
     },
 
-    "dedup_minhash_pairs" -> { (s, dir) =>
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.minhashLsh(docs, "doc_id", "text", MhShingle, MhHashes, MhBands, MhThreshold)
-        .orderBy("id_a", "id_b")
-    },
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      cachedMinhashPairs(s, dir).orderBy("id_a", "id_b")),
 
     "dedup_clusters" -> { (s, dir) =>
       // near-dup CLUSTER assignment: minhash pairs → connected components
       // (min-label propagation) → every document labeled with its
       // component representative + cluster size
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
-        MhShingle, MhHashes, MhBands, MhThreshold)
-      Dedup.clusters(docs, "doc_id", pairs).orderBy("doc_id")
+      Dedup.clusters(docs, "doc_id", cachedMinhashPairs(s, dir)).orderBy("doc_id")
     },
 
     // -- LLM: SimHash near-dedup (row 29) --

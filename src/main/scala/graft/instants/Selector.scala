@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.classification.{DecisionTreeClassificationModel, DecisionTreeClassifier}
+import org.apache.spark.ml.classification.{DecisionTreeClassificationModel, DecisionTreeClassifier, RandomForestClassifier}
 import org.apache.spark.ml.tree.{ContinuousSplit, InternalNode, LeafNode, Node}
 import graft.dsp.SignalOps
 
@@ -90,9 +90,22 @@ object Selector {
   }
 
   /** Fit with feature pruning (instants.py:425-460): `retries` trees on
-    * deterministic samples accumulate importances; keep features above
-    * the `percentile`-th importance percentile; retrain on a larger
-    * sample, dropping zero-importance features until none remain.
+    * subsamples accumulate importances; keep features above the
+    * `percentile`-th importance percentile; retrain on a larger sample,
+    * dropping zero-importance features until none remain.
+    *
+    * The importance phase is ONE RandomForest fit (numTrees = retries,
+    * bootstrap subsamples of the same expected size, every feature
+    * offered to every tree), not `retries` serial DecisionTree fits: all
+    * the forest's trees share the same distributed histogram passes, so
+    * the phase costs one job chain instead of `retries` serialized
+    * spark.ml fits — the reference's loop (instants.py:433) collapsed
+    * into the estimator built for it. RF's featureImportances is the
+    * normalized per-tree average — a positive multiple of the reference's
+    * per-tree sum — and the percentile keep-set is scale-invariant, so
+    * the pruning decision is the same statistic. The FINAL tree (the
+    * model whose exported SQL the oracle re-evaluates) remains a single
+    * [[DecisionTreeClassifier]] on the deterministic hash sample.
     */
   def fit(features: DataFrame, instants: DataFrame, rec: String, t: String,
           featCols: Seq[String], retries: Int = 5, samplePct: Double = 0.1,
@@ -100,11 +113,15 @@ object Selector {
           seed: Long = 42L): SelectorModel = {
     val labeled = withLabel(features, instants, rec, t).cache()
     try {
-      val fi = Array.fill(featCols.size)(0.0)
-      (0 until retries).foreach { k =>
-        val m = trainOnce(labeled, featCols, samplePct, minInstances, seed, k, rec, t)
-        m.featureImportances.toArray.zipWithIndex.foreach { case (v, i) => fi(i) += v }
-      }
+      val forest = new RandomForestClassifier()
+        .setFeaturesCol("_fv").setLabelCol("label")
+        .setMinInstancesPerNode(minInstances)
+        .setNumTrees(retries)
+        .setFeatureSubsetStrategy("all")
+        .setSubsamplingRate(math.min(1.0, samplePct))
+        .setSeed(seed)
+        .fit(assemble(labeled, featCols))
+      val fi = forest.featureImportances.toArray
       // percentile threshold over the accumulated importances (np.percentile,
       // linear interpolation)
       val sorted = fi.sorted
@@ -167,6 +184,17 @@ object Selector {
     * every record should lower `filterWidth` or pre-filter and handle
     * short records separately.
     */
+  /** SG derivatives of the ±1 class signal below this magnitude are
+    * treated as exactly zero: the derivative of a CONSTANT class signal is
+    * pure floating-point cancellation noise (~1e-16 — the SG derivative
+    * weights sum to zero only in exact arithmetic), and without the floor
+    * the belief of a record the tree classifies uniformly is noise/noise —
+    * an argmax that independent engines order differently. Any record with
+    * a real class transition has |derivative| ≥ O(1/width), so the floor
+    * only zeroes the no-signal case, whose belief is semantically zero.
+    */
+  val BeliefNoiseFloor = 1e-12
+
   def belief(sel: SelectorModel, features: DataFrame, rec: String, t: String,
              filterWidth: Int = 10): DataFrame = {
     val pred = sel.model.transform(assemble(features, sel.features))
@@ -174,7 +202,9 @@ object Selector {
       .drop("_fv", "rawPrediction", "probability", "prediction")
     val dp = SignalOps.sgDf(pred, "_ip", rec, t, 2 * filterWidth + 1, 2, 1, "_dp")
     val wRec = Window.partitionBy(rec)
-    val p = greatest(col("_dp"), lit(0.0))
+    val dpc = when(abs(col("_dp")) <= lit(BeliefNoiseFloor), lit(0.0))
+      .otherwise(col("_dp"))
+    val p = greatest(dpc, lit(0.0))
     val z = sum(p).over(wRec)
     dp.withColumn("belief", p / when(z === 0.0, lit(1.0)).otherwise(z))
       .drop("_ip", "_dp")
