@@ -153,6 +153,39 @@ object Selector {
     sel.model.transform(assemble(features, sel.features))
       .select(col(rec), col(t), col("prediction").cast("long").as("cls"))
 
+  /** Human-readable rule dump of the fitted tree (instants.py:469
+    * `describe`: the kept-feature table + sklearn `tree.export_text`).
+    * Returned as a string rather than printed — callers decide the sink.
+    * Rules use the real kept feature names (the reference prints
+    * `feature_N` plus a separate index table; inlining the name reads the
+    * same and removes the cross-reference), `|   ` indentation per level,
+    * `<=`/`> ` on the split threshold, and `class: 0.0/1.0` leaves.
+    */
+  def describe(sel: SelectorModel): String = {
+    val sb = new StringBuilder
+    sb.append("Features:\n")
+    sel.features.zipWithIndex.foreach { case (f, i) => sb.append(s"  $i: $f\n") }
+    def walk(node: Node, depth: Int): Unit = {
+      val pad = "|   " * depth
+      node match {
+        case l: LeafNode => sb.append(s"$pad|--- class: ${l.prediction}\n")
+        case n: InternalNode => n.split match {
+          case s: ContinuousSplit =>
+            val f = sel.features(s.featureIndex)
+            sb.append(s"$pad|--- $f <= ${s.threshold}\n")
+            walk(n.leftChild, depth + 1)
+            sb.append(s"$pad|--- $f >  ${s.threshold}\n")
+            walk(n.rightChild, depth + 1)
+          case other =>
+            throw new IllegalArgumentException(
+              s"describe: unsupported split type ${other.getClass.getName} (all bank features are continuous)")
+        }
+      }
+    }
+    walk(sel.model.rootNode, 0)
+    sb.result()
+  }
+
   /** The fitted tree exported as an ANSI-SQL CASE expression over the
     * double-quoted feature column names. spark.ml continuous splits send
     * `feature <= threshold` to the left child (`Split.shouldGoLeft`), so

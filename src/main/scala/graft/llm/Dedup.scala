@@ -285,15 +285,21 @@ object Dedup {
     * the pair graph (the deterministic canonical representative). Output:
     * (id, label).
     *
-    * Iterative min-label propagation: each round joins the current labels
-    * to the symmetric edge table and takes the per-node min over
-    * neighbors — one shuffle on the id per round, converging in
-    * O(component diameter) rounds. Near-dup graphs are banded-LSH
-    * quasi-cliques (diameter 2-3 in practice), so the loop is a handful of
-    * rounds even at corpus scale; `maxIters` bounds pathological chains
-    * (a path graph of length > maxIters fails loudly rather than returning
-    * half-merged components). The driver only ever sees the converged/not
-    * bit per round, never data rows.
+    * Iterative min-label propagation WITH pointer jumping: each round
+    * (1) joins the current labels to the symmetric edge table and takes
+    * the per-node min over neighbors, then (2) compresses one indirection,
+    * `label ← min(label, label(label))` — the label is always the id of a
+    * component member, so it has its own label row to jump through. Plain
+    * propagation needs O(component diameter) rounds, which on a chained
+    * near-dup path (doc A ~ B ~ C ~ …, each pair over threshold but the
+    * ends unrelated) grows with corpus size; the jump halves every
+    * label-forest depth per round, so convergence is O(log diameter) and a
+    * million-document chain clears in ~20 rounds. Near-dup graphs are
+    * usually banded-LSH quasi-cliques (diameter 2-3), where the loop is
+    * 2-3 rounds as before; `maxIters` still bounds the pathological case,
+    * failing loudly rather than returning half-merged components. The
+    * driver only ever sees the converged/not bit per round, never data
+    * rows.
     *
     * Each round's result is `localCheckpoint`ed (eager): without lineage
     * truncation the logical plan DOUBLES per round (round k's plan embeds
@@ -318,9 +324,20 @@ object Dedup {
       while (!converged && round < maxIters) {
         val nbrMin = edges.join(labels.withColumnRenamed("id", "_dst"), "_dst")
           .groupBy(col("_src").as("id")).agg(min("label").as("_nl"))
-        val updated = labels.join(nbrMin, Seq("id"), "left")
+        // checkpointed BEFORE the jump so the self-join below reads the
+        // materialized round result instead of recomputing the edge join
+        // on both sides
+        val prop = labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        // pointer jump: label ← min(label, label(label)). Labels are ids
+        // of component members (invariant: initialized to own id, min-ed
+        // with other members' ids), so every label has a row to jump to.
+        val relabel = prop.select(col("id").as("_lid"), col("label").as("_jl"))
+        val updated = prop.join(relabel, col("label") === col("_lid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("_jl"), col("label"))).as("label"))
           .localCheckpoint(true)
         val changed = updated.join(labels.withColumnRenamed("label", "_old"), "id")
           .filter(col("label") < col("_old")).count()
@@ -330,7 +347,7 @@ object Dedup {
       }
       require(converged,
         s"Dedup.components: not converged after $maxIters rounds — the pair " +
-          "graph has a component of diameter > maxIters; raise maxIters")
+          "graph has a component of diameter > ~2^maxIters; raise maxIters")
       labels
     } finally edges.unpersist(false)
   }

@@ -54,6 +54,24 @@ class SelectorSpec extends SparkSpec {
       s"gaps: ${scores.collect().mkString(", ")}")
   }
 
+  test("describe dumps the feature table and a rule per tree path") {
+    val (bank, _) = Indicators.bank(df, "record", "t", codes, 2)
+    val sel = Selector.fit(bank, selected, "record", "t", featCols,
+      retries = 3, samplePct = 0.5, minInstances = 5, seed = 7L)
+    val text = Selector.describe(sel)
+    // the feature table lists every kept feature with its assembler index
+    sel.features.zipWithIndex.foreach { case (f, i) =>
+      assert(text.contains(s"$i: $f"), s"missing feature-table row for $f")
+    }
+    // rules: one <= and one > line per internal node, a class line per leaf,
+    // and the learnable fixture must actually split (no single-leaf dump)
+    val le = text.linesIterator.count(_.contains("<="))
+    val gt = text.linesIterator.count(_.contains(">  "))
+    val leaves = text.linesIterator.count(_.contains("class: "))
+    assert(le >= 1 && le === gt, s"unbalanced split lines: $le <= vs $gt >")
+    assert(leaves === le + 1, s"$leaves leaves for $le internal nodes")
+  }
+
   test("save/load round-trips the fitted detector (same predictions)") {
     val (bank, _) = Indicators.bank(df, "record", "t", codes, 2)
     val sel = Selector.fit(bank, selected, "record", "t", featCols,

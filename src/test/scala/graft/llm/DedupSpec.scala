@@ -151,6 +151,16 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet == Set(1L) && comp.size == 12)
   }
 
+  test("components: pointer jumping clears a path far longer than maxIters rounds") {
+    import spark.implicits._
+    // a 200-edge chain has diameter 200 > the default maxIters=50: plain
+    // min-label propagation would abort; the label-compression jump must
+    // converge it in O(log 200) ≈ 8 rounds
+    val pairs = (1L to 200L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L) && comp.size == 201)
+  }
+
   test("clusters: every doc labeled, singletons self-clustered, sizes agg-shaped") {
     import spark.implicits._
     val docs = (1L to 8L).toDF("doc_id")
