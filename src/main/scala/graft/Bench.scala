@@ -36,7 +36,12 @@ object Bench {
     // isn't charged ~5s of one-time startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // declaration (= pipeline) order, NOT alphabetical: producers of the
+    // shared per-(session,dir) caches run before their consumers, so the
+    // shared compute is charged to the query that semantically owns it
+    // (e.g. the minhash pair chain to dedup_minhash_pairs, not to
+    // alphabetically-earlier dedup_clusters)
+    val names = SparkEntry.queries.keys.toSeq
     // per query: every pass's time (min is reported; the full list is
     // emitted too, so a 2x swing is attributable to rig noise vs plan
     // nondeterminism from the published numbers alone) + last err

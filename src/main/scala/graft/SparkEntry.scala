@@ -780,7 +780,13 @@ object SparkEntry {
 
   // ----- the graded inventory --------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // a ListMap so iteration preserves DECLARATION order, which is pipeline
+  // order: every query that warms a shared per-(session,dir) cache (fit,
+  // minhash pairs, bank) is declared before the queries that consume it,
+  // so a declaration-order bench charges the base compute to the producer
+  // (dedup_minhash_pairs pays the shingle→band→pair chain; dedup_clusters
+  // pays only the component loop) instead of whichever name sorts first.
+  def queries: Map[String, (SparkSession, String) => DataFrame] = scala.collection.immutable.ListMap(
     // -- Opset core (SURVEY §2 rows 1-5) --
     "opset_records" -> ((s, dir) => opset(s, dir).records),
 

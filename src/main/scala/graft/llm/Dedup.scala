@@ -319,6 +319,17 @@ object Dedup {
     try {
       var labels = edges.select(col("_src").as("id")).distinct()
         .withColumn("label", col("id")).localCheckpoint(true)
+      // convergence is detected by the exact sum of labels: every label
+      // move is a strict DECREASE (least of current and candidates), so
+      // the sum is unchanged iff no node changed — a one-row aggregate
+      // over the already-checkpointed round result, instead of a
+      // join-against-previous + count job per round. decimal(38,0) keeps
+      // the sum exact (1e9 ids × 2^63 still fits in 38 digits).
+      def labelSum(df: DataFrame): java.math.BigDecimal = {
+        val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+        if (s == null) java.math.BigDecimal.ZERO else s // empty graph
+      }
+      var prevSum = labelSum(labels)
       var round = 0
       var converged = false
       while (!converged && round < maxIters) {
@@ -339,10 +350,10 @@ object Dedup {
           .select(col("id"),
             least(col("label"), coalesce(col("_jl"), col("label"))).as("label"))
           .localCheckpoint(true)
-        val changed = updated.join(labels.withColumnRenamed("label", "_old"), "id")
-          .filter(col("label") < col("_old")).count()
+        val s = labelSum(updated)
         labels = updated
-        converged = changed == 0
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
         round += 1
       }
       require(converged,
