@@ -40,8 +40,14 @@ object Bench {
     // shared per-(session,dir) caches run before their consumers, so the
     // shared compute is charged to the query that semantically owns it
     // (e.g. the minhash pair chain to dedup_minhash_pairs, not to
-    // alphabetically-earlier dedup_clusters)
+    // alphabetically-earlier dedup_clusters). SPARK_GRAFT_BENCH_ONLY
+    // (comma-separated names) narrows the run for focused iteration —
+    // note a subset skips the cache producers that precede it, so its
+    // first named query absorbs their compute.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     // per query: every pass's time (min is reported; the full list is
     // emitted too, so a 2x swing is attributable to rig noise vs plan
     // nondeterminism from the published numbers alone) + last err
