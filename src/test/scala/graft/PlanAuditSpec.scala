@@ -101,6 +101,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(bcasts.nonEmpty, s"expected BroadcastHashJoin:\n$p")
   }
 
+  test("dedup clusters assignment plans no window — a mega-cluster cannot funnel") {
+    // a boilerplate near-dup cluster can hold a large fraction of the
+    // corpus; sizing it through a Window.partitionBy(cluster_id) would
+    // push that whole membership through ONE task. The contract is
+    // aggregation shape (groupBy + join back): zero WindowExec anywhere.
+    val docs = (1L to 40L).toDF("doc_id")
+    val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(docs, "doc_id", pairs)
+    val windows = collectAll(plan(out)) { case w: WindowExec => w }
+    assert(windows.isEmpty, s"clusters must stay window-free:\n${plan(out)}")
+  }
+
   test("tube scoresMatrix shares ONE record shuffle across all targets") {
     val base = (1 to 50).flatMap(i => Seq(("a", i.toLong, i * 1.0), ("b", i.toLong, 50.0 - i)))
       .toDF("record", "t", "value")
