@@ -68,6 +68,100 @@ object StreamOps {
       }
   }
 
+  /** One banded-MinHash bucket claim: `docId` hashed one of its signature
+    * bands to `bucket`, which is owned by `ownerId` — the first document
+    * seen in that bucket within the state horizon.
+    */
+  final case class BucketClaim(docId: Long, bucket: Long, ownerId: Long)
+
+  /** Internal per-bucket row after banding. `ts` stays a TIMESTAMP all the
+    * way into the stateful operator: the event-time-timeout checker
+    * requires the watermark-tagged attribute in the operator's input, so
+    * converting it to a long upstream would reject the query.
+    */
+  final case class BucketRow(bucket: Long, docId: Long, ts: java.sql.Timestamp)
+
+  /** Per-bucket ownership state. */
+  final case class OwnerState(ownerId: Long, ownerTsMs: Long, lastSeenMs: Long)
+
+  /** Streaming NEAR-dup detection — the ingestion form of the batch
+    * MinHash-LSH dedup (`Dedup.minhashLsh`): shingle → k minhashes →
+    * banded bucket keys are the SAME stateless column expressions the
+    * batch operator declares (so stream and batch agree on what "near"
+    * means), and the cross-document part becomes per-bucket first-owner
+    * state instead of a self-join. A document that lands in a bucket
+    * already owned by an earlier document is a candidate near-dup of that
+    * owner; [[nearDupVerdicts]] folds the per-band claims into one
+    * verdict per document.
+    *
+    * Scale shape: state is keyed by band bucket (bounded by distinct
+    * buckets seen within the horizon, not by stream length) and expires
+    * via event-time timeout `horizonMs` past the last sighting — the same
+    * bounded-lookback contract as `dropDuplicatesWithinWatermark`. No
+    * pairwise work anywhere: a bucket stores ONE owner id, so a
+    * boilerplate mega-bucket costs O(1) state and O(rows) claims.
+    *
+    * Banding matches the batch operator (`numHashes` minhashes in
+    * `bands` bands); candidate semantics are band-collision, i.e. the
+    * batch operator's candidate stage WITHOUT the exact-Jaccard re-rank —
+    * a stream cannot revisit the earlier document's shingle set without
+    * storing it. Callers needing exact confirmation join claims against
+    * a doc store in `foreachBatch`. Bucket keys are 64-bit hashes of the
+    * band rows; a hash collision can produce a false candidate at ~2^-64
+    * per pair — the LSH banding itself is already probabilistic.
+    */
+  def streamingNearDupClaims(docs: DataFrame, idCol: String, textCol: String,
+                             eventTime: String, watermark: String = "10 seconds",
+                             shingleLen: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                             horizonMs: Long = 60000L): Dataset[BucketClaim] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    val base = docs.withWatermark(eventTime, watermark)
+      .select(col(idCol).cast("long").as("docId"),
+        col(eventTime).as("ts"), // alias keeps the watermark metadata tag
+        graft.llm.Dedup.distinctNgramHashes(col(textCol), shingleLen).as("_sh"))
+    val sigs = graft.llm.Dedup.minhashSignature(base, "_sh", numHashes)
+    val bucketKeys = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand).map(i => col(s"sig_${b * rowsPerBand + i}")): _*)
+    }
+    sigs.select(explode(array(bucketKeys: _*)).as("bucket"), col("docId"), col("ts"))
+      .as[BucketRow]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[OwnerState, BucketClaim](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (bucket: Long, it: Iterator[BucketRow], state: GroupState[OwnerState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // sort the micro-batch so the owner choice (earliest ts, then
+            // smallest id) is deterministic regardless of task order
+            val batch = it.toVector.sortBy(r => (r.ts.getTime, r.docId))
+            val st0 = state.getOption.getOrElse(
+              OwnerState(batch.head.docId, batch.head.ts.getTime, batch.head.ts.getTime))
+            val owner = st0.ownerId
+            val lastSeen = math.max(st0.lastSeenMs, batch.last.ts.getTime)
+            state.update(st0.copy(lastSeenMs = lastSeen))
+            // expire horizonMs after the LAST sighting (sliding lookback);
+            // the timeout must sit above the current watermark
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + horizonMs, state.getCurrentWatermarkMs() + 1))
+            batch.iterator.map(r => BucketClaim(r.docId, bucket, owner))
+          }
+      }
+  }
+
+  /** Fold [[streamingNearDupClaims]] output into one verdict per document
+    * (batch aggregation over the landed claims, or inside `foreachBatch`):
+    * `is_dup` iff any of the document's buckets was owned by an EARLIER
+    * document; `dup_of` = the smallest such owner id. Aggregation-shaped
+    * (groupBy, map-side partials) — no window, no self-join.
+    */
+  def nearDupVerdicts(claims: DataFrame): DataFrame =
+    claims.groupBy(col("docId").as("doc_id"))
+      .agg(min(when(col("ownerId") =!= col("docId"), col("ownerId"))).as("dup_of"))
+      .withColumn("is_dup", col("dup_of").isNotNull)
+
   /** Stream a transformed signal stream INTO an Opset store: append-mode
     * parquet sink readable by [[graft.core.Opset.load]], with
     * exactly-once file commits via the checkpoint. Returns the started

@@ -79,6 +79,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDupClaims flags a later near-duplicate, keeps distinct docs") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val textA = "the quick brown fox jumps over the lazy dog again and again at dawn"
+    val textA2 = textA + " ok" // near-dup: shares almost every 5-gram shingle
+    val textB = "completely different content about structured streaming state stores"
+    val out = StreamOps.streamingNearDupClaims(
+      in.toDF().toDF("ts", "doc_id", "text"), "doc_id", "text", "ts")
+    val q = out.writeStream.format("memory").queryName("nd_out").outputMode("update").start()
+    try {
+      in.addData((ts(1), 1L, textA), (ts(2), 2L, textB))
+      q.processAllAvailable()
+      in.addData((ts(3), 3L, textA2)) // later batch: buckets already owned by doc 1
+      q.processAllAvailable()
+      val v = StreamOps.nearDupVerdicts(spark.table("nd_out")).collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(2), Option(r.get(1)))).toMap
+      assert(v(1L) === ((false, None)), "first doc owns its buckets")
+      assert(v(2L) === ((false, None)), "distinct doc shares no band")
+      assert(v(3L) === ((true, Some(1L))), "near-dup of the earlier doc")
+    } finally q.stop()
+  }
+
+  test("nearDupVerdicts marks same-batch near-dups with a deterministic owner") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val t = "sampled tokens share every shingle of this exact sentence for banding"
+    val out = StreamOps.streamingNearDupClaims(
+      in.toDF().toDF("ts", "doc_id", "text"), "doc_id", "text", "ts")
+    val q = out.writeStream.format("memory").queryName("nd2_out").outputMode("update").start()
+    try {
+      // identical text in ONE micro-batch: earliest ts wins; id breaks ties
+      in.addData((ts(5), 7L, t), (ts(4), 9L, t), (ts(5), 8L, t))
+      q.processAllAvailable()
+      val v = StreamOps.nearDupVerdicts(spark.table("nd2_out")).collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(2), Option(r.get(1)))).toMap
+      assert(v(9L) === ((false, None)), "earliest ts owns the bucket")
+      assert(v(7L) === ((true, Some(9L))))
+      assert(v(8L) === ((true, Some(9L))))
+    } finally q.stop()
+  }
+
   test("writeOpsetStore lands a stream as an Opset.load-able parquet store") {
     implicit val sc = spark.sqlContext
     import graft.core.Opset
