@@ -815,6 +815,17 @@ object SparkEntry {
       opset(s, dir).withSortKey(c => -c.cast("long")).recordIndex
         .orderBy("pos")),
 
+    "opset_asof" -> { (s, dir) =>
+      // as-of alignment: every sample joined with the signal's value at
+      // the latest 5-periodic "slow channel" sample time <= t
+      val os = opset(s, dir)
+      val slow = os.df.filter((col("t") - 1) % 5 === 0)
+        .select("record", "t", "value")
+      os.asof(slow, Seq("value"), "_ref").df
+        .select("record", "t", "value", "value_ref")
+        .orderBy("record", "t")
+    },
+
     // -- column metadata (rows 8-10) --
     "meta_nameunit" -> { (s, _) =>
       val rows = MetaLabels.map { lab =>
@@ -1202,6 +1213,24 @@ object SparkEntry {
          |       CAST(row_number() OVER (ORDER BY -CAST(record AS BIGINT), record) - 1 AS BIGINT) AS pos
          |FROM (SELECT DISTINCT record FROM opset)
          |ORDER BY pos""".stripMargin,
+
+    // mirrors Opset.asof's union + running last_value(IGNORE NULLS)
+    // exactly (the operator only COPIES doubles, so the engines agree
+    // bit-for-bit); right rows sort before left at equal t via _src
+    "opset_asof" ->
+      s"""WITH $OpsetCte, u AS (
+         |  SELECT record, t, value, CAST(NULL AS DOUBLE) AS value_ref, 1 AS _src FROM opset
+         |  UNION ALL
+         |  SELECT record, t, CAST(NULL AS DOUBLE), value, 0 FROM opset WHERE (t - 1) % 5 = 0
+         |), f AS (
+         |  SELECT record, t, value, _src,
+         |         last_value(value_ref IGNORE NULLS) OVER (
+         |           PARTITION BY record ORDER BY t, _src
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ref
+         |  FROM u
+         |)
+         |SELECT record, t, value, value_ref FROM f WHERE _src = 1
+         |ORDER BY record, t""".stripMargin,
 
     "meta_nameunit" ->
       ("SELECT * FROM (VALUES " +

@@ -112,6 +112,50 @@ final case class Opset(df: DataFrame, recordCol: String = "record", tCol: String
   /** Empty store with the same schema (opset.py:215 `clean`). */
   def clean: Opset = copy(df = df.limit(0))
 
+  /** As-of signal alignment: attach to every sample of THIS store the
+    * value each `valueCols` column of `right` had at the latest right
+    * sample time ≤ t, per record (multi-rate sensors: align a slow
+    * reference channel to a fast one). Right columns land as
+    * `<name><suffix>`, null until the record's first right sample.
+    *
+    * Deliberately NOT a join: composed as union + running
+    * `last(ignoreNulls)` over `(record, t)` — ONE shuffle on record and a
+    * single WindowExec fill all columns, where a per-row backward probe
+    * (the join formulation) costs a range join Spark can only execute as
+    * broadcast-nested-loop. This is the brief's custom-operator
+    * preference order (a): existing operators express the semantics, so
+    * no custom plan is warranted.
+    *
+    * Right must have at most one sample per (record, t) — the Opset
+    * contract (t is a per-record row number); at equal t the right sample
+    * is visible to the left row (≤, not <).
+    */
+  def asof(right: DataFrame, valueCols: Seq[String], suffix: String = "_ref"): Opset = {
+    require(valueCols.nonEmpty, "asof: no right columns requested")
+    val leftCols = df.columns.toSeq
+    val outCols = valueCols.map(c => s"$c$suffix")
+    require(!leftCols.exists(outCols.contains),
+      s"asof: suffixed column(s) ${outCols.filter(leftCols.contains).mkString(",")} collide with left schema")
+    // union with a source marker; right rows sort BEFORE left rows at the
+    // same t (src 0 < 1) so an equal-t right sample is already visible
+    val l = df.withColumn("_src", lit(1))
+    val r = right.select(
+      (Seq(col(recordCol), col(tCol)) ++ valueCols.map(col)): _*)
+    val pairs = valueCols.zip(outCols)
+    val lAligned = leftCols.map(col) ++ pairs.map { case (v, o) =>
+      lit(null).cast(r.schema(v).dataType).as(o) } :+ col("_src")
+    val rAligned = Seq(col(recordCol), col(tCol)) ++
+      leftCols.filterNot(Set(recordCol, tCol)).map(c => lit(null).cast(df.schema(c).dataType).as(c)) ++
+      pairs.map { case (v, o) => col(v).as(o) } :+ lit(0).as("_src")
+    val u = l.select(lAligned: _*).unionByName(r.select(rAligned: _*))
+    val w = Window.partitionBy(recordCol).orderBy(col(tCol), col("_src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = outCols.foldLeft(u) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    copy(df = filled.filter(col("_src") === 1).drop("_src"))
+  }
+
   /** Number of records (metadata-sized count). */
   def size: Long = records.count()
 

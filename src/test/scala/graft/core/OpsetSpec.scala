@@ -75,4 +75,30 @@ class OpsetSpec extends SparkSpec {
     assert(c.df.count() === 0)
     assert(c.df.columns.toSeq === os.df.columns.toSeq)
   }
+
+  test("asof aligns the latest right sample at or before each left t, per record") {
+    val left = Seq(("a", 1L, 10.0), ("a", 2L, 11.0), ("a", 3L, 12.0), ("a", 5L, 13.0),
+      ("b", 1L, 20.0)).toDF("record", "t", "value")
+    val right = Seq(("a", 2L, 0.5), ("a", 5L, 0.7), ("b", 3L, 0.9)).toDF("record", "t", "ref")
+    val out = Opset(left).asof(right, Seq("ref"))
+      .df.orderBy("record", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq === Seq(
+      ("a", 1L, 10.0, None),       // before the first right sample
+      ("a", 2L, 11.0, Some(0.5)),  // equal t is visible (<=)
+      ("a", 3L, 12.0, Some(0.5)),  // held until the next right sample
+      ("a", 5L, 13.0, Some(0.7)),
+      ("b", 1L, 20.0, None)))      // b's right sample is later than every left t
+  }
+
+  test("asof plans one record shuffle and no join") {
+    val left = Seq(("a", 1L, 10.0)).toDF("record", "t", "value")
+    val right = Seq(("a", 1L, 0.5)).toDF("record", "t", "ref")
+    val plan = Opset(left).asof(right, Seq("ref")).df.queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"asof must be union+window, not a join:\n$plan")
+  }
 }
