@@ -46,6 +46,14 @@ object Bench {
     // first named query absorbs their compute.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail loudly on names that match no query: a typo would otherwise
+    // silently shrink the run and still exit 0 looking like a clean result
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown quer${if (unknown.size == 1) "y" else "ies"}: " +
+          s"${unknown.toSeq.sorted.mkString(",")} (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(",")})")
+    }
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
     // per query: every pass's time (min is reported; the full list is

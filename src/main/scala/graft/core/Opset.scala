@@ -126,9 +126,17 @@ final case class Opset(df: DataFrame, recordCol: String = "record", tCol: String
     * preference order (a): existing operators express the semantics, so
     * no custom plan is warranted.
     *
-    * Right must have at most one sample per (record, t) — the Opset
-    * contract (t is a per-record row number); at equal t the right sample
-    * is visible to the left row (≤, not <).
+    * Contract on `right`: it must use THIS store's `recordCol`/`tCol`
+    * names (rename upstream if it doesn't — the operator keys the union
+    * on those attributes), have at most one sample per (record, t) — the
+    * Opset contract (t is a per-record row number; at equal t the right
+    * sample is visible to the left row: ≤, not <) — and its value columns
+    * must be NON-NULL: the running `last(ignoreNulls)` fill cannot
+    * distinguish "sample whose value is null" from "no sample here", so a
+    * null right value would silently hold the previous non-null value
+    * forward instead of aligning the null. Encode genuine missingness as
+    * an absent row, or wrap the value in a struct (a non-null struct with
+    * a null field IS carried as a sample).
     */
   def asof(right: DataFrame, valueCols: Seq[String], suffix: String = "_ref"): Opset = {
     require(valueCols.nonEmpty, "asof: no right columns requested")
@@ -136,6 +144,10 @@ final case class Opset(df: DataFrame, recordCol: String = "record", tCol: String
     val outCols = valueCols.map(c => s"$c$suffix")
     require(!leftCols.exists(outCols.contains),
       s"asof: suffixed column(s) ${outCols.filter(leftCols.contains).mkString(",")} collide with left schema")
+    // the internal source marker must not shadow (and later drop) a real
+    // left column of the same name
+    require(!leftCols.contains("_src") && !right.columns.contains("_src"),
+      "asof: column name _src is reserved by this operator; rename it upstream")
     // union with a source marker; right rows sort BEFORE left rows at the
     // same t (src 0 < 1) so an equal-t right sample is already visible
     val l = df.withColumn("_src", lit(1))

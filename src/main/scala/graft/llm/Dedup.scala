@@ -301,16 +301,22 @@ object Dedup {
     * driver only ever sees the converged/not bit per round, never data
     * rows.
     *
-    * Each round's result is `localCheckpoint`ed (eager): without lineage
+    * Each round's result is checkpointed (eager): without lineage
     * truncation the logical plan DOUBLES per round (round k's plan embeds
     * round k-1's twice — once in the label join, once in the neighbor
     * aggregate) and Catalyst analysis alone goes exponential by ~10
-    * rounds. On a cluster that cares about executor loss during the loop,
-    * swap for reliable `checkpoint` with a checkpoint dir — the algorithm
-    * is unchanged.
+    * rounds. `checkpointDir = None` uses `localCheckpoint` (executor
+    * block store — fast, but a lost executor loses blocks with no lineage
+    * to rebuild them); pass a reliable directory (HDFS/S3) for a cluster
+    * run that must survive executor loss mid-loop — the algorithm is
+    * unchanged, each round then lands on checkpoint storage.
     */
   def components(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-                 maxIters: Int = 50): DataFrame = {
+                 maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     // `edges` is loop-internal (nothing lazy escapes with it), so unlike
     // the operator-local caches above it is released before returning.
     val edges = pairs.select(col(aCol).as("_src"), col(bCol).as("_dst"))
@@ -318,7 +324,8 @@ object Dedup {
       .distinct().cache()
     try {
       var labels = edges.select(col("_src").as("id")).distinct()
-        .withColumn("label", col("id")).localCheckpoint(true)
+        .withColumn("label", col("id"))
+      labels = materialize(labels)
       // convergence is detected by the exact sum of labels: every label
       // move is a strict DECREASE (least of current and candidates), so
       // the sum is unchanged iff no node changed — a one-row aggregate
@@ -338,18 +345,16 @@ object Dedup {
         // checkpointed BEFORE the jump so the self-join below reads the
         // materialized round result instead of recomputing the edge join
         // on both sides
-        val prop = labels.join(nbrMin, Seq("id"), "left")
+        val prop = materialize(labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
-          .localCheckpoint(true)
+            least(col("label"), coalesce(col("_nl"), col("label"))).as("label")))
         // pointer jump: label ← min(label, label(label)). Labels are ids
         // of component members (invariant: initialized to own id, min-ed
         // with other members' ids), so every label has a row to jump to.
         val relabel = prop.select(col("id").as("_lid"), col("label").as("_jl"))
-        val updated = prop.join(relabel, col("label") === col("_lid"), "left")
+        val updated = materialize(prop.join(relabel, col("label") === col("_lid"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("_jl"), col("label"))).as("label"))
-          .localCheckpoint(true)
+            least(col("label"), coalesce(col("_jl"), col("label"))).as("label")))
         val s = labelSum(updated)
         labels = updated
         converged = s.compareTo(prevSum) == 0

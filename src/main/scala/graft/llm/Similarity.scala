@@ -144,14 +144,20 @@ object Similarity {
         .map(_.getSeq[Double](0).toArray)
       (0 until iters).foreach { _ =>
         val assign = bestCentroidCol(col("_v"), cents)
+        // Per-dimension means via posexplode + groupBy(_c, dim): ONE
+        // aggregate expression total, where the previous
+        // `avg(element_at(_v, d+1))`-per-dimension form planned ~dim
+        // aggregate expressions — fine at toy dims, an analysis/codegen
+        // blowup at embedding dims of 768+. Shuffle volume is k×dim
+        // partial means (map-side combine); still only k×dim doubles
+        // reach the driver. Empty clusters keep their previous centroid.
         val sums = base.withColumn("_c", assign)
-          .groupBy("_c")
-          .agg(array((0 until cents(0).length).map(d =>
-            avg(element_at(col("_v"), d + 1))): _*).as("_mean"))
+          .select(col("_c"), posexplode(col("_v")).as(Seq("_d", "_x")))
+          .groupBy("_c", "_d").agg(avg(col("_x")).as("_mean"))
           .collect()
-        val updated = cents.clone()
+        val updated = cents.map(_.clone())
         sums.foreach { r =>
-          updated(r.getInt(0)) = r.getSeq[Double](1).toArray
+          updated(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
         }
         cents = updated
       }

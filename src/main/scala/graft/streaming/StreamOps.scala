@@ -122,6 +122,14 @@ object StreamOps {
       .select(col(idCol).cast("long").as("docId"),
         col(eventTime).as("ts"), // alias keeps the watermark metadata tag
         graft.llm.Dedup.distinctNgramHashes(col(textCol), shingleLen).as("_sh"))
+      // Null/empty text yields an empty shingle set, hence an all-null
+      // signature; xxhash64 skips null inputs, so every such doc would
+      // band to the SAME bucket and get claimed a near-dup of the first
+      // degenerate doc seen. The batch path's exact-Jaccard re-rank
+      // rejects those candidates; this stream is documented re-rank-free,
+      // so drop degenerate docs BEFORE banding — "empty equals empty" is
+      // not a near-dup verdict anyone wants driving data deletion.
+      .filter(col("_sh").isNotNull && size(col("_sh")) > 0)
     val sigs = graft.llm.Dedup.minhashSignature(base, "_sh", numHashes)
     val bucketKeys = (0 until bands).map { b =>
       xxhash64(lit(b) +: (0 until rowsPerBand).map(i => col(s"sig_${b * rowsPerBand + i}")): _*)

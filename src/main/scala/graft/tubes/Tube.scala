@@ -287,8 +287,15 @@ object Tube {
     val pctBuckets = math.max(1, math.round(samplesPct * 100).toInt)
     val bucket = graft.llm.Dedup.md5Hash32(
       concat_ws("|", col(rec), col(t), lit(seed))) % 100
-    val train = df.filter(bucket < pctBuckets).cache()
-    val valid = df.filter(bucket >= pctBuckets && bucket < 2 * pctBuckets).cache()
+    // ONE cached scan for both samples: train and valid are disjoint
+    // bucket ranges of the same ~2·samplesPct hash sample, so caching
+    // them separately would run the (dominant) full-data scan twice —
+    // once per cache build. Materialize the bucket as a column so the
+    // two downstream filters are cheap comparisons over the cached rows.
+    val sampled = df.withColumn("_tube_bucket", bucket)
+      .filter(col("_tube_bucket") < 2 * pctBuckets).cache()
+    val train = sampled.filter(col("_tube_bucket") < pctBuckets)
+    val valid = sampled.filter(col("_tube_bucket") >= pctBuckets)
     try {
       // Every retry's factor subset is a pure function of the seed —
       // enumerate them all BEFORE touching the data, so the whole fit is
@@ -378,7 +385,7 @@ object Tube {
       scored.zipWithIndex.sortBy { case (mo, i) => (-mo.r2, i) }
         .take(keepBest).map(_._1)
     } finally {
-      train.unpersist(); valid.unpersist()
+      sampled.unpersist()
     }
   }
 

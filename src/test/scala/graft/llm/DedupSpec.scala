@@ -161,6 +161,24 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet == Set(1L) && comp.size == 201)
   }
 
+  test("components: reliable checkpointDir path matches localCheckpoint result") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (7L, 1L), (5L, 6L), (10L, 11L)).toDF("id_a", "id_b")
+      val local = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+      val reliable = Dedup.components(pairs, checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable === local)
+      // the reliable path actually wrote rdd checkpoints to the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable checkpoint wrote no files")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("clusters: every doc labeled, singletons self-clustered, sizes agg-shaped") {
     import spark.implicits._
     val docs = (1L to 8L).toDF("doc_id")

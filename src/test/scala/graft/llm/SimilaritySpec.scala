@@ -66,6 +66,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall too low") // 3 tight clusters, k=3
   }
 
+  test("IVF: centroid update holds at embedding dim 256 (posexplode mean form)") {
+    // the former per-dimension avg(element_at) update planned ~dim
+    // aggregate expressions; this pins the high-dim form: correct means,
+    // deterministic, no expression-count blowup at a realistic dim
+    val dim = 256
+    val r = new scala.util.Random(11)
+    val centers = Seq.fill(2)(Array.fill(dim)(r.nextGaussian()))
+    val hi = (0 until 20).map { i =>
+      val c = centers(i % 2)
+      (i.toLong, c.map(x => (x + r.nextGaussian() * 0.01).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val c1 = Similarity.ivfCentroids(hi, "vec_id", "embedding", k = 2, iters = 2)
+    val c2 = Similarity.ivfCentroids(hi, "vec_id", "embedding", k = 2, iters = 2)
+    assert(c1.length === 2 && c1.forall(_.length === dim))
+    assert(c1.flatten.toSeq === c2.flatten.toSeq)
+    // each learned centroid sits close to one true center (cosine > 0.99)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    c1.foreach { c => assert(centers.exists(t => cos(c, t) > 0.99)) }
+  }
+
   test("cosineDup finds cluster-mate pairs above threshold, ordered ids") {
     val planes = Similarity.hyperplanes(12, Dim)
     val pairs = Similarity.cosineDup(emb, "vec_id", "embedding", 0.95, planes, 3, 4)
