@@ -641,22 +641,32 @@ object SparkEntry {
       s"list_min(list_transform(hs, h -> (h * $a + $b) % ${Dedup.MinhashP})) AS sig_$k"
     }
 
+  /** DuckDB CTE chain mirroring the shared MinHash banding front end:
+    * `banded(doc_id, band, h_0..h_{rpb-1})`, one row per (document, band).
+    * Shared by the pair oracles AND the stream_neardup oracle (the stream
+    * reuses these exact banding expressions by construction).
+    */
+  private def minhashBandedCtes: String = {
+    val rpb = MhHashes / MhBands
+    val bandArms = (0 until MhBands).map { b =>
+      val hs = (0 until rpb).map(i => s"sig_${b * rpb + i} AS h_$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, $hs FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$ShingleCte, sig AS (
+       |  SELECT doc_id, ${sigExprs.mkString(",\n         ")} FROM sh
+       |), banded AS (
+       |  $bandArms
+       |)""".stripMargin
+  }
+
   /** DuckDB CTE chain mirroring [[Dedup.minhashLsh]] end to end; final
     * relation `mhp(id_a, id_b, jaccard)` holds the kept near-dup pairs.
     * Shared by the dedup_minhash_pairs and dedup_clusters oracles.
     */
   private def minhashPairsCtes: String = {
     val rpb = MhHashes / MhBands
-    val bandArms = (0 until MhBands).map { b =>
-      val hs = (0 until rpb).map(i => s"sig_${b * rpb + i} AS h_$i").mkString(", ")
-      s"SELECT doc_id, $b AS band, $hs FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
     val hEq = (0 until rpb).map(i => s"l.h_$i = r.h_$i").mkString(" AND ")
-    s"""$ShingleCte, sig AS (
-       |  SELECT doc_id, ${sigExprs.mkString(",\n         ")} FROM sh
-       |), banded AS (
-       |  $bandArms
-       |), cand AS (
+    s"""$minhashBandedCtes, cand AS (
        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
        |  FROM banded l JOIN banded r
        |    ON l.band = r.band AND $hEq AND l.doc_id < r.doc_id
@@ -1043,6 +1053,48 @@ object SparkEntry {
       Dedup.clusters(docs, "doc_id", cachedMinhashPairs(s, dir)).orderBy("doc_id")
     },
 
+    // -- Structured Streaming near-dup ingestion filter (row 39) --
+    // The one streaming row with a batch-SQL oracle: documents replays as
+    // a BOUNDED file stream (one parquet file, no maxFilesPerTrigger cap →
+    // one micro-batch) with event time monotone in doc_id, the per-bucket
+    // first-owner claims land in parquet via foreachBatch (the stateful
+    // operator emits updates, which the file sink proper cannot accept),
+    // and the landed claims fold to one verdict per document. Under that
+    // event-time order, "first owner" of a band
+    // bucket is min(doc_id) over the docs sharing the band signature —
+    // exactly what the oracle's GROUP BY reproduces, so the stream's
+    // no-re-rank claim semantics are graded by DuckDB like any batch
+    // operator. Fresh sink+checkpoint dirs per call: a bench pass re-runs
+    // the real stream, never a warm checkpoint no-op.
+    "stream_neardup" -> { (s, dir) =>
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val out = java.nio.file.Files.createTempDirectory("graft-stream-nd").toString
+      // the file stream source reads a DIRECTORY; stage the single test
+      // file into one (a production ingest already points at a landing dir)
+      val in = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(out, "in"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        in.resolve("documents.parquet"))
+      // +1000s: an event time of exactly epoch 0 (doc_id 0) is not ">"
+      // the stateful operator's initial watermark of 0 and gets dropped
+      // as late; any positive offset keeps the order monotone in doc_id
+      val docs = s.readStream.schema(schema).parquet(in.toString)
+        .withColumn("ts", timestamp_seconds(col("doc_id") + 1000))
+      val claims = graft.streaming.StreamOps.streamingNearDupClaims(
+        docs, "doc_id", "text", "ts",
+        shingleLen = MhShingle, numHashes = MhHashes, bands = MhBands)
+      graft.streaming.StreamOps.landUpdates(
+        claims.toDF(), s"$out/claims", s"$out/ckpt").awaitTermination()
+      val verdicts = graft.streaming.StreamOps.nearDupVerdicts(
+        s.read.parquet(s"$out/claims"))
+      s.read.parquet(path).select(col("doc_id"))
+        .join(verdicts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy("doc_id")
+    },
+
     // -- LLM: SimHash near-dedup (row 29) --
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -1385,6 +1437,29 @@ object SparkEntry {
          |SELECT c.doc_id, c.cluster_id, s.cluster_size
          |FROM comp c JOIN sz s USING (cluster_id)
          |ORDER BY c.doc_id""".stripMargin,
+
+    "stream_neardup" -> {
+      // the stream's first-owner-per-bucket semantics under doc_id-monotone
+      // event time: owner(band bucket) = min(doc_id) sharing the band
+      // signature; a doc's dup_of = min owner ≠ itself over its bands.
+      // Same banding CTEs as the batch minhash oracles — the stream reuses
+      // those exact expressions by construction.
+      val rpb = MhHashes / MhBands
+      val hs = (0 until rpb).map(i => s"h_$i").mkString(", ")
+      s"""WITH $minhashBandedCtes, own AS (
+         |  SELECT band, $hs, min(doc_id) AS owner
+         |  FROM banded GROUP BY band, $hs
+         |), claims AS (
+         |  SELECT b.doc_id, o.owner
+         |  FROM banded b JOIN own o USING (band, $hs)
+         |), v AS (
+         |  SELECT doc_id, min(CASE WHEN owner <> doc_id THEN owner END) AS dup_of
+         |  FROM claims GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, v.dup_of, (v.dup_of IS NOT NULL) AS is_dup
+         |FROM documents d LEFT JOIN v USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "instants_multi" -> instantsMultiOracle,
 

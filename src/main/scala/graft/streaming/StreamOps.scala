@@ -170,6 +170,29 @@ object StreamOps {
       .agg(min(when(col("ownerId") =!= col("docId"), col("ownerId"))).as("dup_of"))
       .withColumn("is_dup", col("dup_of").isNotNull)
 
+  /** Land an UPDATE-mode stream (e.g. [[streamingNearDupClaims]], whose
+    * stateful operator emits updates) into an append-only parquet
+    * directory via `foreachBatch`: the file sink proper only accepts
+    * Append mode, so each micro-batch's updates are appended as a batch
+    * write instead. Exactly-once per micro-batch comes from the
+    * checkpoint + idempotent-by-batchId is NOT provided here — a replayed
+    * batch would append twice; callers needing it dedup downstream (the
+    * claim fold [[nearDupVerdicts]] is idempotent to duplicate claims,
+    * which is why this pairing is safe).
+    */
+  def landUpdates(df: DataFrame, path: String, checkpoint: String,
+                  trigger: org.apache.spark.sql.streaming.Trigger =
+                    org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .trigger(trigger)
+      .start()
+
   /** Stream a transformed signal stream INTO an Opset store: append-mode
     * parquet sink readable by [[graft.core.Opset.load]], with
     * exactly-once file commits via the checkpoint. Returns the started
