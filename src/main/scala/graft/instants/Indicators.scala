@@ -69,38 +69,61 @@ object Indicators {
   def epsilons(df: DataFrame, rec: String, t: String,
                combos: Seq[(String, Int, Int)], deg: Int): Map[(String, Int, Int), Double] = {
     require(combos.nonEmpty, "epsilons: empty combo grid")
+    val withB = withStage1Sg(df, rec, t, combos, deg, "_eps")
+    epsilonsFromSg(withB, rec, t, combos, deg, "_eps")
+  }
+
+  /** (rn, n) pair + stage-1 SG column `<prefix>_b_i = SG_w(x, d)` per
+    * combo, each null-guarded to records with >= w samples; rows of
+    * records shorter than the NARROWEST combo window are dropped. Shared
+    * by [[epsilons]] (standalone) and [[bank]] (which caches this frame so
+    * the epsilon aggregation and the output chain compute it once).
+    */
+  private[instants] def withStage1Sg(df: DataFrame, rec: String, t: String,
+                           combos: Seq[(String, Int, Int)], deg: Int,
+                           prefix: String): DataFrame = {
     val wOrd = Window.partitionBy(rec).orderBy(t)
     val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val minW = combos.map(_._2).min
-    val rn = col("_eps_rn")
-    val n  = col("_eps_n")
+    val rn = col(s"${prefix}_rn")
+    val n  = col(s"${prefix}_n")
     val base = df
-      .withColumn("_eps_rn", row_number().over(wOrd).cast("long"))
-      .withColumn("_eps_n", count(lit(1)).over(wFull))
+      .withColumn(s"${prefix}_rn", row_number().over(wOrd).cast("long"))
+      .withColumn(s"${prefix}_n", count(lit(1)).over(wFull))
       .filter(n >= minW)
-    // stage 1: b_i = SG_w(x, d), defined where the record has >= w samples
-    val withB = combos.zipWithIndex.foldLeft(base) { case (d0, ((x, w, o), i)) =>
+    combos.zipWithIndex.foldLeft(base) { case (d0, ((x, w, o), i)) =>
       val (fw, lw) = SignalOps.sgEdgeArrays(col(x), rec, t, rn, n, w)
-      d0.withColumn(s"_eps_fw_$i", fw).withColumn(s"_eps_lw_$i", lw)
-        .withColumn(s"_eps_b_$i",
+      d0.withColumn(s"${prefix}_fw_$i", fw).withColumn(s"${prefix}_lw_$i", lw)
+        .withColumn(s"${prefix}_b_$i",
           when(n >= w, SignalOps.sgExpr(col(x), rec, t, rn, n, w, deg, o,
-            col(s"_eps_fw_$i"), col(s"_eps_lw_$i"))))
-        .drop(s"_eps_fw_$i", s"_eps_lw_$i")
+            col(s"${prefix}_fw_$i"), col(s"${prefix}_lw_$i"))))
+        .drop(s"${prefix}_fw_$i", s"${prefix}_lw_$i")
     }
-    // stage 2: residual r_i = b_i − SG_{2w+1}(b_i, d), where n >= 2w+1
+  }
+
+  /** The epsilon aggregation over a frame already carrying the (rn, n)
+    * pair and stage-1 SG columns from [[withStage1Sg]]: residual
+    * r_i = b_i − SG_{2w+1}(b_i, d) where the record has >= 2w+1 samples,
+    * then per-record stddev_pop and global max in one two-level job.
+    */
+  private[instants] def epsilonsFromSg(withB: DataFrame, rec: String, t: String,
+                             combos: Seq[(String, Int, Int)], deg: Int,
+                             prefix: String): Map[(String, Int, Int), Double] = {
+    val rn = col(s"${prefix}_rn")
+    val n  = col(s"${prefix}_n")
     val withR = combos.zipWithIndex.foldLeft(withB) { case (d0, ((_, w, o), i)) =>
       val w2 = 2 * w + 1
-      val b = col(s"_eps_b_$i")
+      val b = col(s"${prefix}_b_$i")
       val (fw, lw) = SignalOps.sgEdgeArrays(b, rec, t, rn, n, w2)
-      d0.withColumn(s"_eps_fw2_$i", fw).withColumn(s"_eps_lw2_$i", lw)
-        .withColumn(s"_eps_r_$i",
+      d0.withColumn(s"${prefix}_fw2_$i", fw).withColumn(s"${prefix}_lw2_$i", lw)
+        .withColumn(s"${prefix}_r_$i",
           when(n >= w2,
             b - SignalOps.sgExpr(b, rec, t, rn, n, w2, deg, o,
-              col(s"_eps_fw2_$i"), col(s"_eps_lw2_$i"))))
-        .drop(s"_eps_fw2_$i", s"_eps_lw2_$i")
+              col(s"${prefix}_fw2_$i"), col(s"${prefix}_lw2_$i"))))
+        .drop(s"${prefix}_fw2_$i", s"${prefix}_lw2_$i")
     }
-    val sds  = combos.indices.map(i => stddev_pop(col(s"_eps_r_$i")).as(s"_eps_s_$i"))
-    val tops = combos.indices.map(i => max(col(s"_eps_s_$i")).as(s"_eps_e_$i"))
+    val sds  = combos.indices.map(i => stddev_pop(col(s"${prefix}_r_$i")).as(s"${prefix}_s_$i"))
+    val tops = combos.indices.map(i => max(col(s"${prefix}_s_$i")).as(s"${prefix}_e_$i"))
     val row = withR
       .groupBy(col(rec)).agg(sds.head, sds.tail: _*)
       .agg(tops.head, tops.tail: _*)
@@ -138,47 +161,49 @@ object Indicators {
   /** The full bank for a grid of codes over one signal column. Returns the
     * augmented DataFrame and the effective (code, epsilon) list.
     *
-    * Fused build: one [[epsilons]] job covers every distinct
-    * (col, w, order) of the grid, then ONE materialized (row-number,
-    * record-length) pair feeds the positional features and one shared SG
-    * column per distinct combo — codes differing only in sigma sign or the
-    * reversed variant reuse the same smoothed column instead of re-running
-    * the whole window chain per code (the old per-code fold re-computed
-    * row_number/count and the SG chain once per code).
+    * Fused build: ONE materialized (row-number, record-length) pair and
+    * one stage-1 SG column per distinct (col, w, order) combo are computed
+    * once and CACHED (via `scope`), then BOTH consumers read the cache —
+    * the epsilon aggregation (which stacks its SG-of-SG residual on top)
+    * and the output chain (positional features + indicator columns). The
+    * uncached formulation ran the full upstream chain and every stage-1 SG
+    * twice: once inside the epsilon job, once for the output. Codes
+    * differing only in sigma sign or the reversed variant reuse the same
+    * smoothed column.
+    *
+    * The cache follows [[graft.core.CacheScope]] semantics: session-scoped
+    * by default, pass a scope and release it once the returned (lazy)
+    * DataFrame has been consumed. A released cache costs recompute, never
+    * correctness.
     *
     * Records shorter than the widest code window are dropped (same final
     * row set as folding [[withIndicator]], whose per-code filters compound).
     */
   def bank(df: DataFrame, rec: String, t: String, codes: Seq[IndicatorCode],
-           deg: Int): (DataFrame, Seq[(IndicatorCode, Double)]) = {
+           deg: Int, scope: graft.core.CacheScope = graft.core.CacheScope.session)
+      : (DataFrame, Seq[(IndicatorCode, Double)]) = {
     def comboOf(cd: IndicatorCode): (String, Int, Int) =
       (cd.col, 2 * math.abs(cd.halfWidth) + 1, cd.order)
     val combos = codes.map(comboOf).distinct
-    val epsMap = epsilons(df, rec, t, combos, deg)
+    // one cached frame: (df columns, rn, n, SG_w per combo), rows limited
+    // to records >= the narrowest window (epsilon needs those; the output
+    // re-filters to the widest below)
+    val shared = scope.cache(withStage1Sg(df, rec, t, combos, deg, "_bk"))
+    val epsMap = epsilonsFromSg(shared, rec, t, combos, deg, "_bk")
     val withEps = codes.map(cd => (cd, epsMap(comboOf(cd))))
 
     val wOrd = Window.partitionBy(rec).orderBy(t)
     val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val maxW = combos.map(_._2).max
     val n = col("_bk_n")
-    val base = df
-      .withColumn("_bk_rn", row_number().over(wOrd).cast("long"))
-      .withColumn("_bk_n", count(lit(1)).over(wFull))
+    val sgName = combos.zipWithIndex.map { case (c, i) => c -> s"_bk_b_$i" }.toMap
+    val base = shared
       .filter(n >= maxW)
       .withColumn("LEN", (col(t) - 1).cast("double"))
       .withColumn("REV", (n - col(t)).cast("double"))
       .withColumn("PERCENT",
         when(n > 1, col("LEN") / (n - 1).cast("double")).otherwise(lit(0.0)))
-    val sgName = combos.zipWithIndex.map { case (c, i) => c -> s"_bk_sg_$i" }.toMap
-    val withSg = combos.foldLeft(base) { case (d, cmb @ (x, w, o)) =>
-      val nm = sgName(cmb)
-      val (fw, lw) = SignalOps.sgEdgeArrays(col(x), rec, t, col("_bk_rn"), n, w)
-      d.withColumn(s"${nm}_fw", fw).withColumn(s"${nm}_lw", lw)
-        .withColumn(nm, SignalOps.sgExpr(col(x), rec, t, col("_bk_rn"), n, w, deg, o,
-          col(s"${nm}_fw"), col(s"${nm}_lw")))
-        .drop(s"${nm}_fw", s"${nm}_lw")
-    }
-    val out = withEps.foldLeft(withSg) { case (d, (cd, e)) =>
+    val out = withEps.foldLeft(base) { case (d, (cd, e)) =>
       // direction comes from the sign of the configured sigma, NOT of
       // sigma*eps: for a perfectly-smooth signal eps == 0 and the product
       // would silently flip an upward indicator to downward crossings
