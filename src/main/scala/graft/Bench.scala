@@ -17,6 +17,35 @@ import graft.util.Json
   * memoization (fit once, predict many) matches real usage, as before.
   */
 object Bench {
+
+  /** Accumulates stage-level task metrics between [[snapshotAndReset]]
+    * calls — the instrumentation behind SPARK_GRAFT_BENCH_METRICS=1, used
+    * to attribute wild pass-to-pass spread (GC pause vs shuffle-fetch
+    * wait vs host stall, the latter visible as wall ≫ executorRunTime).
+    */
+  private final class StageMetrics extends org.apache.spark.scheduler.SparkListener {
+    private val runMs, cpuNs, gcMs, fetchWaitMs, spillBytes =
+      new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+        spillBytes.addAndGet(m.memoryBytesSpilled)
+      }
+    }
+    /** One compact attribution line; resets the counters. */
+    def snapshotAndReset(): String = {
+      val s = f"run=${runMs.getAndSet(0) / 1e3}%.2fs cpu=${cpuNs.getAndSet(0) / 1e9}%.2fs " +
+        f"gc=${gcMs.getAndSet(0) / 1e3}%.2fs fetchWait=${fetchWaitMs.getAndSet(0) / 1e3}%.2fs " +
+        s"spill=${spillBytes.getAndSet(0)}B"
+      s
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,6 +91,17 @@ object Bench {
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     val errs = scala.collection.mutable.Map.empty[String, String]
 
+    // SPARK_GRAFT_BENCH_METRICS=1: per-(pass, query) stage-metric
+    // attribution lines on stderr (stdout keeps the one-JSON-line
+    // contract). wall ≫ run with low gc/fetchWait = host stall; high gc =
+    // GC pause; high fetchWait = shuffle fetch; run ≫ cpu = scheduling/IO.
+    val metrics = sys.env.get("SPARK_GRAFT_BENCH_METRICS").filter(_ == "1")
+      .map { _ =>
+        val l = new StageMetrics
+        spark.sparkContext.addSparkListener(l)
+        l
+      }
+
     for (pass <- 1 to runs) {
       if (pass > 1) {
         SparkEntry.clearSessionCaches(spark) // drop memoized plans/models
@@ -73,6 +113,11 @@ object Bench {
           SparkEntry.queries(name)(spark, sfDir).count()
           val sec = (System.nanoTime() - t0) / 1e9
           times(name) = times.getOrElse(name, Nil) :+ sec
+          metrics.foreach { l =>
+            Thread.sleep(150) // listener bus is async; let the tail drain
+            System.err.println(
+              f"[bench-metrics] pass=$pass query=$name wall=$sec%.2fs ${l.snapshotAndReset()}")
+          }
         } catch {
           case e: Throwable =>
             errs(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"

@@ -56,6 +56,37 @@ object Selector {
     SelectorModel(feats, DecisionTreeClassificationModel.load(s"$path/tree"))
   }
 
+  // ---- selection-table editing ----------------------------------------
+  // The reference keeps the expert's labeled instants as an interactive
+  // dict (instants.py:164 `self.selected`) with `clear_selection`
+  // (instants.py:195) as the reset before a re-learn. The engine analog is
+  // a small (rec, i) selection DataFrame — these thin ops cover the edits
+  // the widget layer performs, after which a re-fit is just
+  // [[fit]](features, editedSelection, ...).
+
+  /** Empty selection with the same schema (instants.py:195
+    * `clear_selection`).
+    */
+  def clearSelection(selected: DataFrame): DataFrame = selected.limit(0)
+
+  /** Upsert edited instants: records present in `edits` replace their
+    * previous selection, the rest keep theirs (the widget's
+    * click-to-reselect, instants.py:847). `edits` is expert-clicked and
+    * metadata-sized, so the upsert broadcasts it — no shuffle of the
+    * existing selection.
+    */
+  def updateSelection(selected: DataFrame, edits: DataFrame, rec: String): DataFrame = {
+    val incoming = edits.select(col(rec)).distinct()
+    selected.join(broadcast(incoming), Seq(rec), "left_anti")
+      .unionByName(edits.select(selected.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** Deselect whole records (the widget's pop on reclick,
+    * instants.py:1015).
+    */
+  def dropSelection(selected: DataFrame, records: Seq[String], rec: String): DataFrame =
+    selected.filter(!col(rec).isin(records: _*))
+
   /** Per-sample label (instants.py:529): 0 for 0-based position ≤ the
     * record's selected instant `i`, 1 after (the reference's −1/+1 coded
     * as spark.ml's 0/1).

@@ -54,6 +54,31 @@ class SelectorSpec extends SparkSpec {
       s"gaps: ${scores.collect().mkString(", ")}")
   }
 
+  test("selection editing: clear empties, update upserts, drop removes, re-fit composes") {
+    assert(Selector.clearSelection(selected).count() === 0L)
+    assert(Selector.clearSelection(selected).columns.toSeq === selected.columns.toSeq)
+
+    // the expert re-clicks r1's instant and labels a new record r4
+    val edits = Seq(("r1", 35L), ("r4", 10L)).toDF("record", "i")
+    val updated = Selector.updateSelection(selected, edits, "record")
+    val m = updated.as[(String, Long)].collect().toMap
+    assert(m === Map("r0" -> 20L, "r1" -> 35L, "r2" -> 40L, "r3" -> 25L, "r4" -> 10L))
+
+    val dropped = Selector.dropSelection(updated, Seq("r4"), "record")
+    assert(dropped.as[(String, Long)].collect().toMap ===
+      Map("r0" -> 20L, "r1" -> 35L, "r2" -> 40L, "r3" -> 25L))
+
+    // a re-fit on the edited table is the same fit call — the moved r1
+    // label shifts r1's computed instant toward the new position
+    val (bank, _) = Indicators.bank(df, "record", "t", codes, 2)
+    val sel = Selector.fit(bank, dropped, "record", "t", featCols,
+      retries = 3, samplePct = 0.5, minInstances = 5, seed = 7L)
+    val computed = Selector.predictInstants(
+      Selector.belief(sel, bank, "record", "t", filterWidth = 5), "record", "t")
+    val got = computed.as[(String, Long)].collect().toMap
+    assert(got.keySet === Set("r0", "r1", "r2", "r3"))
+  }
+
   test("describe dumps the feature table and a rule per tree path") {
     val (bank, _) = Indicators.bank(df, "record", "t", codes, 2)
     val sel = Selector.fit(bank, selected, "record", "t", featCols,
