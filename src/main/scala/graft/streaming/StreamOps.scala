@@ -119,18 +119,24 @@ object StreamOps {
     import spark.implicits._
     val rowsPerBand = numHashes / bands
     val base = docs.withWatermark(eventTime, watermark)
+      // Degenerate docs must be dropped BEFORE banding. A null text
+      // shingles to [null] (not an empty array!), so its signature is
+      // all-null; xxhash64 skips null inputs, so every null-text doc
+      // would band to the SAME per-band bucket and get claimed a
+      // near-dup of the first one seen. Empty text shingles to the
+      // single hash of "", so all empty docs collide too. The batch
+      // path's exact-Jaccard re-rank rejects these candidates; this
+      // stream is documented re-rank-free, and "empty equals empty" is
+      // not a near-dup verdict anyone wants driving data deletion.
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).cast("long").as("docId"),
         col(eventTime).as("ts"), // alias keeps the watermark metadata tag
         graft.llm.Dedup.distinctNgramHashes(col(textCol), shingleLen).as("_sh"))
-      // Null/empty text yields an empty shingle set, hence an all-null
-      // signature; xxhash64 skips null inputs, so every such doc would
-      // band to the SAME bucket and get claimed a near-dup of the first
-      // degenerate doc seen. The batch path's exact-Jaccard re-rank
-      // rejects those candidates; this stream is documented re-rank-free,
-      // so drop degenerate docs BEFORE banding — "empty equals empty" is
-      // not a near-dup verdict anyone wants driving data deletion.
       .filter(col("_sh").isNotNull && size(col("_sh")) > 0)
     val sigs = graft.llm.Dedup.minhashSignature(base, "_sh", numHashes)
+      // belt-and-braces: any row that still produced a null leading sig
+      // would bucket on band index alone — never let one reach banding
+      .filter(col("sig_0").isNotNull)
     val bucketKeys = (0 until bands).map { b =>
       xxhash64(lit(b) +: (0 until rowsPerBand).map(i => col(s"sig_${b * rowsPerBand + i}")): _*)
     }

@@ -120,6 +120,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDupClaims drops null/empty-text docs instead of cross-claiming them") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val real = "a normal document with enough distinct tokens to shingle properly"
+    val out = StreamOps.streamingNearDupClaims(
+      in.toDF().toDF("ts", "doc_id", "text"), "doc_id", "text", "ts")
+    val q = out.writeStream.format("memory").queryName("nd3_out").outputMode("update").start()
+    try {
+      // degenerate docs: null text shingles to [null] → all-null
+      // signature → every null-text doc bands to the SAME per-band
+      // bucket; empty text shingles to {hash("")} so empty docs collide
+      // with each other too. Without the pre-banding filter doc 2 (and
+      // the later null doc 3) would be claimed near-dups of doc 1.
+      in.addData((ts(1), 1L, null: String), (ts(2), 4L, real))
+      q.processAllAvailable()
+      in.addData((ts(3), 2L, ""), (ts(4), 3L, null: String))
+      q.processAllAvailable()
+      val v = StreamOps.nearDupVerdicts(spark.table("nd3_out")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(v === Map(4L -> false), "degenerate docs emit no claims and no verdicts")
+    } finally q.stop()
+  }
+
   test("writeOpsetStore lands a stream as an Opset.load-able parquet store") {
     implicit val sc = spark.sqlContext
     import graft.core.Opset
