@@ -9,7 +9,7 @@ import graft.core.{ColumnMeta, Opset}
 import graft.dsp.SignalOps
 import graft.instants.{Indicators, Selector, Splits}
 import graft.instants.Indicators.IndicatorCode
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
 import graft.plots.PlotData
 import graft.tubes.Tube
 
@@ -688,6 +688,12 @@ object SparkEntry {
   private val JacMinShared = 2
   private val JacMaxDf = 128
 
+  // Corpus-assembly parameters shared by the pipe_* query/oracles.
+  private val PipeFractions = Map("en" -> 0.3, "zh" -> 1.0)
+  private val PipeDefaultFrac = 0.1
+  private val PipeSeed = 7L
+  private val PipeBudget = 512
+
   // Embedding-LSH parameters shared by ann_* / dedup_cosine query/oracles.
   private val EmbDim = 64
   private val LshBits = 4
@@ -1191,6 +1197,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- LLM: corpus assembly (rows 42-43) --
+    "pipe_sample" -> { (s, dir) =>
+      Pipeline.sampleStratified(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "lang", PipeFractions, PipeDefaultFrac, PipeSeed)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    "pipe_pack" -> { (s, dir) =>
+      Pipeline.packSequences(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", "source", PipeBudget)
+        .orderBy("doc_id")
+    },
+
     // -- plot data preparation (rows 6, 11-15) --
     "plot_signal" -> { (s, dir) =>
       PlotData.signalTrace(opset(s, dir).get("1"), Seq("record", "t"), "value",
@@ -1595,6 +1615,34 @@ object SparkEntry {
          |             c -> CAST(ord(c) AS BIGINT))),
          |         (a, b) -> (a * 31 + b) % ${TextAnalysis.FpMod}) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipe_sample" -> {
+      val denom = 10000
+      val cases = PipeFractions.map { case (k, f) =>
+        s"WHEN '$k' THEN ${math.round(f * denom)}" }.mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE CAST(concat('0x', substr(md5(concat_ws('|', doc_id, '$PipeSeed')), 1, 8)) AS BIGINT) % $denom
+         |      < CASE lang $cases ELSE ${math.round(PipeDefaultFrac * denom)} END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "pipe_pack" ->
+      s"""WITH ptok AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+         |  FROM documents
+         |), pcum AS (
+         |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+         |  FROM ptok
+         |)
+         |SELECT doc_id, source, n_tokens,
+         |       CAST(floor(start_tok / ${PipeBudget}.0) AS BIGINT) AS bin,
+         |       (n_tokens > 0 AND floor((start_tok + n_tokens - 1) / ${PipeBudget}.0)
+         |          <> floor(start_tok / ${PipeBudget}.0)) AS spans
+         |FROM pcum ORDER BY doc_id""".stripMargin,
 
     "plot_signal" ->
       s"""WITH $OpsetCte

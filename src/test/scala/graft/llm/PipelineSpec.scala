@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    // (doc_id, text, lang, shard)
+    (0L, "one two three", "en", "s0"),          // 3 tokens
+    (1L, "uno dos tres cuatro cinco", "es", "s0"), // 5 tokens
+    (2L, "a b c d", "en", "s0"),                // 4 tokens
+    (3L, "", "en", "s0"),                       // 0 tokens
+    (4L, "x y z w v u t s", "de", "s1"),        // 8 tokens
+    (5L, "p q", "de", "s1")                     // 2 tokens
+  ).toDF("doc_id", "text", "lang", "shard")
+
+  test("sampleStratified is a deterministic pure function of (id, seed)") {
+    val a = Pipeline.sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> 0.5), default = 1.0, seed = 42L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Pipeline.sampleStratified(docs.repartition(7), "doc_id", "lang",
+      Map("en" -> 0.5), default = 1.0, seed = 42L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b, "partitioning must not change the sample")
+    // non-"en" strata use the default fraction (here: keep everything)
+    assert(Set(1L, 4L, 5L).subsetOf(a))
+  }
+
+  test("sampleStratified fraction endpoints: 0 drops all, 1 keeps all") {
+    val none = Pipeline.sampleStratified(docs, "doc_id", "lang",
+      Map.empty, default = 0.0, seed = 1L)
+    val all = Pipeline.sampleStratified(docs, "doc_id", "lang",
+      Map.empty, default = 1.0, seed = 1L)
+    assert(none.count() === 0L)
+    assert(all.count() === docs.count())
+  }
+
+  test("packSequences: bin is the starting cut, spans marks boundary-crossers") {
+    // budget 6, shard s0 in doc_id order: 3 + 5 + 4 + 0 tokens
+    //   doc 0 starts at 0  -> bin 0, ends at 2  -> no span
+    //   doc 1 starts at 3  -> bin 0, ends at 7  -> spans into bin 1
+    //   doc 2 starts at 8  -> bin 1, ends at 11 -> no span
+    //   doc 3 empty        -> bin 2 (start 12), spans=false by the n>0 guard
+    // shard s1: 8 tokens -> starts bin 0 spans into bin 1; then 2 tokens bin 1
+    val out = Pipeline.packSequences(docs, "doc_id", "text", "shard", 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(0L) === ((3L, 0L, false)))
+    assert(out(1L) === ((5L, 0L, true)))
+    assert(out(2L) === ((4L, 1L, false)))
+    assert(out(3L) === ((0L, 2L, false)))
+    assert(out(4L) === ((8L, 0L, true)))
+    assert(out(5L) === ((2L, 1L, false)))
+  }
+
+  test("packSequences shards are independent: adding a shard changes nothing else") {
+    val base = Pipeline.packSequences(docs, "doc_id", "text", "shard", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSet
+    val more = docs.union(Seq((9L, "k l m", "en", "s9")).toDF(docs.columns: _*))
+    val out = Pipeline.packSequences(more, "doc_id", "text", "shard", 6)
+      .filter(col("shard") =!= "s9")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSet
+    assert(out === base)
+  }
+}
