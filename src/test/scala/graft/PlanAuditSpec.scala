@@ -113,6 +113,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows.isEmpty, s"clusters must stay window-free:\n${plan(out)}")
   }
 
+  test("sampleStratified plans zero shuffles — a pure codegen'd filter scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = graft.llm.Pipeline.sampleStratified(
+      docs, "doc_id", "lang", Map("en" -> 0.3), default = 0.1, seed = 7L)
+    val p = plan(out)
+    assert(collectAll(p) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"stratified sampling must not shuffle:\n$p")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      s"stratified sampling must not window:\n$p")
+  }
+
+  test("packSequences plans ONE shard-partitioned shuffle and no unpartitioned window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = graft.llm.Pipeline.packSequences(docs, "doc_id", "text", "source", 512)
+    val p = plan(out)
+    assert(collectAll(p) { case s: ShuffleExchangeExec => s }.size <= 1,
+      s"packing must shuffle once, on the shard key:\n$p")
+    val unpart = collectAll(p) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, s"packing window must partition on the shard key:\n$p")
+  }
+
   test("tube scoresMatrix shares ONE record shuffle across all targets") {
     val base = (1 to 50).flatMap(i => Seq(("a", i.toLong, i * 1.0), ("b", i.toLong, 50.0 - i)))
       .toDF("record", "t", "value")
