@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, Md5Prefix32, SetOverlap, ShingleHashes, WordNgramHashes}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, Md5Prefix32, SetOverlap, SgResidualStddev, ShingleHashes, WordNgramHashes}
 import graft.llm.TextAnalysis
 
 /** Session extensions registering graft's native Catalyst expressions so
@@ -69,6 +69,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"graft_set_overlap requires exactly 2 arguments, got ${children.size}")
         SetOverlap(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sg_eps"),
+      new ExpressionInfo(classOf[SgResidualStddev].getName, null, "graft_sg_eps",
+        "graft_sg_eps(values, w, deg, deriv) - per-record stddev_pop of the " +
+          "SG_w minus SG_{2w+1}(SG_w) residual over a t-sorted sample array", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          s"graft_sg_eps requires exactly 4 arguments, got ${children.size}")
+        require(children.drop(1).forall(_.foldable),
+          "graft_sg_eps: w, deg and deriv must be literals")
+        def intArg(i: Int) = children(i).eval().asInstanceOf[Number].intValue()
+        SgResidualStddev(children(0), intArg(1), intArg(2), intArg(3))
       }))
   }
 }

@@ -54,23 +54,72 @@ object Indicators {
               w: Int, d: Int, deg: Int): Double =
     epsilons(df, rec, t, Seq((x, w, d)), deg)((x, w, d))
 
-  /** All epsilons of a grid in ONE distributed job: every combo's residual
-    * `SG_w(x,d) − SG_{2w+1}(SG_w(x,d),d)` is computed in the same projection
-    * (sharing one materialized (row-number, record-length) pair and one
-    * WindowExec batch) and all the per-record stddevs + global maxes fold
-    * into a single two-level aggregation — instead of a separate two-SG
-    * chain + aggregation job per (col, w, order).
+  /** All epsilons of a grid in ONE distributed job.
+    *
+    * Preferred path (sessions with [[graft.GraftExtensions]]): epsilon is a
+    * per-record SCALAR, so instead of paying three WindowExec passes of
+    * per-row machinery (stage-1 SG, stage-2 SG over its output, then the
+    * stddev aggregation), each record's t-sorted sample array is collected
+    * once per signal column and the whole two-stage residual + stddev runs
+    * as one primitive loop per record inside the native
+    * [[graft.functions.SgResidualStddev]] expression — bit-identical
+    * arithmetic to the window formulation (same tap fold order, same
+    * CentralMomentAgg Welford updates in t order), one shuffle
+    * (`groupBy(record)`, map-side partial collect), and a two-level
+    * aggregation so only one scalar per combo reaches the driver.
+    *
+    * Fallback (no extensions, e.g. a driver-provided smoke session): the
+    * windowed formulation below — every combo's residual in the same
+    * projection sharing one (row-number, record-length) pair, all stddevs +
+    * maxes in a single two-level aggregation.
     *
     * Per-combo record eligibility (a record participates in combo i's
-    * stddev iff it has at least 2w_i+1 samples) is enforced by null-guarding
-    * the residual: stddev_pop and max both ignore nulls, which reproduces
-    * the per-combo record drop of the sequential formulation exactly.
+    * stddev iff it has at least 2w_i+1 samples) holds on both paths: the
+    * native expression returns null for shorter records, the windowed path
+    * null-guards the residual, and stddev_pop/max ignore nulls.
+    *
+    * At 100 TB the per-record arrays are the same memory class WindowExec
+    * already buffers per partition; the collect_list aggregation is
+    * ObjectHashAggregate, which falls back to sort-based spilling when a
+    * partition holds more record groups than memory.
     */
   def epsilons(df: DataFrame, rec: String, t: String,
                combos: Seq[(String, Int, Int)], deg: Int): Map[(String, Int, Int), Double] = {
     require(combos.nonEmpty, "epsilons: empty combo grid")
-    val withB = withStage1Sg(df, rec, t, combos, deg, "_eps")
-    epsilonsFromSg(withB, rec, t, combos, deg, "_eps")
+    if (graft.functions.Native.registered) epsilonsArray(df, rec, t, combos, deg)
+    else {
+      val withB = withStage1Sg(df, rec, t, combos, deg, "_eps")
+      epsilonsFromSg(withB, rec, t, combos, deg, "_eps")
+    }
+  }
+
+  /** The native-expression epsilon job (see [[epsilons]]): one
+    * `collect_list(struct(t, x))` + `array_sort` per distinct signal
+    * column, then `max(graft_sg_eps(arr, w, deg, d))` per combo in a
+    * second aggregation level. Exposed for the equivalence spec that pins
+    * it bit-identical to [[epsilonsFromSg]].
+    */
+  private[instants] def epsilonsArray(df: DataFrame, rec: String, t: String,
+                            combos: Seq[(String, Int, Int)], deg: Int)
+      : Map[(String, Int, Int), Double] = {
+    val cols = combos.map(_._1).distinct
+    val collects = cols.map { x =>
+      transform(
+        array_sort(collect_list(struct(col(t).as("o"), col(x).cast("double").as("v")))),
+        s => s.getField("v")).as(s"_eps_arr_$x")
+    }
+    val perRec = df.groupBy(col(rec)).agg(collects.head, collects.tail: _*)
+    val tops = combos.zipWithIndex.map { case ((x, w, o), i) =>
+      max(call_function("graft_sg_eps",
+        col(s"_eps_arr_$x"), lit(w), lit(deg), lit(o))).as(s"_eps_e_$i")
+    }
+    val row = perRec.agg(tops.head, tops.tail: _*).head()
+    combos.zipWithIndex.map { case (cmb, i) =>
+      require(!row.isNullAt(i),
+        s"epsilon: no record has the >= ${2 * cmb._2 + 1} samples required for " +
+          s"(col=${cmb._1}, w=${cmb._2}, order=${cmb._3}) — shorten the window or supply longer records")
+      cmb -> row.getDouble(i)
+    }.toMap
   }
 
   /** (rn, n) pair + stage-1 SG column `<prefix>_b_i = SG_w(x, d)` per
@@ -161,15 +210,16 @@ object Indicators {
   /** The full bank for a grid of codes over one signal column. Returns the
     * augmented DataFrame and the effective (code, epsilon) list.
     *
-    * Fused build: ONE materialized (row-number, record-length) pair and
-    * one stage-1 SG column per distinct (col, w, order) combo are computed
-    * once and CACHED (via `scope`), then BOTH consumers read the cache —
-    * the epsilon aggregation (which stacks its SG-of-SG residual on top)
-    * and the output chain (positional features + indicator columns). The
-    * uncached formulation ran the full upstream chain and every stage-1 SG
-    * twice: once inside the epsilon job, once for the output. Codes
-    * differing only in sigma sign or the reversed variant reuse the same
-    * smoothed column.
+    * With [[graft.GraftExtensions]] registered, the epsilon aggregation
+    * runs on the array path ([[epsilonsArray]] — one groupBy job, no
+    * window machinery) and the output chain computes its stage-1 SG
+    * columns inline: neither consumer re-reads the other's work, so no
+    * shared cache is needed at all. In the fallback (no native
+    * expressions) the stage-1 frame is computed once and CACHED via
+    * `scope`, then BOTH consumers read the cache — the epsilon aggregation
+    * (which stacks its SG-of-SG residual on top) and the output chain.
+    * Codes differing only in sigma sign or the reversed variant reuse the
+    * same smoothed column on either path.
     *
     * The cache follows [[graft.core.CacheScope]] semantics: session-scoped
     * by default, pass a scope and release it once the returned (lazy)
@@ -185,11 +235,17 @@ object Indicators {
     def comboOf(cd: IndicatorCode): (String, Int, Int) =
       (cd.col, 2 * math.abs(cd.halfWidth) + 1, cd.order)
     val combos = codes.map(comboOf).distinct
-    // one cached frame: (df columns, rn, n, SG_w per combo), rows limited
-    // to records >= the narrowest window (epsilon needs those; the output
-    // re-filters to the widest below)
-    val shared = scope.cache(withStage1Sg(df, rec, t, combos, deg, "_bk"))
-    val epsMap = epsilonsFromSg(shared, rec, t, combos, deg, "_bk")
+    // the stage-1 frame: (df columns, rn, n, SG_w per combo), rows limited
+    // to records >= the narrowest window (the fallback epsilon needs those;
+    // the output re-filters to the widest below)
+    val (shared, epsMap) =
+      if (graft.functions.Native.registered)
+        (withStage1Sg(df, rec, t, combos, deg, "_bk"),
+          epsilonsArray(df, rec, t, combos, deg))
+      else {
+        val cached = scope.cache(withStage1Sg(df, rec, t, combos, deg, "_bk"))
+        (cached, epsilonsFromSg(cached, rec, t, combos, deg, "_bk"))
+      }
     val withEps = codes.map(cd => (cd, epsMap(comboOf(cd))))
 
     val wOrd = Window.partitionBy(rec).orderBy(t)

@@ -42,6 +42,36 @@ class SelectorSpec extends SparkSpec {
     assert(e1 > 0.0)
   }
 
+  test("array epsilon path is bit-identical to the windowed formulation") {
+    // multi-column, multi-width grid incl. a window wide enough (w=21 ->
+    // 2w+1=43) that no fixture record reaches it -> both paths must agree
+    // a combo with SOME eligible records still yields, and mixed record
+    // lengths exercise the per-combo eligibility drop
+    val mixed = df.union(
+      (1 to 20).map(t => ("r_short", t.toLong, math.sin(t * 0.7) * 3.0))
+        .toDF("record", "t", "value"))
+      .withColumn("v2", col("value") * col("value"))
+    val combos = Seq(("value", 7, 1), ("value", 9, 0), ("v2", 7, 1), ("value", 15, 2))
+    val viaArray = Indicators.epsilonsArray(mixed, "record", "t", combos, 2)
+    val viaWindow = Indicators.epsilonsFromSg(
+      Indicators.withStage1Sg(mixed, "record", "t", combos, 2, "_eq"),
+      "record", "t", combos, 2, "_eq")
+    assert(viaArray.keySet === viaWindow.keySet)
+    for (k <- combos) {
+      assert(java.lang.Double.doubleToLongBits(viaArray(k)) ===
+        java.lang.Double.doubleToLongBits(viaWindow(k)),
+        s"combo $k: array ${viaArray(k)} vs window ${viaWindow(k)}")
+    }
+    // a combo no record can satisfy must fail loudly on both paths
+    val tooWide = Seq(("value", 31, 1))
+    intercept[IllegalArgumentException](
+      Indicators.epsilonsArray(mixed, "record", "t", tooWide, 2))
+    intercept[IllegalArgumentException](
+      Indicators.epsilonsFromSg(
+        Indicators.withStage1Sg(mixed, "record", "t", tooWide, 2, "_eq2"),
+        "record", "t", tooWide, 2, "_eq2"))
+  }
+
   test("fit + belief + predict recovers the step instants within 2 samples") {
     val (bank, _) = Indicators.bank(df, "record", "t", codes, 2)
     val sel = Selector.fit(bank, selected, "record", "t", featCols,
