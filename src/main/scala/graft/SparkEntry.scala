@@ -308,7 +308,10 @@ object SparkEntry {
   /** DuckDB CTE chain turning the tree's per-sample class into a predicted
     * instant, mirroring [[Selector.belief]] (w=21, deg 2, deriv 1 SG of the
     * ±1 class signal, positive part, per-record normalization) and
-    * [[Selector.predictInstants]] (argmax, first-max tiebreak). Relations:
+    * [[Selector.predictInstants]] (argmax of the belief rounded to
+    * `Selector.BeliefTieDecimals`, first-max tiebreak — the rounding keeps
+    * a one-ulp FP plateau tie from resolving differently per engine).
+    * Relations:
     * `ipq` (±1 class signal), `predq` (record, i).
     */
   private def treePredictCtes(tree: String): String = {
@@ -327,7 +330,8 @@ object SparkEntry {
        |  SELECT record, CAST(t - 1 AS BIGINT) AS i FROM (
        |    SELECT record, t,
        |           row_number() OVER (PARTITION BY record
-       |             ORDER BY p / (CASE WHEN z = 0.0 THEN 1.0 ELSE z END) DESC, t) AS rn
+       |             ORDER BY round(p / (CASE WHEN z = 0.0 THEN 1.0 ELSE z END),
+       |                            ${Selector.BeliefTieDecimals}) DESC, t) AS rn
        |    FROM belq
        |  ) WHERE rn = 1
        |)""".stripMargin

@@ -274,11 +274,25 @@ object Selector {
       .drop("_ip", "_dp")
   }
 
+  /** Decimals the belief is quantized to before the argmax in
+    * [[predictInstants]]. On a mirror-symmetric belief plateau two samples'
+    * beliefs can differ only by floating-point accumulation order (observed
+    * at sf1: 0.12727272727272726 vs …29, one ulp), and independent engines
+    * then argmax to different samples. Rounding to a fixed decimal
+    * collapses sub-1e-9 differences into the deterministic first-max `t`
+    * tiebreak on both engines; real belief peaks are separated by far more
+    * than 1e-9 (the belief is a normalized distribution whose mass sits on
+    * O(width) samples). The oracle's argmax CTE applies the same rounding.
+    */
+  val BeliefTieDecimals = 9
+
   /** Predicted instant per record (instants.py:552): 0-based argmax of the
-    * belief (first max). Output: (rec, i).
+    * belief (first max, after [[BeliefTieDecimals]] quantization).
+    * Output: (rec, i).
     */
   def predictInstants(beliefDf: DataFrame, rec: String, t: String): DataFrame = {
-    val w = Window.partitionBy(rec).orderBy(col("belief").desc, col(t))
+    val w = Window.partitionBy(rec)
+      .orderBy(round(col("belief"), BeliefTieDecimals).desc, col(t))
     beliefDf.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select(col(rec), (col(t) - 1).cast("long").as("i"))
   }
