@@ -231,6 +231,20 @@ object SparkEntry {
       pairsCache.remove(k).foreach(_.unpersist(false)))
   }
 
+  /** Recursively delete a directory tree now; missing paths are fine. */
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+
+  /** Register a directory tree for recursive deletion at JVM exit — for
+    * per-invocation staging dirs the returned lazy plan still reads from.
+    */
+  private def deleteAtExit(p: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
+
   /** DuckDB CTEs computing the epsilon noise floor of column `x` of
     * relation `src` for (w=SgW, d=1): max over records of
     * stddev_pop(SG_w(x,1) − SG_{2w+1}(SG_w(x,1), 1)). Final relation
@@ -1079,7 +1093,13 @@ object SparkEntry {
     "stream_neardup" -> { (s, dir) =>
       val path = s"$dir/documents.parquet"
       val schema = s.read.parquet(path).schema
-      val out = java.nio.file.Files.createTempDirectory("graft-stream-nd").toString
+      val outPath = java.nio.file.Files.createTempDirectory("graft-stream-nd")
+      // the returned (lazy) plan reads claims parquet from this dir, so it
+      // cannot be deleted here — but without cleanup a multi-pass bench at
+      // sf1 accumulates gigabytes of /tmp staging copies; reap at JVM exit
+      // (the input copy + checkpoint, the bulk, go eagerly below)
+      deleteAtExit(outPath)
+      val out = outPath.toString
       // the file stream source reads a DIRECTORY; stage the single test
       // file into one (a production ingest already points at a landing dir)
       val in = java.nio.file.Files.createDirectory(
@@ -1096,6 +1116,11 @@ object SparkEntry {
         shingleLen = MhShingle, numHashes = MhHashes, bands = MhBands)
       graft.streaming.StreamOps.landUpdates(
         claims.toDF(), s"$out/claims", s"$out/ckpt").awaitTermination()
+      // the stream is done: the staged input copy and the checkpoint (the
+      // bulk of the staging) are dead weight now — only claims/ is read by
+      // the returned plan
+      deleteTree(in)
+      deleteTree(java.nio.file.Paths.get(out, "ckpt"))
       val verdicts = graft.streaming.StreamOps.nearDupVerdicts(
         s.read.parquet(s"$out/claims"))
       s.read.parquet(path).select(col("doc_id"))
@@ -1470,12 +1495,21 @@ object SparkEntry {
       // those exact expressions by construction.
       val rpb = MhHashes / MhBands
       val hs = (0 until rpb).map(i => s"h_$i").mkString(", ")
-      s"""WITH $minhashBandedCtes, own AS (
+      // sbanded mirrors the stream's degenerate-doc drop (StreamOps
+      // filters null/empty text BEFORE banding): without it an empty-text
+      // doc shingles to md5('') here, collides in every band, and the
+      // oracle would call it a dup while the stream reports is_dup=false.
+      // Short-but-nonempty docs need no filter — both sides hash the
+      // whole text as the single shingle.
+      s"""WITH $minhashBandedCtes, sbanded AS (
+         |  SELECT b.* FROM banded b JOIN documents d USING (doc_id)
+         |  WHERE d.text IS NOT NULL AND length(d.text) > 0
+         |), own AS (
          |  SELECT band, $hs, min(doc_id) AS owner
-         |  FROM banded GROUP BY band, $hs
+         |  FROM sbanded GROUP BY band, $hs
          |), claims AS (
          |  SELECT b.doc_id, o.owner
-         |  FROM banded b JOIN own o USING (band, $hs)
+         |  FROM sbanded b JOIN own o USING (band, $hs)
          |), v AS (
          |  SELECT doc_id, min(CASE WHEN owner <> doc_id THEN owner END) AS dup_of
          |  FROM claims GROUP BY doc_id

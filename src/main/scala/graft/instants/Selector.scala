@@ -74,8 +74,20 @@ object Selector {
     * click-to-reselect, instants.py:847). `edits` is expert-clicked and
     * metadata-sized, so the upsert broadcasts it — no shuffle of the
     * existing selection.
+    *
+    * `edits` must hold ONE row per record: the reference's selection is a
+    * dict keyed by record, and the fit/label path assumes one instant per
+    * record. Duplicate edit rows would both survive the anti-join + union
+    * and silently corrupt that contract — with no row order to break the
+    * tie deterministically, this fails loudly instead of picking one.
     */
   def updateSelection(selected: DataFrame, edits: DataFrame, rec: String): DataFrame = {
+    val dups = edits.groupBy(col(rec)).count().filter(col("count") > 1)
+      .select(col(rec)).limit(5).collect().map(_.get(0))
+    require(dups.isEmpty,
+      s"updateSelection: edits carries multiple rows for record(s) " +
+        s"${dups.mkString(", ")} — the selection is one instant per record; " +
+        "dedupe the edits to the intended instant first")
     val incoming = edits.select(col(rec)).distinct()
     selected.join(broadcast(incoming), Seq(rec), "left_anti")
       .unionByName(edits.select(selected.columns.map(col).toIndexedSeq: _*))

@@ -309,14 +309,34 @@ object Dedup {
     * block store — fast, but a lost executor loses blocks with no lineage
     * to rebuild them); pass a reliable directory (HDFS/S3) for a cluster
     * run that must survive executor loss mid-loop — the algorithm is
-    * unchanged, each round then lands on checkpoint storage.
+    * unchanged, each round then lands on checkpoint storage. The
+    * SparkContext checkpoint dir is saved and restored around the loop,
+    * and on the local path each superseded round's blocks are freed as
+    * soon as the next round is materialized, so storage stays bounded by
+    * one round regardless of graph diameter.
     */
   def components(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                  maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
+    // setCheckpointDir is a SparkContext-wide mutation: save and restore
+    // the previous dir so the loop does not silently redirect unrelated
+    // code's reliable checkpoints for the rest of the session
+    val prevCkptDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    // A localCheckpoint's blocks live until the wrapping Dataset is GC'd;
+    // across a deep (high-diameter) loop the superseded rounds would pile
+    // up bounded-but-wasteful block storage, so each round explicitly
+    // frees the round k-1 result and the intermediate once round k is
+    // materialized. The reliable-checkpoint path is left untouched (its
+    // files are the executor-loss recovery story; cleanup there is the
+    // checkpoint dir's retention policy).
+    def release(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty)
+        df.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(false))
     // `edges` is loop-internal (nothing lazy escapes with it), so unlike
     // the operator-local caches above it is released before returning.
     val edges = pairs.select(col(aCol).as("_src"), col(bCol).as("_dst"))
@@ -356,6 +376,10 @@ object Dedup {
           .select(col("id"),
             least(col("label"), coalesce(col("_jl"), col("label"))).as("label")))
         val s = labelSum(updated)
+        // round k is materialized and summed: the intermediate and the
+        // superseded round k-1 blocks are dead weight now
+        release(prop)
+        release(labels)
         labels = updated
         converged = s.compareTo(prevSum) == 0
         prevSum = s
@@ -365,7 +389,16 @@ object Dedup {
         s"Dedup.components: not converged after $maxIters rounds — the pair " +
           "graph has a component of diameter > ~2^maxIters; raise maxIters")
       labels
-    } finally edges.unpersist(false)
+    } finally {
+      edges.unpersist(false)
+      prevCkptDir match {
+        case Some(d) => spark.sparkContext.setCheckpointDir(d)
+        case None if checkpointDir.isDefined =>
+          // Option(null) → None inside setCheckpointDir: restores "unset"
+          spark.sparkContext.setCheckpointDir(null)
+        case None => ()
+      }
+    }
   }
 
   /** Cluster assignment for EVERY document: `cluster_id` = the component

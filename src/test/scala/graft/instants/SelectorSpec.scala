@@ -94,6 +94,13 @@ class SelectorSpec extends SparkSpec {
     val m = updated.as[(String, Long)].collect().toMap
     assert(m === Map("r0" -> 20L, "r1" -> 35L, "r2" -> 40L, "r3" -> 25L, "r4" -> 10L))
 
+    // conflicting edits for one record violate the one-instant-per-record
+    // contract and must fail loudly instead of keeping both rows
+    val conflicting = Seq(("r1", 35L), ("r1", 36L)).toDF("record", "i")
+    val ex = intercept[IllegalArgumentException](
+      Selector.updateSelection(selected, conflicting, "record"))
+    assert(ex.getMessage.contains("r1"))
+
     val dropped = Selector.dropSelection(updated, Seq("r4"), "record")
     assert(dropped.as[(String, Long)].collect().toMap ===
       Map("r0" -> 20L, "r1" -> 35L, "r2" -> 40L, "r3" -> 25L))

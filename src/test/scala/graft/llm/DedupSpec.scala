@@ -161,6 +161,37 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet == Set(1L) && comp.size == 201)
   }
 
+  test("components: superseded round blocks are freed — storage bounded by one round") {
+    import spark.implicits._
+    // deep chain => many rounds; each round localCheckpoints two frames
+    // (prop + updated). Without the per-round release the persistent-RDD
+    // table would grow by ~2 entries per round; with it only the returned
+    // final round survives.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = (1L to 200L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val labels = Dedup.components(pairs)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    val leaked = (after -- before).size
+    assert(leaked <= 1,
+      s"components left $leaked persisted RDDs (expect <= 1: the final round)")
+    // the surviving block set is the usable result
+    assert(labels.as[(Long, Long)].collect().toMap.values.toSet == Set(1L))
+  }
+
+  test("components: checkpoint dir is restored after a checkpointDir run") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-restore").toString
+    try {
+      val prev = spark.sparkContext.getCheckpointDir
+      val pairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+      Dedup.components(pairs, checkpointDir = Some(dir)).collect()
+      assert(spark.sparkContext.getCheckpointDir === prev,
+        "components leaked its checkpoint dir into the session")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("components: reliable checkpointDir path matches localCheckpoint result") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString

@@ -58,7 +58,10 @@ def main():
                 break
             finally:
                 timer.cancel()
-        out[name] = verdict if verdict else best
+        # min-of-2 contract: a valid pass-1 time beats a pass-2 DNF/err —
+        # publishing the verdict in that case would discard a finished
+        # measurement and pessimize the baseline
+        out[name] = best if best != float("inf") else verdict
         print(f"[duck] {name}: {out[name]}", file=sys.stderr)
     print(json.dumps({"sf": sfdir, "duckdb": out}))
 
