@@ -12,8 +12,24 @@ Replication semantics (deterministic, no RNG):
     replication would turn every doc into a 10-clique and inflate the
     LSH-bucket pair count ~100x, which is a different workload, not a
     bigger one. Within-copy dup structure is preserved exactly.
-  - embeddings: vec_id shifts; copy k adds k*0.001 to every component
-    (distinct vectors, near-identical magnitude/cluster shape).
+  - embeddings: vec_id shifts; copy k applies a deterministic coordinate
+    PERMUTATION (affine index map i -> a_k*i + k mod dim, a_k coprime to
+    dim). A permutation preserves every norm and every within-copy cosine
+    EXACTLY (the pair set per copy is the sf0.1 pair set), and it kills
+    the near-IDENTITY the previous +k*0.001 shift manufactured (10 copies
+    of each vector at cos ~ 0.99997 = 90k fake pairs at factor 10).
+    What it deliberately does NOT do is suppress cross-copy pairs below
+    the distribution's own tail rate — that is impossible and would be
+    wrong: the sf0.1 embeddings are unclustered (cosine ~ N(0, 1/sqrt(64)),
+    ground-truth P(cos >= 0.4) = 4.6e-4 over all 2M pairs), so a GENUINE
+    10x i.i.d. corpus has ~rate*C(20000,2) ~ 92k pairs — quadratic in n by
+    the nature of a fixed-threshold query on unclustered data. Measured at
+    factor 10: permuted cross-copy rate 5.0e-4 (~= the i.i.d. rate, vs the
+    shift's concentrated-at-1 spike), ground-truth total ~99k (~= the
+    92k a fresh corpus would have), LSH-realized output 45,324 vs 411 at
+    sf0.1 with recall stable at 45-46% on both scales. I.e. the scaled
+    workload now IS the workload of a 10x corpus, and time-vs-output is
+    the right scaling read for dedup_cosine.
   - remaining tables (lineitem, orders, ...) are copied unchanged — no
     heavy query reads them, and graft.Verify needs them present to run
     the full query set (tree/centroid/model oracle exports at this SF).
@@ -57,12 +73,27 @@ def main():
 
     em = f"read_parquet('{src}/embeddings.parquet')"
     v_shift = con.sql(f"SELECT max(vec_id) + 1 FROM {em}").fetchone()[0]
+    dim = con.sql(f"SELECT len(embedding) FROM {em} LIMIT 1").fetchone()[0]
     cols = [c for c in con.sql(f"SELECT * FROM {em} LIMIT 0").columns
             if c not in ("vec_id", "embedding")]
     extra = (", " + ", ".join(cols)) if cols else ""
+
+    def perm_expr(k):
+        # copy 0 is the identity (originals preserved bit-for-bit); copy k
+        # permutes coordinates by i -> a_k*i + k (mod dim), a bijection
+        # because gcd(a_k, dim) = 1
+        if k == 0:
+            return "embedding"
+        import math
+        a = k + 2
+        while math.gcd(a, dim) != 1:
+            a += 1
+        return (f"list_transform(range(1, {dim} + 1),"
+                f" i -> embedding[(({a} * (i - 1) + {k % dim}) % {dim}) + 1])")
+
     arms = "\nUNION ALL\n".join(
         f"SELECT vec_id + {k * v_shift} AS vec_id,"
-        f" list_transform(embedding, x -> CAST(x + {k} * 0.001 AS FLOAT)) AS embedding"
+        f" {perm_expr(k)} AS embedding"
         f"{extra} FROM {em}" for k in range(factor))
     con.execute(f"COPY ({arms}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
