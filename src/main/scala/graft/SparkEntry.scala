@@ -1130,6 +1130,71 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- Structured Streaming windowed aggregation (row 39) --
+    // Same land-and-grade shape as stream_neardup: events replays as a
+    // bounded file stream (one parquet file, no maxFilesPerTrigger cap ->
+    // one micro-batch, so every group's single Update-mode emission IS its
+    // final aggregate), the watermarked 10 s tumbling windows land via
+    // foreachBatch, and the landed rows equal a batch GROUP BY on the
+    // window start. ts reads as LONG nanos (nanosAsLong); truncating to
+    // micros cannot move an event across a 10 s boundary (boundaries are
+    // multiples of 1000 ns), so both engines assign identical windows.
+    "stream_counts" -> { (s, dir) =>
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val outPath = java.nio.file.Files.createTempDirectory("graft-stream-cnt")
+      deleteAtExit(outPath)
+      val out = outPath.toString
+      val in = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(out, "in"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        in.resolve("events.parquet"))
+      val ev = s.readStream.schema(schema).parquet(in.toString)
+        .withColumn("et", timestamp_micros(expr("ts div 1000")))
+      val counts = graft.streaming.StreamOps.windowedEventCounts(
+        ev, "et", "10 seconds", "10 seconds")
+      graft.streaming.StreamOps.landUpdates(
+        counts, s"$out/rows", s"$out/ckpt").awaitTermination()
+      deleteTree(in)
+      deleteTree(java.nio.file.Paths.get(out, "ckpt"))
+      s.read.parquet(s"$out/rows")
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("n"),
+          round(col("avg_value"), 6).as("avg_value"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // -- Structured Streaming exact dedup (row 39) --
+    // dropDuplicatesWithinWatermark replaying documents as the same
+    // bounded one-batch stream: with the initial watermark at 0 no state
+    // expires mid-batch, so the kept set is exactly one row per distinct
+    // text — the streaming form of dedup_exact's GROUP BY. Which physical
+    // row wins per key is task-order-dependent, so the graded output is
+    // projected to content-derived columns only (md5 + length of the text
+    // the key preserves), never the nondeterministic doc_id.
+    "stream_dedup" -> { (s, dir) =>
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val outPath = java.nio.file.Files.createTempDirectory("graft-stream-dd")
+      deleteAtExit(outPath)
+      val out = outPath.toString
+      val in = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(out, "in"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        in.resolve("documents.parquet"))
+      val docs = s.readStream.schema(schema).parquet(in.toString)
+        .withColumn("ts", timestamp_seconds(col("doc_id") + 1000))
+      val kept = graft.streaming.StreamOps.streamingDedup(docs, Seq("text"), "ts")
+      graft.streaming.StreamOps.writeOpsetStore(
+        kept.select("text"), s"$out/rows", s"$out/ckpt").awaitTermination()
+      deleteTree(in)
+      deleteTree(java.nio.file.Paths.get(out, "ckpt"))
+      s.read.parquet(s"$out/rows")
+        .select(md5(col("text").cast("binary")).as("fp"),
+          length(col("text")).cast("long").as("len"))
+        .orderBy("fp")
+    },
+
     // -- LLM: SimHash near-dedup (row 29) --
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -1518,6 +1583,18 @@ object SparkEntry {
          |FROM documents d LEFT JOIN v USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "stream_counts" ->
+      // DuckDB reads the ns timestamps at micro precision (truncation —
+      // the same div-1000 the Spark side applies), so the integer floor to
+      // the 10 s grid is identical on both engines.
+      """SELECT (epoch_us(ts) // 10000000) * 10 AS win_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS fp, CAST(length(text) AS BIGINT) AS len
+        |FROM documents ORDER BY fp""".stripMargin,
 
     "instants_multi" -> instantsMultiOracle,
 
