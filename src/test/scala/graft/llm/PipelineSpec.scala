@@ -55,6 +55,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(5L) === ((2L, 1L, false)))
   }
 
+  test("packSequences mega-shard recipe: salt the shard key, then pack") {
+    // The shard is the packing unit, so a single mega-shard serializes in
+    // one window partition BY CONTRACT — the documented remedy is to
+    // derive a salted sub-shard key and pack on that. This pins the
+    // recipe's semantics: every salted sub-shard packs exactly as if it
+    // were its own table (bins restart per sub-shard, spans stay local),
+    // and no tokens are lost relative to the serialized mega-shard pack.
+    val mega = docs.withColumn("shard", lit("all"))
+    val salted = mega.withColumn("sub",
+      concat(lit("all_"), (col("doc_id") % 2).cast("string")))
+    val packed = Pipeline.packSequences(salted, "doc_id", "text", "sub", 6)
+    for (k <- Seq("all_0", "all_1")) {
+      val together = packed.filter(col("sub") === k)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSet
+      val alone = Pipeline.packSequences(
+          salted.filter(col("sub") === k), "doc_id", "text", "sub", 6)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSet
+      assert(together === alone, s"sub-shard $k must pack as its own table")
+    }
+    val megaTokens = Pipeline.packSequences(mega, "doc_id", "text", "shard", 6)
+      .agg(sum("n_tokens")).head.getLong(0)
+    val saltedTokens = packed.agg(sum("n_tokens")).head.getLong(0)
+    assert(saltedTokens === megaTokens, "salting must conserve the token stream")
+  }
+
   test("packSequences shards are independent: adding a shard changes nothing else") {
     val base = Pipeline.packSequences(docs, "doc_id", "text", "shard", 6)
       .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSet
