@@ -41,12 +41,23 @@ import duckdb
 
 
 def rot_expr(col, k):
+    # Per-copy injective letter substitution: affine map x -> a*x + b mod 26
+    # with a coprime to 26. Pure rotation (a=1) repeats every 26 copies —
+    # at factor > 26, copies k and k+26 would carry IDENTICAL text and
+    # manufacture cross-copy exact-dup cliques (the same workload
+    # corruption the embedding shift had). The affine family gives 312
+    # distinct permutations; copies 1..25 keep a=1 so factor <= 26 output
+    # (the sf1 grid) is bit-identical to the old rotation.
     if k == 0:
         return col
+    coprimes = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+    a = coprimes[(k // 26) % len(coprimes)]
+    b = k % 26
     lower = string.ascii_lowercase
     upper = string.ascii_uppercase
     src = lower + upper
-    dst = lower[k % 26:] + lower[:k % 26] + upper[k % 26:] + upper[:k % 26]
+    perm = [(a * i + b) % 26 for i in range(26)]
+    dst = "".join(lower[p] for p in perm) + "".join(upper[p] for p in perm)
     return f"translate({col}, '{src}', '{dst}')"
 
 
