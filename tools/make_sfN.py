@@ -7,6 +7,13 @@ Replication semantics (deterministic, no RNG):
   - events: FACTOR copies; user_id/event_id shift by k*(max+1) per copy k
     so the record count scales 10x with the same per-record length
     distribution (the shape record-parallel operators care about).
+    Replicated with pyarrow, NOT DuckDB: the source ts column is
+    timestamp[ns], which Spark reads as LONG nanos under the
+    nanosAsLong flag every graft session sets — DuckDB's parquet
+    writer silently coerces it to timestamp[us], which Spark then
+    reads as TIMESTAMP_NTZ and every `ts div 1000` query breaks at
+    the scaled SF only. The scaled table must be schema-identical
+    (ns ts, props column, field order) to measure the same workload.
   - documents: doc_id shifts; copy k's text is letter-rotated by k
     (a->b->c...) so copies are NOT cross-copy near-duplicates — naive
     replication would turn every doc into a 10-clique and inflate the
@@ -67,13 +74,28 @@ def main():
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
 
-    ev = f"read_parquet('{src}/events.parquet')"
-    mx = con.sql(f"SELECT max(user_id), max(event_id) FROM {ev}").fetchone()
-    u_shift, e_shift = mx[0] + 1, mx[1] + 1
-    arms = "\nUNION ALL\n".join(
-        f"SELECT user_id + {k * u_shift} AS user_id, ts, event_id + {k * e_shift} AS event_id,"
-        f" event_type, value FROM {ev}" for k in range(factor))
-    con.execute(f"COPY ({arms}) TO '{out}/events.parquet' (FORMAT PARQUET)")
+    # events via pyarrow (schema fidelity — see module docstring); one
+    # copy per row group so factor-100 output streams, never materializes
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    evt = pq.read_table(f"{src}/events.parquet")
+    u_shift = pc.max(evt.column("user_id")).as_py() + 1
+    e_shift = pc.max(evt.column("event_id")).as_py() + 1
+    with pq.ParquetWriter(f"{out}/events.parquet", evt.schema) as w:
+        for k in range(factor):
+            if k == 0:
+                w.write_table(evt)
+                continue
+            cols = []
+            for name in evt.schema.names:
+                col = evt.column(name)
+                if name == "user_id":
+                    col = pc.add(col, pa.scalar(k * u_shift, type=pa.int64()))
+                elif name == "event_id":
+                    col = pc.add(col, pa.scalar(k * e_shift, type=pa.int64()))
+                cols.append(col)
+            w.write_table(pa.table(cols, schema=evt.schema))
 
     dc = f"read_parquet('{src}/documents.parquet')"
     d_shift = con.sql(f"SELECT max(doc_id) + 1 FROM {dc}").fetchone()[0]
