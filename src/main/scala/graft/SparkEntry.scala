@@ -1136,9 +1136,14 @@ object SparkEntry {
     // one micro-batch, so every group's single Update-mode emission IS its
     // final aggregate), the watermarked 10 s tumbling windows land via
     // foreachBatch, and the landed rows equal a batch GROUP BY on the
-    // window start. ts reads as LONG nanos (nanosAsLong); truncating to
-    // micros cannot move an event across a 10 s boundary (boundaries are
-    // multiples of 1000 ns), so both engines assign identical windows.
+    // window start. The event-time column branches on the READ schema of
+    // ts: TIMESTAMP(NANOS) parquet decodes as LONG nanos under the rig's
+    // nanosAsLong conf (truncating to micros cannot move an event across
+    // a 10 s boundary — boundaries are multiples of 1000 ns), while
+    // timestamp[us] parquet decodes as a timestamp type directly (NTZ →
+    // the cast to the session type is identity on the stored micros under
+    // the UTC sessions this rig pins). Both branches yield the same
+    // window grid as the DuckDB oracle's epoch_us floor.
     "stream_counts" -> { (s, dir) =>
       val path = s"$dir/events.parquet"
       val schema = s.read.parquet(path).schema
@@ -1149,8 +1154,13 @@ object SparkEntry {
         java.nio.file.Paths.get(out, "in"))
       java.nio.file.Files.copy(java.nio.file.Paths.get(path),
         in.resolve("events.parquet"))
+      val etCol = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000"))
+        case _ => col("ts").cast("timestamp")
+      }
       val ev = s.readStream.schema(schema).parquet(in.toString)
-        .withColumn("et", timestamp_micros(expr("ts div 1000")))
+        .withColumn("et", etCol)
       val counts = graft.streaming.StreamOps.windowedEventCounts(
         ev, "et", "10 seconds", "10 seconds")
       graft.streaming.StreamOps.landUpdates(
@@ -1585,9 +1595,10 @@ object SparkEntry {
     },
 
     "stream_counts" ->
-      // DuckDB reads the ns timestamps at micro precision (truncation —
-      // the same div-1000 the Spark side applies), so the integer floor to
-      // the 10 s grid is identical on both engines.
+      // epoch_us is precision-agnostic: DuckDB truncates ns parquet to
+      // micros (the Spark side's div-1000 branch) and reads us parquet
+      // directly (the Spark side's timestamp branch), so the integer
+      // floor to the 10 s grid is identical on both engines either way.
       """SELECT (epoch_us(ts) // 10000000) * 10 AS win_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n, round(avg(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
