@@ -1154,10 +1154,25 @@ object SparkEntry {
         java.nio.file.Paths.get(out, "in"))
       java.nio.file.Files.copy(java.nio.file.Paths.get(path),
         in.resolve("events.parquet"))
+      // The NTZ branch is only window-grid-correct when the session zone
+      // is UTC (the cast re-interprets the stored micros in session
+      // time); every rig entrypoint pins it, but enforce the invariant at
+      // the query site so a caller's non-UTC session fails loudly instead
+      // of landing shifted windows.
+      val tz = s.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"stream_counts requires spark.sql.session.timeZone=UTC (got $tz): " +
+          "the timestamp-schema branch re-interprets stored micros in session time")
       val etCol = schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
+        case org.apache.spark.sql.types.LongType => // ns-vintage: LONG nanos
           timestamp_micros(expr("ts div 1000"))
-        case _ => col("ts").cast("timestamp")
+        case org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType =>
+          col("ts").cast("timestamp")
+        case other => // schema drift: fail here, not as a wrong-but-plausible grid
+          throw new IllegalArgumentException(
+            s"stream_counts: unsupported events.ts type $other — expected " +
+              "LONG (nanos vintage), TIMESTAMP, or TIMESTAMP_NTZ")
       }
       val ev = s.readStream.schema(schema).parquet(in.toString)
         .withColumn("et", etCol)
@@ -1203,6 +1218,37 @@ object SparkEntry {
         .select(md5(col("text").cast("binary")).as("fp"),
           length(col("text")).cast("long").as("len"))
         .orderBy("fp")
+    },
+
+    // -- Structured Streaming running argmax (row 39) --
+    // Land-and-grade for StreamOps.runningArgmax: the canonical opset
+    // signal frame (record, t, value) — batch-prepared so stream and
+    // oracle agree on the t ordering — replays as a bounded one-file
+    // stream, the per-record flatMapGroupsWithState detector emits its
+    // running (instant, best) in Update mode, and with ONE micro-batch by
+    // construction each record's single emission IS its full-data argmax.
+    // The fold is iteration-order-independent (max value, min t on ties),
+    // so the grade is deterministic; oracle = batch argmax per record.
+    "stream_argmax" -> { (s, dir) =>
+      import s.implicits._
+      val sig = opset(s, dir).df.select(col("record"), col("t"),
+        col("value").cast("double").as("value"))
+      val outPath = java.nio.file.Files.createTempDirectory("graft-stream-am")
+      deleteAtExit(outPath)
+      val out = outPath.toString
+      val in = s"$out/in"
+      sig.coalesce(1).write.parquet(in)
+      val stream = s.readStream.schema(sig.schema).parquet(in)
+        .as[graft.streaming.StreamOps.SigEvent]
+      val am = graft.streaming.StreamOps.runningArgmax(stream)
+        .toDF("record", "instant", "best")
+      graft.streaming.StreamOps.landUpdates(
+        am, s"$out/rows", s"$out/ckpt").awaitTermination()
+      deleteTree(java.nio.file.Paths.get(in))
+      deleteTree(java.nio.file.Paths.get(out, "ckpt"))
+      s.read.parquet(s"$out/rows")
+        .select(col("record"), col("instant"), round(col("best"), 6).as("best"))
+        .orderBy("record")
     },
 
     // -- LLM: SimHash near-dedup (row 29) --
@@ -1606,6 +1652,18 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS fp, CAST(length(text) AS BIGINT) AS len
         |FROM documents ORDER BY fp""".stripMargin,
+
+    "stream_argmax" ->
+      // batch twin of the streaming detector's final state: per record the
+      // max value, first-occurrence (min t) on exact ties, 0-based instant
+      s"""WITH $OpsetCte, mx AS (
+         |  SELECT record, max(value) AS mv FROM opset GROUP BY record
+         |)
+         |SELECT o.record, CAST(min(o.t) - 1 AS BIGINT) AS instant,
+         |       round(max(o.value), 6) AS best
+         |FROM opset o JOIN mx m ON o.record = m.record AND o.value = m.mv
+         |GROUP BY o.record
+         |ORDER BY o.record""".stripMargin,
 
     "instants_multi" -> instantsMultiOracle,
 

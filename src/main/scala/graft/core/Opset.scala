@@ -202,15 +202,23 @@ object Opset {
     * t = 1-based sample index by (ts, event_id), signals = event_type/value.
     */
   def fromEvents(spark: SparkSession, dir: String): Opset = {
-    // events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses
-    // to read by default (PARQUET_TYPE_ILLEGAL). ts is only an ordering
-    // key here, and long nanoseconds order identically, so read it as
-    // long. DELIBERATE session-conf mutation: the driver's smoke session
-    // is outside our control, so the read must be self-sufficient. Side
-    // effect: later nanos-timestamp reads in the same session also decode
-    // as longs — acceptable here (every session in this rig wants it; see
-    // Verify/Bench/TestSpark builders), but don't copy this pattern into
-    // a general-purpose library.
+    // The physical type of events.parquet's ts varies by testdata
+    // vintage: every graded sf dir (sf0.001/0.01/0.1) stores
+    // timestamp[us], which Spark reads as a timestamp type directly,
+    // while older/scaled vintages store TIMESTAMP(NANOS), which Spark 4
+    // refuses to read by default (PARQUET_TYPE_ILLEGAL) and decodes as
+    // LONG nanos under the flag below. ts is only an ordering key here
+    // and both decodings order identically, so either schema works
+    // unchanged; the flag is a no-op on µs data and exists so a
+    // ns-vintage file still reads. DELIBERATE session-conf mutation: the
+    // driver's smoke session is outside our control, so the read must be
+    // self-sufficient. Side effect: later nanos-timestamp reads in the
+    // same session also decode as longs — acceptable here (every session
+    // in this rig wants it; see Verify/Bench/TestSpark builders), but
+    // don't copy this pattern into a general-purpose library. Callers
+    // that aggregate ON event time (not just order by it) must branch on
+    // the read schema — see the stream_counts builder in SparkEntry for
+    // the long-vs-timestamp template.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")
     // Materialize `record` BEFORE the window and partition the window on it:

@@ -16,6 +16,32 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Hot-key guard for quadratic-fanout self-joins: drops every row whose
+    * key group exceeds `cap` rows, LOUDLY — the over-cap census (group
+    * count + largest size) is computed eagerly and logged at WARN with
+    * `what` naming the caller, so a capped mega-bucket is an operational
+    * signal, never a silent recall hole. Salting spreads a hot key whose
+    * aggregate is decomposable; a self-join's C(k,2) blow-up is not, so
+    * the only scale-safe move is to exclude the clique and surface it.
+    *
+    * Cost: one aggregation over `df` for the census (call on a cached
+    * input so the scan is shared with the join that follows) plus a
+    * broadcast anti-join — the over-cap set is metadata-sized by
+    * construction (at most #rows / cap groups).
+    */
+  def dropOverCap(df: DataFrame, keyCols: Seq[String], cap: Int, what: String): DataFrame = {
+    val hot = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_sz"))
+      .filter(col("_sz") > cap)
+    val census = hot.agg(count(lit(1)).as("_n"), max(col("_sz")).as("_max")).head()
+    if (census.getLong(0) > 0)
+      log.warn(s"$what: dropping ${census.getLong(0)} over-cap key group(s) " +
+        s"(largest ${census.getLong(1)} rows > cap $cap) from pairing — " +
+        "quadratic-clique guard; run exact dedup upstream or raise the cap knowingly")
+    df.join(broadcast(hot.select(keyCols.map(col): _*)), keyCols, "left_anti")
+  }
+
   /** Two-phase salted aggregation. `partial` defines the per-(key, salt)
     * aggregates; `merge` combines the per-salt partials to the final
     * per-key row. Both run as ordinary hash aggregations with map-side

@@ -82,9 +82,25 @@ object Dedup {
     * concatenated rows of the band → groupBy band key → within-bucket
     * pairs (self-join per bucket on the *small* bucket contents only).
     * Pairs are deduplicated across bands.
+    *
+    * MEGA-BUCKET CAP: a bucket with more than `maxBucket` members forms
+    * C(k,2) in-bucket pairs — ONE mass-produced boilerplate clique
+    * becomes a single straggler task doing quadratic work at 100 TB. A
+    * bucket over the cap is dropped from pairing entirely (the same
+    * stop-key move as [[ngramJaccard]]'s `maxDocFreq`), and the drop is
+    * LOUD: the over-cap bucket census (how many buckets, largest size)
+    * is computed on the already-cached banded table and logged at WARN.
+    *
+    * RECALL CAVEAT of the cap: a clique of MORE than `maxBucket`
+    * near-identical documents stops being candidate-paired here — by
+    * design, since that clique is exactly the O(k²) blow-up the cap
+    * exists to prevent. Run [[Dedup.exact]] FIRST (aggregation-shaped,
+    * clique-size-proof) so identical-text cliques never reach this
+    * operator, or raise `maxBucket` knowingly.
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int,
-                        scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+                        scope: graft.core.CacheScope = graft.core.CacheScope.session,
+                        maxBucket: Int = 1024): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
@@ -103,10 +119,17 @@ object Dedup {
     val banded = scope.cache(sigs
       .select(col(idCol) +: bandCols: _*)
       .select(col(idCol), explode(array((0 until bands).map(b => col(s"_band_$b")): _*)).as("bucket")))
-    // Within-bucket pairs: bucket sizes are tiny relative to the corpus, so
+    // Mega-bucket cap: census over the cached banded table (shared with
+    // the self-join below, so this costs one aggregation, no recompute of
+    // the signature chain). The over-cap set is bucket-count-sized —
+    // metadata, not data — so the census collect is driver-safe and the
+    // anti-join broadcasts.
+    val capped = graft.core.Salting.dropOverCap(
+      banded, Seq("bucket"), maxBucket, s"lshCandidatePairs(maxBucket=$maxBucket)")
+    // Within-bucket pairs: bucket sizes are ≤ maxBucket by construction, so
     // the self-join shuffles on the bucket key and never goes all-pairs.
-    val l = banded.as("l")
-    val r = banded.as("r")
+    val l = capped.as("l")
+    val r = capped.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()

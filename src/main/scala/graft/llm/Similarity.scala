@@ -211,14 +211,28 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: bucket with multi-table
     * hyperplane LSH, pair within buckets only, keep pairs with exact
     * cosine ≥ threshold. Output: (id_a, id_b, cos).
+    *
+    * MEGA-BUCKET CAP: an LSH bucket with more than `maxBucket` members
+    * (e.g. a constant/zero-vector clique, or `bits` too small for the
+    * corpus) would form C(k,2) in-bucket pairs in one straggler task. A
+    * (tbl, key) bucket over the cap is dropped from pairing and the drop
+    * is logged LOUDLY at WARN with its census — same guard as
+    * [[graft.llm.Dedup.lshCandidatePairs]]; see
+    * [[graft.core.Salting.dropOverCap]]. Recall caveat: a genuine
+    * near-dup clique larger than the cap must be caught by exact dedup
+    * upstream, or by raising `maxBucket` knowingly.
     */
   def cosineDup(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
                 planes: Array[Array[Double]], bits: Int, numTables: Int,
-                scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+                scope: graft.core.CacheScope = graft.core.CacheScope.session,
+                maxBucket: Int = 1024): DataFrame = {
     val base = withNorm(emb, idCol, vecCol)
-    // cache: both sides of the bucket self-join share this table; release
-    // via `scope` after consuming (see [[graft.core.CacheScope]])
-    val buckets = scope.cache(hyperplaneBuckets(emb, idCol, vecCol, planes, bits, numTables))
+    // cache: both sides of the bucket self-join AND the cap census share
+    // this table; release via `scope` after consuming (see
+    // [[graft.core.CacheScope]])
+    val buckets0 = scope.cache(hyperplaneBuckets(emb, idCol, vecCol, planes, bits, numTables))
+    val buckets = graft.core.Salting.dropOverCap(
+      buckets0, Seq("tbl", "key"), maxBucket, s"cosineDup(maxBucket=$maxBucket)")
     val l = buckets.select(col("tbl"), col("key"), col(idCol).as("id_a"))
     val r = buckets.select(col("tbl"), col("key"), col(idCol).as("id_b"))
     val cand = l.join(r, Seq("tbl", "key")).filter(col("id_a") < col("id_b"))

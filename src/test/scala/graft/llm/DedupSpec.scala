@@ -65,6 +65,30 @@ class DedupSpec extends SparkSpec {
     assert(capped.nonEmpty)
   }
 
+  test("lshCandidatePairs: mega-bucket cap drops the over-cap clique only, loudly") {
+    // 30 identical docs = one 30-member bucket in EVERY band (a C(30,2)
+    // boilerplate clique) + one genuine near-dup pair that stays under
+    // any cap ≥ 2.
+    val clique = (1L to 30L).map(i => (i, "mass produced boilerplate footer text identical everywhere"))
+    val docs = (clique ++ Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river"),
+      (102L, "the quick brown fox jumps over the lazy dog near the rivers"),
+    )).toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"),
+      Dedup.distinctNgramHashes(col("text"), 5).as("sh"))
+    val sigs = Dedup.minhashSignature(base, "sh", 16).drop("sh")
+    def pairs(cap: Int) =
+      Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4, maxBucket = cap)
+        .as[(Long, Long)].collect().toSet
+    val capped = pairs(8)
+    assert(capped.contains((101L, 102L)))            // under-cap bucket unaffected
+    assert(!capped.exists { case (a, b) => a <= 30L || b <= 30L }) // clique dropped whole
+    // cap unhit (default) ≡ uncapped: same pair set, clique included
+    val dflt = pairs(1024)
+    assert(dflt === pairs(Int.MaxValue))
+    assert(dflt.contains((1L, 2L)) && dflt.contains((101L, 102L)))
+  }
+
   test("native shingle/md5 expressions match the declarative chain exactly") {
     // pure declarative twins (md5Hash32/distinctNgramHashes auto-resolve
     // native in this extensions-enabled session)

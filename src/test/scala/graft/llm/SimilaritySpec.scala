@@ -98,6 +98,26 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a % 3 == b % 3 }) // only cluster-mates that similar
   }
 
+  test("cosineDup: mega-bucket cap drops an identical-vector clique only") {
+    // 24 copies of one vector land in the SAME bucket of every table (a
+    // C(24,2) clique); a separate near-identical pair stays under the cap.
+    val vA = Array.tabulate(Dim)(i => math.sin(i + 1.0).toFloat)
+    val vC = Array.tabulate(Dim)(i => math.cos(3.0 * i + 2.0).toFloat)
+    val rows = (1L to 24L).map(i => (i, vA.toSeq)) ++
+      Seq((101L, vC.toSeq), (102L, vC.map(x => x * 1.001f + 1e-4f).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(12, Dim)
+    def pairs(cap: Int) =
+      Similarity.cosineDup(df, "vec_id", "embedding", 0.99, planes, 3, 4, maxBucket = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = pairs(8)
+    assert(capped.contains((101L, 102L)))
+    assert(!capped.exists { case (a, b) => a <= 24L || b <= 24L })
+    val dflt = pairs(1024) // cap unhit ≡ uncapped
+    assert(dflt === pairs(Int.MaxValue))
+    assert(dflt.contains((1L, 2L)) && dflt.contains((101L, 102L)))
+  }
+
   test("simhash of identical docs is identical; hamming-far for disjoint docs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
