@@ -101,6 +101,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(bcasts.nonEmpty, s"expected BroadcastHashJoin:\n$p")
   }
 
+  test("mega-bucket cap anti-join broadcasts — the guard adds no shuffle to the pair stage") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = docs.select(col("doc_id"), Dedup.distinctNgramHashes(col("text"), 5).as("sh"))
+    val sigs = Dedup.minhashSignature(base, "sh", 16).drop("sh")
+    val p = plan(Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4))
+    val antiBcasts = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => b
+    }
+    assert(antiBcasts.nonEmpty,
+      s"expected the over-cap bucket set to anti-join as a broadcast:\n$p")
+  }
+
   test("dedup clusters assignment plans no window — a mega-cluster cannot funnel") {
     // a boilerplate near-dup cluster can hold a large fraction of the
     // corpus; sizing it through a Window.partitionBy(cluster_id) would
