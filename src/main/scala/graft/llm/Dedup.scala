@@ -100,7 +100,7 @@ object Dedup {
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int,
                         scope: graft.core.CacheScope = graft.core.CacheScope.session,
-                        maxBucket: Int = 1024): DataFrame = {
+                        maxBucket: Int = 8192): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>

@@ -225,7 +225,7 @@ object Similarity {
   def cosineDup(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
                 planes: Array[Array[Double]], bits: Int, numTables: Int,
                 scope: graft.core.CacheScope = graft.core.CacheScope.session,
-                maxBucket: Int = 1024): DataFrame = {
+                maxBucket: Int = 8192): DataFrame = {
     val base = withNorm(emb, idCol, vecCol)
     // cache: both sides of the bucket self-join AND the cap census share
     // this table; release via `scope` after consuming (see

@@ -84,7 +84,7 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((101L, 102L)))            // under-cap bucket unaffected
     assert(!capped.exists { case (a, b) => a <= 30L || b <= 30L }) // clique dropped whole
     // cap unhit (default) ≡ uncapped: same pair set, clique included
-    val dflt = pairs(1024)
+    val dflt = pairs(8192)
     assert(dflt === pairs(Int.MaxValue))
     assert(dflt.contains((1L, 2L)) && dflt.contains((101L, 102L)))
   }

@@ -113,7 +113,7 @@ class SimilaritySpec extends SparkSpec {
     val capped = pairs(8)
     assert(capped.contains((101L, 102L)))
     assert(!capped.exists { case (a, b) => a <= 24L || b <= 24L })
-    val dflt = pairs(1024) // cap unhit ≡ uncapped
+    val dflt = pairs(8192) // cap unhit ≡ uncapped
     assert(dflt === pairs(Int.MaxValue))
     assert(dflt.contains((1L, 2L)) && dflt.contains((101L, 102L)))
   }
