@@ -27,19 +27,24 @@ object Salting {
     * the only scale-safe move is to exclude the clique and surface it.
     *
     * Cost: one aggregation over `df` for the census (call on a cached
-    * input so the scan is shared with the join that follows) plus a
-    * broadcast anti-join — the over-cap set is metadata-sized by
+    * input so the scan is shared with the join that follows — the census
+    * also warms that cache). When the census finds NOTHING over the cap —
+    * the overwhelmingly common case — `df` is returned unchanged and the
+    * pair plan is exactly the unguarded plan; only a firing cap pays the
+    * broadcast anti-join, whose build side is metadata-sized by
     * construction (at most #rows / cap groups).
     */
   def dropOverCap(df: DataFrame, keyCols: Seq[String], cap: Int, what: String): DataFrame = {
     val hot = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_sz"))
       .filter(col("_sz") > cap)
     val census = hot.agg(count(lit(1)).as("_n"), max(col("_sz")).as("_max")).head()
-    if (census.getLong(0) > 0)
+    if (census.getLong(0) == 0) df // common case: nothing to drop, add NO join
+    else {
       log.warn(s"$what: dropping ${census.getLong(0)} over-cap key group(s) " +
         s"(largest ${census.getLong(1)} rows > cap $cap) from pairing — " +
         "quadratic-clique guard; run exact dedup upstream or raise the cap knowingly")
-    df.join(broadcast(hot.select(keyCols.map(col): _*)), keyCols, "left_anti")
+      df.join(broadcast(hot.select(keyCols.map(col): _*)), keyCols, "left_anti")
+    }
   }
 
   /** Two-phase salted aggregation. `partial` defines the per-(key, salt)

@@ -101,17 +101,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(bcasts.nonEmpty, s"expected BroadcastHashJoin:\n$p")
   }
 
-  test("mega-bucket cap anti-join broadcasts — the guard adds no shuffle to the pair stage") {
+  test("mega-bucket cap: unhit adds NOTHING to the plan; firing anti-joins as a broadcast") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val base = docs.select(col("doc_id"), Dedup.distinctNgramHashes(col("text"), 5).as("sh"))
     val sigs = Dedup.minhashSignature(base, "sh", 16).drop("sh")
-    val p = plan(Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4))
-    val antiBcasts = collectAll(p) {
+    def antiJoins(df: DataFrame) = collectAll(plan(df)) {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
         if b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => b
     }
-    assert(antiBcasts.nonEmpty,
-      s"expected the over-cap bucket set to anti-join as a broadcast:\n$p")
+    // default cap unhit on this corpus: the guard must leave the pair
+    // plan untouched (zero overhead in the common case)
+    assert(antiJoins(Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4)).isEmpty)
+    // a cap low enough to fire: the over-cap set must ship as a
+    // broadcast anti-join — the guard never adds a shuffle
+    val fired = Dedup.lshCandidatePairs(sigs, "doc_id", 16, 4, maxBucket = 2)
+    assert(antiJoins(fired).nonEmpty,
+      s"expected the over-cap bucket set to anti-join as a broadcast:\n${plan(fired)}")
   }
 
   test("dedup clusters assignment plans no window — a mega-cluster cannot funnel") {
