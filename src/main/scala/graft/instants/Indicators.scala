@@ -165,7 +165,7 @@ object Indicators {
     */
   private val EpsilonChunkBudget = 600
 
-  /** A single combo beyond this cost (w ≥ ~17) cannot compile even
+  /** A single combo beyond this cost (w ≥ 15) cannot compile even
     * alone: its chunk runs with whole-stage fusion OFF — the identical
     * execution Spark falls back to after a failed compile, minus the
     * wasted compile attempts and the ERROR spam. Per-expression codegen
