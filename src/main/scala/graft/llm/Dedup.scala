@@ -97,6 +97,15 @@ object Dedup {
     * exists to prevent. Run [[Dedup.exact]] FIRST (aggregation-shaped,
     * clique-size-proof) so identical-text cliques never reach this
     * operator, or raise `maxBucket` knowingly.
+    *
+    * GRANULARITY VS CORPUS SIZE: with banding fixed, a band's collision
+    * probability between unrelated documents is constant, so average
+    * bucket size grows ∝ corpus and candidate volume ∝ n² (measured:
+    * 32× candidates on 10× documents at the test config — BENCH_SF1).
+    * At 100 TB the knob that holds candidate volume linear is MORE ROWS
+    * PER BAND (a longer band key = lower collision rate), chosen so the
+    * expected unrelated-pair collision count per band stays O(n); the
+    * cap then only guards true near-dup cliques, not the average bucket.
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int,
                         scope: graft.core.CacheScope = graft.core.CacheScope.session,

@@ -221,6 +221,13 @@ object Similarity {
     * [[graft.core.Salting.dropOverCap]]. Recall caveat: a genuine
     * near-dup clique larger than the cap must be caught by exact dedup
     * upstream, or by raising `maxBucket` knowingly.
+    *
+    * GRANULARITY VS CORPUS SIZE: with `bits` fixed, each table has 2^bits
+    * buckets, so bucket size grows ∝ corpus and in-bucket candidate
+    * volume ∝ n² (measured: ~100× candidates on 10× vectors at the
+    * 4-bit test config — BENCH_SF1). Scale `bits` ~ log2(n) to hold
+    * per-bucket occupancy (and thus candidate volume per vector)
+    * constant; the cap then only fires on genuine degenerate cliques.
     */
   def cosineDup(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
                 planes: Array[Array[Double]], bits: Int, numTables: Int,
