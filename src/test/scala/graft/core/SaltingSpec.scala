@@ -38,6 +38,45 @@ class SaltingSpec extends SparkSpec {
     assert(atCap.size === 43)
   }
 
+  test("dropOverCap == independent size-filter formulation on generated skewed data") {
+    // seeded generator: Zipf-ish key skew (key j gets ~N/j rows) so caps
+    // land strictly inside the size distribution, not at its edges
+    import org.scalacheck.{Gen, rng}
+    def sampled[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, rng.Seed(seed + i)))
+    val genKey = Gen.frequency((1 to 12).map(j => (120 / j, Gen.const(s"k$j"))): _*)
+    val rows = sampled(genKey, 600, 42L).zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val df = rows.toDF("id", "k")
+    for (cap <- Seq(1, 7, 40, 150, 1000)) {
+      val got = Salting.dropOverCap(df, Seq("k"), cap, s"prop cap=$cap")
+        .select("id").as[Long].collect().toSet
+      val sizes = rows.groupBy(_._2).map { case (k, rs) => k -> rs.size }
+      val want = rows.filter { case (_, k) => sizes(k) <= cap }.map(_._1).toSet
+      assert(got === want, s"cap=$cap")
+    }
+  }
+
+  test("salted dedup == plain groupBy on generated corpora (any skew, any salts)") {
+    import org.scalacheck.{Gen, rng}
+    def sampled[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, rng.Seed(seed + i)))
+    val genText = Gen.frequency(
+      5 -> Gen.const("HOT"),
+      3 -> Gen.oneOf("a", "b", "c"),
+      2 -> Gen.alphaNumStr.map(_.take(6)),
+    )
+    for ((seed, salts) <- Seq((1L, 1), (2L, 3), (3L, 32))) {
+      val df = sampled(genText, 400, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val salted = Salting.saltedDedupExact(df, "doc_id", Seq("text"), salts)
+        .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+      val plain = df.groupBy("text")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+        .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+      assert(salted === plain, s"seed=$seed salts=$salts")
+    }
+  }
+
   test("partial aggregation spreads the hot key over the salt space") {
     val hot = (0 until 1000).map(i => (i.toLong, "HOT")).toDF("doc_id", "text")
     val partials = hot.withColumn("_salt", pmod(xxhash64(col("doc_id")), lit(8)))
