@@ -721,6 +721,19 @@ object SparkEntry {
   private val CosDupThreshold = 0.4
   private lazy val Planes = Similarity.hyperplanes(LshBits * LshTables, EmbDim)
 
+  // Auto-granularity parameters shared by the dedup_cosine_auto
+  // query/oracle. targetRecall is 0.5 at this threshold: cosine 0.4 is a
+  // WEAK similarity (66° — per-plane agreement c ≈ 0.63), where holding a
+  // high floor needs many tables (requiredTables(9, 0.4, 0.9) = 44); 0.5
+  // matches the recall floor the fixed (4-bit, 4-table) config already
+  // has at this threshold, making fixed-vs-auto an equal-recall
+  // comparison that isolates the candidate-volume effect.
+  private val AutoRecall = 0.5
+  private val AutoOcc = 64
+  private val AutoMinBits = 4
+  private val AutoMaxBits = 24
+  private val AutoMaxTables = 32
+
   // IVF parameters shared by the ann_ivf query/oracle.
   private val IvfK = 8
   private val IvfIters = 3
@@ -765,6 +778,48 @@ object SparkEntry {
       val plane = Planes(tbl * LshBits + i).mkString("[", ", ", "]::DOUBLE[]")
       s"(CASE WHEN ${dotSql(v, s"($plane)")} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** DuckDB CTEs re-deriving [[Similarity.lshAutoConfig]] + the LCG
+    * hyperplanes DYNAMICALLY, so ONE static SQL string stays correct at
+    * every SF (n differs per dir, so bits does too). All n-independent
+    * pieces (`bitsRecall`, the bits→tables map) are Scala-computed
+    * literals — the SQL never does floating-point config math whose ceil
+    * boundaries could drift between engines; the only data-dependent step
+    * (occupancy bits) is an exact INTEGER comparison over a generate_series,
+    * mirroring the integer `find` in `lshAutoConfig`. Plane components are
+    * the same `lcg/2^31 − 0.5` integer arithmetic as
+    * [[Similarity.hyperplanes]] — exact doubles, so bucket signs agree
+    * bit-for-bit.
+    */
+  private def autoCfgCte: String = {
+    val tablesCase = "CASE bits " + (1 to AutoMaxBits).map(b =>
+      s"WHEN $b THEN ${math.min(Similarity.requiredTables(b, CosDupThreshold, AutoRecall), AutoMaxTables)}")
+      .mkString(" ") + " END"
+    val bitsRecall = (1 to AutoMaxBits)
+      .filter(b => Similarity.requiredTables(b, CosDupThreshold, AutoRecall) <= AutoMaxTables)
+      .lastOption.getOrElse(1)
+    s"""cfg0 AS (
+       |  SELECT COALESCE(MIN(b), $AutoMaxBits) AS bits_occ
+       |  FROM (SELECT unnest(generate_series(1, $AutoMaxBits)) AS b), (SELECT count(*) AS n FROM embeddings)
+       |  WHERE (CAST(1 AS BIGINT) << b) * $AutoOcc >= n
+       |), cfg AS (
+       |  SELECT bits, $tablesCase AS tables FROM (
+       |    SELECT GREATEST($AutoMinBits, LEAST(bits_occ, $bitsRecall)) AS bits FROM cfg0
+       |  )
+       |), planes AS (
+       |  SELECT p,
+       |         list_transform(generate_series(0, ${EmbDim - 1}),
+       |           d -> ((1103515245 * (CAST(p AS BIGINT) * $EmbDim + d + 1) + 12345) % 2147483648) / 2147483648.0 - 0.5) AS pl
+       |  FROM (SELECT unnest(generate_series(0, bits * tables - 1)) AS p FROM cfg)
+       |), sgn AS (
+       |  SELECT e.vec_id, CAST(pp.p // cfg.bits AS INT) AS tbl,
+       |         CASE WHEN ${dotSql("e.v", "pp.pl")} >= 0
+       |              THEN (CAST(1 AS BIGINT) << (pp.p % cfg.bits)) ELSE 0 END AS bit
+       |  FROM emb e, planes pp, cfg
+       |), abkt AS (
+       |  SELECT vec_id, tbl, sum(bit) AS bkey FROM sgn GROUP BY vec_id, tbl
+       |)""".stripMargin
+  }
 
   /** DuckDB CTE: one (vec_id, tbl, bkey) row per vector and hash table. */
   private def bktCte: String = {
@@ -1276,6 +1331,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // Auto-granularity twin: bits/tables chosen from the ACTUAL corpus
+    // size by lshAutoConfig (occupancy-held buckets — the linear-candidate
+    // scale path), graded at every SF by ONE static oracle that re-derives
+    // the config dynamically in SQL (see autoCfgCte).
+    "dedup_cosine_auto" -> { (s, dir) =>
+      Similarity.cosineDupAuto(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          CosDupThreshold, AutoRecall, AutoOcc,
+          minBits = AutoMinBits, maxBits = AutoMaxBits, maxTables = AutoMaxTables)
+        .orderBy("id_a", "id_b")
+    },
+
     // -- LLM: similarity search (rows 32-33) --
     "ann_topk" -> { (s, dir) =>
       Similarity.topK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
@@ -1713,6 +1779,16 @@ object SparkEntry {
       s"""WITH $EmbCte, ${bktCte}, cand AS (
          |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
          |  FROM bkt l JOIN bkt r ON l.tbl = r.tbl AND l.bkey = r.bkey AND l.vec_id < r.vec_id
+         |)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT id_a, id_b, round(${dotSql("a.v", "b.v")} / (a.n * b.n), 6) AS cos
+         |  FROM cand JOIN nrm a ON a.vec_id = cand.id_a JOIN nrm b ON b.vec_id = cand.id_b
+         |) WHERE cos >= $CosDupThreshold ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_cosine_auto" ->
+      s"""WITH $EmbCte, ${autoCfgCte}, cand AS (
+         |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+         |  FROM abkt l JOIN abkt r ON l.tbl = r.tbl AND l.bkey = r.bkey AND l.vec_id < r.vec_id
          |)
          |SELECT id_a, id_b, cos FROM (
          |  SELECT id_a, id_b, round(${dotSql("a.v", "b.v")} / (a.n * b.n), 6) AS cos

@@ -107,6 +107,34 @@ object Dedup {
     * expected unrelated-pair collision count per band stays O(n); the
     * cap then only guards true near-dup cliques, not the average bucket.
     */
+  /** Choose the banding (bands, rowsPerBand) for a `numHashes`-row MinHash
+    * signature and a target Jaccard `threshold`: over the divisor pairs
+    * b·r = numHashes, pick the one whose S-curve midpoint `(1/b)^(1/r)`
+    * (the similarity at which a pair's any-band collision probability
+    * crosses ~1/2 — the standard banded-LSH characteristic, e.g. Leskovec/
+    * Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3) sits closest to
+    * `threshold`. Ties break toward MORE rows per band: a longer band key
+    * has a lower unrelated-collision rate, which is the side of the curve
+    * that controls candidate volume at scale (see the GRANULARITY note on
+    * [[lshCandidatePairs]]). Deterministic — an oracle re-derives the same
+    * pair from the same inputs.
+    */
+  def bandConfigFor(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes >= 1, s"bandConfigFor: numHashes must be >= 1, got $numHashes")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"bandConfigFor: threshold must be in (0, 1], got $threshold")
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    // minBy is stable on ties only by ordering; make the tie-break explicit:
+    // smaller b (= larger r) wins when |midpoint - threshold| is equal.
+    val (b, r, _) = candidates.sortBy { case (b0, _, mid) =>
+      (math.abs(mid - threshold), b0)
+    }.head
+    (b, r)
+  }
+
   def lshCandidatePairs(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int,
                         scope: graft.core.CacheScope = graft.core.CacheScope.session,
                         maxBucket: Int = 8192): DataFrame = {

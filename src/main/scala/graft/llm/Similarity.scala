@@ -28,6 +28,91 @@ object Similarity {
       x.toDouble / 2147483648.0 - 0.5
     }
 
+  // ----- granularity auto-configuration ----------------------------------
+  //
+  // With `bits` FIXED, each hash table has 2^bits buckets, so average
+  // bucket occupancy grows ∝ corpus size and in-bucket candidate volume
+  // grows ∝ n² (measured ~100× candidates on 10× vectors at a fixed 4-bit
+  // config — BENCH_SF1.md). The knob that holds candidate volume LINEAR in
+  // n is growing `bits` ~ log2(n) so per-bucket occupancy stays constant —
+  // and then growing `tables` so that recall holds: a boundary pair
+  // (cosine exactly at the threshold) agrees with one random hyperplane
+  // with probability c = 1 − acos(threshold)/π (the Goemans–Williamson
+  // rounding identity), collides in one `bits`-plane table with
+  // probability c^bits, and in ≥1 of T OR'd tables with probability
+  // 1 − (1 − c^bits)^T. These helpers solve that standard LSH sizing
+  // (Indyk–Motwani-style parameterization) deterministically, so a SQL
+  // oracle re-deriving the same config reproduces the buckets bit-for-bit.
+
+  /** Probability that one random hyperplane puts a pair with cosine
+    * exactly `threshold` on the same side: `1 − acos(threshold)/π`.
+    */
+  def planeAgreement(threshold: Double): Double = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"planeAgreement: threshold must be in (-1, 1), got $threshold")
+    1.0 - math.acos(threshold) / math.Pi
+  }
+
+  /** Tables needed so a boundary pair (cosine = `threshold`) collides in
+    * at least one `bits`-plane table with probability ≥ `targetRecall`:
+    * `ceil(ln(1−R) / ln(1−c^bits))`. Pairs ABOVE the threshold collide
+    * more often, so this is the recall FLOOR of the whole output.
+    */
+  def requiredTables(bits: Int, threshold: Double, targetRecall: Double): Int = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"requiredTables: targetRecall must be in (0, 1), got $targetRecall")
+    val p = math.pow(planeAgreement(threshold), bits)
+    if (p >= 1.0) 1
+    else math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - p)).toInt.max(1)
+  }
+
+  /** An auto-chosen hyperplane-LSH shape: `tables` hash tables of `bits`
+    * planes each ([[hyperplaneBuckets]] layout).
+    */
+  final case class LshConfig(bits: Int, tables: Int) {
+    def numPlanes: Int = bits * tables
+    /** Collision probability of a pair at cosine exactly `threshold` —
+      * the output's recall floor under this config.
+      */
+    def recallFloor(threshold: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(planeAgreement(threshold), bits), tables)
+  }
+
+  /** Choose (bits, tables) from the corpus size and the similarity
+    * threshold:
+    *
+    *  - occupancy side: the smallest `bits` with
+    *    `2^bits · targetOccupancy ≥ n` (computed in INTEGER arithmetic so
+    *    an oracle hits no floating log2 boundary), holding expected bucket
+    *    occupancy — and with it candidate volume per vector — constant as
+    *    n grows;
+    *  - recall side: the largest `bits` whose [[requiredTables]] still
+    *    fits `maxTables` — more bits than that cannot reach `targetRecall`
+    *    within the table budget, so extra granularity would silently buy
+    *    candidate reduction with lost recall.
+    *
+    * `bits` is the SMALLER of the two (clamped to `[minBits, maxBits]`);
+    * `tables` is `requiredTables` at that width, clamped to `maxTables`.
+    * When the clamps bind (tiny corpora, or a low threshold where LSH
+    * needs many tables — c is small so c^bits decays fast), the achieved
+    * floor is visible via [[LshConfig.recallFloor]]; the choice stays
+    * deterministic either way.
+    */
+  def lshAutoConfig(n: Long, threshold: Double, targetRecall: Double = 0.9,
+                    targetOccupancy: Int = 64, minBits: Int = 4, maxBits: Int = 24,
+                    maxTables: Int = 32): LshConfig = {
+    require(targetOccupancy > 0 && minBits >= 1 && maxBits >= minBits && maxTables >= 1,
+      "lshAutoConfig: invalid clamp parameters")
+    val bitsOcc = (1 to maxBits)
+      .find(b => (1L << b) * targetOccupancy >= n)
+      .getOrElse(maxBits)
+    val bitsRecall = (1 to maxBits)
+      .filter(b => requiredTables(b, threshold, targetRecall) <= maxTables)
+      .lastOption.getOrElse(1)
+    val bits = math.max(minBits, math.min(bitsOcc, bitsRecall))
+    LshConfig(bits, math.min(requiredTables(bits, threshold, targetRecall), maxTables))
+  }
+
   /** Array-of-float column → array-of-double (cast BEFORE any arithmetic so
     * both engines do pure double math).
     */
@@ -250,5 +335,28 @@ object Similarity {
       .withColumn("cos", round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** [[cosineDup]] with the granularity chosen by [[lshAutoConfig]] from
+    * the ACTUAL corpus size (one `count()` job — a long, not data, reaches
+    * the driver): per-bucket occupancy stays ~`targetOccupancy` as the
+    * corpus grows, so candidate volume stays linear in n where a fixed
+    * `bits` goes quadratic, and `tables` grows to hold the recall floor.
+    * This is the operator-level form of the scale knob [[cosineDup]]'s
+    * Scaladoc documents; same output contract (id_a, id_b, cos).
+    */
+  def cosineDupAuto(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                    targetRecall: Double = 0.9, targetOccupancy: Int = 64,
+                    minBits: Int = 4, maxBits: Int = 24, maxTables: Int = 32,
+                    scope: graft.core.CacheScope = graft.core.CacheScope.session,
+                    maxBucket: Int = 8192): DataFrame = {
+    // one aggregation job for both stats (empty corpus → dim row is null)
+    val stats = emb.agg(count(lit(1)), max(size(col(vecCol)))).head()
+    val n = stats.getLong(0)
+    val dim = if (stats.isNullAt(1)) 1 else stats.getInt(1)
+    val cfg = lshAutoConfig(n, threshold, targetRecall, targetOccupancy,
+      minBits, maxBits, maxTables)
+    cosineDup(emb, idCol, vecCol, threshold,
+      hyperplanes(cfg.numPlanes, dim), cfg.bits, cfg.tables, scope, maxBucket)
   }
 }
