@@ -787,9 +787,9 @@ object SparkEntry {
     * boundaries could drift between engines; the only data-dependent step
     * (occupancy bits) is an exact INTEGER comparison over a generate_series,
     * mirroring the integer `find` in `lshAutoConfig`. Plane components are
-    * the same `lcg/2^31 − 0.5` integer arithmetic as
-    * [[Similarity.hyperplanes]] — exact doubles, so bucket signs agree
-    * bit-for-bit.
+    * the same `md5("hp|idx") first-32-bits / 2^32 − 0.5` derivation as
+    * [[Similarity.hyperplanes]] — dyadic-exact doubles, so bucket signs
+    * agree bit-for-bit.
     */
   private def autoCfgCte: String = {
     val tablesCase = "CASE bits " + (1 to AutoMaxBits).map(b =>
@@ -809,7 +809,7 @@ object SparkEntry {
        |), planes AS (
        |  SELECT p,
        |         list_transform(generate_series(0, ${EmbDim - 1}),
-       |           d -> ((1103515245 * (CAST(p AS BIGINT) * $EmbDim + d + 1) + 12345) % 2147483648) / 2147483648.0 - 0.5) AS pl
+       |           d -> CAST(concat('0x', substr(md5('hp|' || CAST(CAST(p AS BIGINT) * $EmbDim + d AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 - 0.5) AS pl
        |  FROM (SELECT unnest(generate_series(0, bits * tables - 1)) AS p FROM cfg)
        |), sgn AS (
        |  SELECT e.vec_id, CAST(pp.p // cfg.bits AS INT) AS tbl,

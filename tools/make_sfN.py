@@ -34,7 +34,9 @@ Replication semantics (deterministic, no RNG):
     factor 10: permuted cross-copy rate 5.0e-4 (~= the i.i.d. rate, vs the
     shift's concentrated-at-1 spike), ground-truth total ~99k (~= the
     92k a fresh corpus would have), LSH-realized output 45,324 vs 411 at
-    sf0.1 with recall stable at 45-46% on both scales. I.e. the scaled
+    sf0.1 with recall stable at 45-46% on both scales (LCG-plane
+    vintage; the md5 planes that replaced them realize ~50k/52% —
+    BENCH_SF1 "Auto-granularity A/B"). I.e. the scaled
     workload now IS the workload of a 10x corpus, and time-vs-output is
     the right scaling read for dedup_cosine.
   - remaining tables (lineitem, orders, ...) are copied unchanged — no
