@@ -636,6 +636,19 @@ object SparkEntry {
   private val MhBands = 4
   private val MhThreshold = 0.6
 
+  // Auto-banding parameters shared by the dedup_minhash_auto query/oracle.
+  // targetRecall 0.83 = the fixed (4-band × 2-row) config's own floor at
+  // threshold 0.6 (1 − (1 − 0.6²)⁴), so fixed-vs-auto is an equal-recall
+  // comparison isolating the candidate-volume effect — the same design as
+  // the dedup_cosine_auto pairing. At 500 documents the auto choice IS
+  // the fixed config (2 rows × 4 bands); at 5k it is 3 × 8, at 50k 4 × 13.
+  private val MinAutoRecall = 0.83
+  private val MinAutoS0 = 0.1
+  private val MinAutoCandPerBand = 16
+  private val MinAutoMinRows = 2
+  private val MinAutoMaxRows = 12
+  private val MinAutoMaxBands = 32
+
   /** DuckDB CTE: doc_id + distinct md5-based 32-bit shingle hashes,
     * mirroring `array_distinct(Dedup.ngramHashes(text, MhShingle))`.
     */
@@ -827,6 +840,62 @@ object SparkEntry {
       s"SELECT vec_id, $l AS tbl, ${bucketKeySql("v", l)} AS bkey FROM emb")
       .mkString("\n  UNION ALL\n  ")
     s"bkt AS (\n  $arms\n)"
+  }
+
+  /** DuckDB CTEs re-deriving [[Dedup.minhashAutoConfig]] + the dynamic
+    * banding, so ONE static SQL string grades `dedup_minhash_auto` at
+    * every SF. Same parity discipline as [[autoCfgCte]]: the n-independent
+    * pieces (occupancy thresholds `candPerBand/s0^r`, the rows→bands map,
+    * the recall-budget row cap, the minhash coefficients) are
+    * Scala-computed literals, and the only data-dependent step is the
+    * exact comparison `count(*) ≤ <literal>` over a generate_series of r.
+    * The signature is built DYNAMICALLY as (doc, k) rows joined to the
+    * literal coefficient table with `k < rows·bands`, and band keys are
+    * `list(sig ORDER BY k)` per `k // rows` — list equality in the
+    * self-join reproduces the Spark side's band-struct equality.
+    */
+  private def minhashAutoCtes: String = {
+    val rRange = MinAutoMinRows to MinAutoMaxRows
+    val occCase = "CASE r " + rRange.map(r =>
+      s"WHEN $r THEN ${MinAutoCandPerBand / math.pow(MinAutoS0, r)}").mkString(" ") + " END"
+    val bandsFor = rRange.map(r =>
+      r -> math.min(Dedup.requiredBands(r, MhThreshold, MinAutoRecall), MinAutoMaxBands)).toMap
+    val bandsCase = "CASE rpb " + rRange.map(r =>
+      s"WHEN $r THEN ${bandsFor(r)}").mkString(" ") + " END"
+    val rRecall = rRange
+      .filter(r => Dedup.requiredBands(r, MhThreshold, MinAutoRecall) <= MinAutoMaxBands)
+      .lastOption.getOrElse(MinAutoMinRows)
+    val maxNh = rRange.filter(_ <= rRecall).map(r => r * bandsFor(r)).max
+    val coefRows = (0 until maxNh).map { k =>
+      val (a, b) = Dedup.minhashCoeff(k)
+      s"($k, $a, $b)"
+    }.mkString(", ")
+    s"""mcfg0 AS (
+       |  SELECT COALESCE(MIN(r), $MinAutoMaxRows) AS r_occ
+       |  FROM (SELECT unnest(generate_series($MinAutoMinRows, $MinAutoMaxRows)) AS r),
+       |       (SELECT count(*) AS n FROM documents)
+       |  WHERE n <= $occCase
+       |), mcfg AS (
+       |  SELECT rpb, $bandsCase AS bands FROM (
+       |    SELECT LEAST(r_occ, $rRecall) AS rpb FROM mcfg0
+       |  )
+       |), mcoef AS (
+       |  SELECT * FROM (VALUES $coefRows) AS t(k, ca, cb)
+       |), sigk AS (
+       |  SELECT s.doc_id, c.k,
+       |         list_min(list_transform(s.hs, h -> (h * c.ca + c.cb) % ${Dedup.MinhashP})) AS sv
+       |  FROM sh s, mcoef c, mcfg m
+       |  WHERE c.k < m.rpb * m.bands
+       |), mbanded AS (
+       |  SELECT sk.doc_id, CAST(sk.k // m.rpb AS INT) AS band,
+       |         list(sk.sv ORDER BY sk.k) AS bkey
+       |  FROM sigk sk, mcfg m
+       |  GROUP BY sk.doc_id, CAST(sk.k // m.rpb AS INT)
+       |), mcand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM mbanded l JOIN mbanded r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+       |)""".stripMargin
   }
 
   /** Labels exercising the `"NAME [unit]"` metadata utilities. */
@@ -1123,6 +1192,18 @@ object SparkEntry {
 
     "dedup_minhash_pairs" -> ((s, dir) =>
       cachedMinhashPairs(s, dir).orderBy("id_a", "id_b")),
+
+    // Auto-banding twin: rows-per-band/bands chosen from the ACTUAL corpus
+    // size by minhashAutoConfig (longer band keys as n grows — the
+    // linear-candidate scale path), graded at every SF by ONE static
+    // oracle that re-derives the banding dynamically (see minhashAutoCtes).
+    "dedup_minhash_auto" -> { (s, dir) =>
+      Dedup.minhashLshAuto(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          MhShingle, MhThreshold, targetRecall = MinAutoRecall, s0 = MinAutoS0,
+          candPerBand = MinAutoCandPerBand, minRows = MinAutoMinRows,
+          maxRows = MinAutoMaxRows, maxBands = MinAutoMaxBands)
+        .orderBy("id_a", "id_b")
+    },
 
     "dedup_clusters" -> { (s, dir) =>
       // near-dup CLUSTER assignment: minhash pairs → connected components
@@ -1656,6 +1737,16 @@ object SparkEntry {
     "dedup_minhash_pairs" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, jaccard FROM mhp ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_auto" ->
+      s"""WITH $ShingleCte, $minhashAutoCtes
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |         round(len(list_intersect(a.hs, b.hs)) * 1.0
+         |               / len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jaccard
+         |  FROM mcand JOIN sh a ON a.doc_id = mcand.id_a
+         |             JOIN sh b ON b.doc_id = mcand.id_b
+         |) WHERE jaccard >= $MhThreshold ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_clusters" ->
       // connected components over the minhash pair graph: DuckDB walks

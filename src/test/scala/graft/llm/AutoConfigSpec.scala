@@ -89,6 +89,51 @@ class AutoConfigSpec extends SparkSpec {
     }
   }
 
+  test("requiredBands: boundary-collision formula, monotone in rows") {
+    // the fixed graded config's floor: 1 − (1 − 0.6²)⁴ = 0.832…
+    assert(Dedup.requiredBands(2, 0.6, 0.83) === 4)
+    val bs = (1 to 8).map(Dedup.requiredBands(_, 0.6, 0.83))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a <= b })
+    for (r <- 1 to 8) {
+      val b = Dedup.requiredBands(r, 0.6, 0.83)
+      assert(Dedup.MinhashBandConfig(b, r).recallFloor(0.6) >= 0.83)
+      if (b > 1) assert(Dedup.MinhashBandConfig(b - 1, r).recallFloor(0.6) < 0.83)
+    }
+  }
+
+  test("minhashAutoConfig: reproduces the small-corpus shape, scales the key with n") {
+    // 500 docs: the classic 4-band × 2-row shape (the fixed graded config)
+    assert(Dedup.minhashAutoConfig(500L, 0.6, 0.83) === Dedup.MinhashBandConfig(4, 2))
+    // 5k and 50k: longer keys, more bands, floor held
+    assert(Dedup.minhashAutoConfig(5000L, 0.6, 0.83) === Dedup.MinhashBandConfig(8, 3))
+    assert(Dedup.minhashAutoConfig(50000L, 0.6, 0.83) === Dedup.MinhashBandConfig(13, 4))
+    // rows never decreases with n; floor holds wherever rows is un-clamped
+    val cfgs = Seq(500L, 5000L, 50000L, 500000L, 5000000L)
+      .map(Dedup.minhashAutoConfig(_, 0.6, 0.83))
+    assert(cfgs.map(_.rowsPerBand).zip(cfgs.tail.map(_.rowsPerBand))
+      .forall { case (a, b) => a <= b })
+    cfgs.filter(_.bands < 32).foreach(c => assert(c.recallFloor(0.6) >= 0.83))
+  }
+
+  private lazy val autoDocs = {
+    // 40 near-dup pairs (prefix-shared texts) + 120 distinct fillers
+    val texts = (0 until 40).flatMap { i =>
+      val base = s"the quick brown fox $i jumps over the lazy dog near river $i bank today"
+      Seq((2L * i, base), (2L * i + 1, base + " x"))
+    } ++ (0 until 120).map(j => (200L + j, s"completely unrelated filler document number $j with its own words ${j * 7}"))
+    texts.toDF("doc_id", "text")
+  }
+
+  test("minhashLshAuto equals minhashLsh at the derived config") {
+    val cfg = Dedup.minhashAutoConfig(200L, 0.6, 0.83)
+    val auto = Dedup.minhashLshAuto(autoDocs, "doc_id", "text", 5, 0.6, targetRecall = 0.83)
+      .orderBy("id_a", "id_b").collect()
+    val explicit = Dedup.minhashLsh(autoDocs, "doc_id", "text", 5, cfg.numHashes, cfg.bands, 0.6)
+      .orderBy("id_a", "id_b").collect()
+    assert(auto.toSeq === explicit.toSeq)
+    assert(auto.nonEmpty)
+  }
+
   private lazy val vectors: Seq[(Long, Seq[Float])] = {
     val centers = Seq.fill(4)(Array.fill(Dim)(rng.nextGaussian()))
     (0 until 200).map { i =>
