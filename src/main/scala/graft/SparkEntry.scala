@@ -719,6 +719,35 @@ object SparkEntry {
   private val JacMinShared = 2
   private val JacMaxDf = 128
 
+  // Decontamination parameters shared by the decon_* query/oracles: the
+  // eval set is every DecBenchMod-th document; DecN = 4 because the test
+  // vocabulary is ~30 words (real corpora use 8-13-gram overlap), which
+  // flags 7 / 19 / 1219 train docs at sf0.001/0.01/0.1 — present but
+  // discriminating at every graded SF.
+  private val DecN = 4
+  private val DecBenchMod = 50
+  private val DecMinHits = 1
+
+  /** DuckDB CTEs for decontamination: word-`DecN`-gram hash sets (same
+    * md5-prefix idiom as the Jaccard oracle), eval-set distinct grams
+    * (`dbg`), training grams (`dtg`), per-doc overlap counts (`dhits`).
+    */
+  private def deconCtes: String =
+    s"""$TokCte, dg AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(ts) - ${DecN - 1}, 1)),
+       |    i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(ts, i, i + ${DecN - 1}), ' ')), 1, 8)) AS BIGINT))) AS gh
+       |  FROM tok
+       |), dbg AS (
+       |  SELECT DISTINCT unnest(gh) AS g FROM dg WHERE doc_id % $DecBenchMod = 0
+       |), dtg AS (
+       |  SELECT doc_id, unnest(gh) AS g FROM dg WHERE doc_id % $DecBenchMod <> 0
+       |), dhits AS (
+       |  SELECT dtg.doc_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM dtg JOIN dbg USING (g)
+       |  GROUP BY dtg.doc_id HAVING count(*) >= $DecMinHits
+       |)""".stripMargin
+
   // Corpus-assembly parameters shared by the pipe_* query/oracles.
   private val PipeFractions = Map("en" -> 0.3, "zh" -> 1.0)
   private val PipeDefaultFrac = 0.1
@@ -1513,6 +1542,28 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- LLM: benchmark decontamination (row 44) --
+    // Eval set = every DecBenchMod-th document, train = the rest; flag
+    // train docs sharing any word DecN-gram with the eval set.
+    "decon_flags" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Pipeline.decontaminate(
+          docs.filter(col("doc_id") % DecBenchMod =!= 0),
+          docs.filter(col("doc_id") % DecBenchMod === 0),
+          "doc_id", "text", DecN, DecMinHits)
+        .orderBy("doc_id")
+    },
+
+    "decon_clean" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Pipeline.decontaminated(
+          docs.filter(col("doc_id") % DecBenchMod =!= 0),
+          docs.filter(col("doc_id") % DecBenchMod === 0),
+          "doc_id", "text", DecN, DecMinHits)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // -- plot data preparation (rows 6, 11-15) --
     "plot_signal" -> { (s, dir) =>
       PlotData.signalTrace(opset(s, dir).get("1"), Seq("record", "t"), "value",
@@ -1999,6 +2050,17 @@ object SparkEntry {
          |       (n_tokens > 0 AND floor((start_tok + n_tokens - 1) / ${PipeBudget}.0)
          |          <> floor(start_tok / ${PipeBudget}.0)) AS spans
          |FROM pcum ORDER BY doc_id""".stripMargin,
+
+    "decon_flags" ->
+      s"""WITH $deconCtes
+         |SELECT doc_id, hits FROM dhits ORDER BY doc_id""".stripMargin,
+
+    "decon_clean" ->
+      s"""WITH $deconCtes
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % $DecBenchMod <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM dhits)
+         |ORDER BY doc_id""".stripMargin,
 
     "plot_signal" ->
       s"""WITH $OpsetCte

@@ -40,6 +40,51 @@ object Pipeline {
     docs.filter(bucket < threshold)
   }
 
+  /** Benchmark decontamination: flag training documents that share at
+    * least `minHits` distinct word n-grams with an evaluation corpus —
+    * the standard guard against eval-set leakage into training data
+    * (Brown et al. 2020, "Language Models are Few-Shot Learners",
+    * appendix C, uses 13-gram overlap; `n` stays a knob because real
+    * pipelines tune it to tokenizer and document length). Returns
+    * `(idCol, hits)` for flagged documents, `hits` = number of DISTINCT
+    * overlapping n-grams (gram sets come from
+    * [[Dedup.wordNgramHashes]], already distinct per document).
+    *
+    * Scale shape: an eval suite is metadata-sized next to a 100 TB
+    * corpus (even 1e6 benchmark documents distill to a few hundred MB
+    * of distinct gram hashes), so the bench side aggregates to a
+    * distinct-hash table and BROADCASTS; the training side is ONE scan
+    * whose exploded grams probe the broadcast table — no shuffle of
+    * corpus data — followed by a map-side-combined count per id. Set
+    * `broadcastBench = false` for an eval side too big to broadcast:
+    * identical plan with a shuffled hash join on the gram key instead.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, minHits: Int = 1,
+                    broadcastBench: Boolean = true): DataFrame = {
+    require(n > 0, "decontaminate: n must be positive")
+    require(minHits > 0, "decontaminate: minHits must be positive")
+    val benchGrams =
+      bench.select(explode(Dedup.wordNgramHashes(col(textCol), n)).as("_g")).distinct()
+    val probe = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    docs.select(col(idCol), explode(Dedup.wordNgramHashes(col(textCol), n)).as("_g"))
+      .join(probe, "_g")
+      .groupBy(idCol).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
+  /** The surviving training corpus: `docs` minus [[decontaminate]]'s
+    * flagged ids. The anti-join side is flagged-id-sized (a small
+    * fraction of the corpus when the pipeline is healthy), so Spark's
+    * join selection broadcasts it in the common case.
+    */
+  def decontaminated(docs: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minHits: Int = 1,
+                     broadcastBench: Boolean = true): DataFrame =
+    docs.join(
+      decontaminate(docs, bench, idCol, textCol, n, minHits, broadcastBench).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** GPT-style sequence packing: per shard (`shardCol`), documents are
     * concatenated in `idCol` order into one token stream cut into
     * training rows of `budget` tokens; each document is labeled with

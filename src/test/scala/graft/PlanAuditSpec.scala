@@ -119,6 +119,26 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the over-cap bucket set to anti-join as a broadcast:\n${plan(fired)}")
   }
 
+  test("decontaminate probes the bench grams via broadcast; corpus side never shuffles before the join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.Pipeline.decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 4))
+    val bcasts = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, s"expected the bench gram set to broadcast:\n$p")
+    // the 100 TB property: the training corpus reaches the gram probe as
+    // one un-shuffled scan — only the metadata-sized bench side (distinct)
+    // and the post-join per-doc count may exchange
+    val streamed = bcasts.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bcasts.head.left
+      case _ => bcasts.head.right
+    }
+    assert(collectAll(streamed) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"training side must not shuffle below the gram probe:\n$p")
+  }
+
   test("dedup clusters assignment plans no window — a mega-cluster cannot funnel") {
     // a boilerplate near-dup cluster can hold a large fraction of the
     // corpus; sizing it through a Window.partitionBy(cluster_id) would

@@ -80,6 +80,41 @@ class PipelineSpec extends SparkSpec {
     assert(saltedTokens === megaTokens, "salting must conserve the token stream")
   }
 
+  // Decontamination fixtures: bench 3-grams are {zzz alpha beta,
+  // alpha beta gamma, beta gamma delta, gamma delta yyy}.
+  private val deconTrain = Seq(
+    (10L, "alpha beta gamma delta epsilon"), // shares 2 bench 3-grams
+    (11L, "foo bar baz qux"),                // shares none
+    (12L, "alpha beta gamma delta")          // shares the same 2
+  ).toDF("doc_id", "text")
+  private val deconBench = Seq((0L, "zzz alpha beta gamma delta yyy")).toDF("doc_id", "text")
+
+  test("decontaminate flags exactly the docs sharing an n-gram, with distinct-hit counts") {
+    val flagged = Pipeline.decontaminate(deconTrain, deconBench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 10 and 12 each share {alpha beta gamma, beta gamma delta};
+    // doc 10's third gram (gamma delta epsilon) is NOT in the bench set.
+    assert(flagged === Map(10L -> 2L, 12L -> 2L))
+  }
+
+  test("decontaminate minHits raises the flagging bar; shuffle path matches broadcast") {
+    val strict = Pipeline.decontaminate(deconTrain, deconBench, "doc_id", "text",
+        n = 3, minHits = 3)
+    assert(strict.count() === 0L, "no train doc shares 3 distinct grams")
+    val bcast = Pipeline.decontaminate(deconTrain, deconBench, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shuffled = Pipeline.decontaminate(deconTrain, deconBench, "doc_id", "text",
+        n = 3, broadcastBench = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bcast === shuffled, "broadcast and shuffled joins must agree")
+  }
+
+  test("decontaminated keeps exactly the unflagged training docs") {
+    val clean = Pipeline.decontaminated(deconTrain, deconBench, "doc_id", "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean === Set(11L))
+  }
+
   test("packSequences shards are independent: adding a shard changes nothing else") {
     val base = Pipeline.packSequences(docs, "doc_id", "text", "shard", 6)
       .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSet
