@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, Md5Prefix32, SetOverlap, SgResidualStddev, ShingleHashes, WordNgramHashes}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, Md5Prefix32, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, WordNgramHashes}
 import graft.llm.TextAnalysis
 
 /** Session extensions registering graft's native Catalyst expressions so
@@ -69,6 +69,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"graft_set_overlap requires exactly 2 arguments, got ${children.size}")
         SetOverlap(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_repetition"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, null, "graft_repetition",
+        "graft_repetition(text) - struct(n_tokens, top_word_frac, dup_word_frac, " +
+          "top_bigram_frac) repetition stats in one hash-map pass", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_repetition requires exactly 1 argument, got ${children.size}")
+        RepetitionStats(children(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_sg_eps"),

@@ -1528,6 +1528,12 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- LLM: within-document repetition stats (row 45) --
+    "text_repetition" -> { (s, dir) =>
+      TextAnalysis.repetition(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")
+    },
+
     // -- LLM: corpus assembly (rows 42-43) --
     "pipe_sample" -> { (s, dir) =>
       Pipeline.sampleStratified(s.read.parquet(s"$dir/documents.parquet"),
@@ -2050,6 +2056,33 @@ object SparkEntry {
          |       (n_tokens > 0 AND floor((start_tok + n_tokens - 1) / ${PipeBudget}.0)
          |          <> floor(start_tok / ${PipeBudget}.0)) AS spans
          |FROM pcum ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH $TokCte, t2 AS (
+         |  SELECT doc_id, unnest(ts) AS w FROM tok
+         |), wc AS (
+         |  SELECT doc_id, w, count(*) AS c FROM t2 GROUP BY doc_id, w
+         |), wagg AS (
+         |  SELECT doc_id, max(c) AS topc,
+         |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc,
+         |         sum(c) AS n
+         |  FROM wc GROUP BY doc_id
+         |), b2 AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i + 1])) AS g
+         |  FROM tok WHERE len(ts) >= 2
+         |), bc AS (
+         |  SELECT doc_id, g, count(*) AS c FROM b2 GROUP BY doc_id, g
+         |), bagg AS (
+         |  SELECT doc_id, max(c) AS topb, sum(c) AS nb FROM bc GROUP BY doc_id
+         |)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(w.n, 0) AS BIGINT) AS n_tokens,
+         |  round(CASE WHEN w.n IS NULL THEN 0.0 ELSE w.topc * 1.0 / w.n END, 6) AS top_word_frac,
+         |  round(CASE WHEN w.n IS NULL THEN 0.0 ELSE w.dupc * 1.0 / w.n END, 6) AS dup_word_frac,
+         |  round(CASE WHEN b.nb IS NULL THEN 0.0 ELSE b.topb * 1.0 / b.nb END, 6) AS top_bigram_frac
+         |FROM tok t LEFT JOIN wagg w USING (doc_id) LEFT JOIN bagg b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "decon_flags" ->
       s"""WITH $deconCtes

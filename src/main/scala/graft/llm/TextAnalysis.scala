@@ -129,6 +129,59 @@ object TextAnalysis {
     )
   }
 
+  /** Within-document repetition statistics (the Gopher-rule quality
+    * family: Rae et al. 2021 filter documents whose most frequent word,
+    * duplicate words, or most frequent n-gram take too large a
+    * fraction): `struct(n_tokens, top_word_frac, dup_word_frac,
+    * top_bigram_frac)` over lowercased whitespace tokens. Resolves to
+    * the one-pass native [[graft.functions.RepetitionStats]] when the
+    * session registered `graft.GraftExtensions`; the HOF twin counts
+    * each distinct token by re-filtering the token array — O(distinct ×
+    * n) per document, correct everywhere but quadratic on
+    * low-redundancy text, so the native path is the scale answer.
+    * Fractions are unrounded here so both paths produce bit-identical
+    * doubles; round at the call site.
+    */
+  def repetitionStruct(text: Column): Column =
+    if (graft.functions.Native.registered) call_function("graft_repetition", text)
+    else repetitionHof(text)
+
+  /** HOF fallback for sessions without [[graft.GraftExtensions]]. */
+  def repetitionHof(text: Column): Column = {
+    val toks = graft.llm.Dedup.tokens(text)
+    val n = size(toks)
+    val cnts = transform(array_distinct(toks), t => size(filter(toks, x => x === t)))
+    val topW = when(n === 0, lit(0.0)).otherwise(array_max(cnts).cast("double") / n)
+    val dupW = when(n === 0, lit(0.0)).otherwise(
+      aggregate(cnts, lit(0), (a, c) => a + when(c >= 2, c).otherwise(lit(0)))
+        .cast("double") / n)
+    val bgs = transform(sequence(lit(1), n - 1), i => concat_ws(" ", slice(toks, i, lit(2))))
+    val topB = when(n < 2, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(bgs), g => size(filter(bgs, x => x === g))))
+        .cast("double") / (n - 1))
+    when(text.isNotNull, struct(
+      n.cast("long").as("n_tokens"),
+      topW.as("top_word_frac"),
+      dupW.as("dup_word_frac"),
+      topB.as("top_bigram_frac")))
+  }
+
+  /** Per-document repetition DataFrame: `idCol, n_tokens,
+    * top_word_frac, dup_word_frac, top_bigram_frac` (fractions rounded
+    * to 6). Two projections on purpose: the struct materializes once
+    * per row in the inner one, and Catalyst's CollapseProject keeps it
+    * that way (a single projection would re-evaluate the non-cheap
+    * struct expression once per extracted field).
+    */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), repetitionStruct(col(textCol)).as("_r"))
+      .select(col(idCol),
+        col("_r.n_tokens").as("n_tokens"),
+        round(col("_r.top_word_frac"), 6).as("top_word_frac"),
+        round(col("_r.dup_word_frac"), 6).as("dup_word_frac"),
+        round(col("_r.top_bigram_frac"), 6).as("top_bigram_frac"))
+
   /** The full analysis DataFrame over a `documents`-shaped table. Safe in
     * ANY session: [[fingerprint]] probes [[graft.functions.Native]] and
     * uses the codegen'd native expression when `graft.GraftExtensions` is

@@ -58,6 +58,15 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
   }
 
+  test("graft_repetition == HOF twin, bit-identical doubles, on generated strings") {
+    val df = (sampled(genText, 300, 17L) :+ null).toDF("text")
+    val bad = df.select(col("text"),
+        call_function("graft_repetition", col("text")).as("nat"),
+        graft.llm.TextAnalysis.repetitionHof(col("text")).as("dec"))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
+  }
+
   test("graft_set_overlap == array_intersect/array_union sizes on generated arrays") {
     val genArr = Gen.listOf(Gen.chooseNum(0L, 30L)) // small domain → real overlaps
     val pairs = sampled(Gen.zip(genArr, genArr), 300, 13L)

@@ -46,6 +46,25 @@ class TextAnalysisSpec extends SparkSpec {
         onText[Long](t, TextAnalysis.fingerprintHof))
   }
 
+  test("repetition: fractions match hand counts, edge cases are zeros") {
+    def rep(t: String): (Long, Double, Double, Double) = {
+      val r = Seq(t).toDF("text")
+      val row = TextAnalysis.repetition(r.withColumn("doc_id", lit(0L))).collect().head
+      (row.getLong(1), row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    }
+    // "a a b": top word a=2/3; dup positions 2/3; bigrams {a a, a b} top 1/2
+    assert(rep("a a b") === ((3L, 0.666667, 0.666667, 0.5)))
+    // all-same tokens saturate every fraction
+    assert(rep("t t t t") === ((4L, 1.0, 1.0, 1.0)))
+    // single token: no duplicates, no bigrams
+    assert(rep("x") === ((1L, 1.0, 0.0, 0.0)))
+    // blank: all zeros
+    assert(rep("   ") === ((0L, 0.0, 0.0, 0.0)))
+    assert(rep("") === ((0L, 0.0, 0.0, 0.0)))
+    // mixed case folds: "A a" is a duplicate pair
+    assert(rep("A a") === ((2L, 1.0, 1.0, 1.0)))
+  }
+
   test("quality score is in [0,1] and favors longer stopword-rich text") {
     def q(t: String): Double = {
       val cols = TextAnalysis.qualityCols(col("text")).toMap
