@@ -753,6 +753,7 @@ object SparkEntry {
   private val PipeDefaultFrac = 0.1
   private val PipeSeed = 7L
   private val PipeBudget = 512
+  private val PipeShards = 8
 
   // Embedding-LSH parameters shared by ann_* / dedup_cosine query/oracles.
   private val EmbDim = 64
@@ -1548,6 +1549,13 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- LLM: deterministic corpus shuffle (row 46) --
+    "pipe_shuffle" -> { (s, dir) =>
+      Pipeline.shuffleDeterministic(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", PipeSeed, PipeShards)
+        .orderBy("doc_id")
+    },
+
     // -- LLM: benchmark decontamination (row 44) --
     // Eval set = every DecBenchMod-th document, train = the rest; flag
     // train docs sharing any word DecN-gram with the eval set.
@@ -2083,6 +2091,16 @@ object SparkEntry {
          |  round(CASE WHEN b.nb IS NULL THEN 0.0 ELSE b.topb * 1.0 / b.nb END, 6) AS top_bigram_frac
          |FROM tok t LEFT JOIN wagg w USING (doc_id) LEFT JOIN bagg b USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "pipe_shuffle" ->
+      s"""WITH sk AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(concat_ws('|', doc_id, '$PipeSeed')), 1, 8)) AS BIGINT) AS k
+         |  FROM documents
+         |)
+         |SELECT doc_id, k % $PipeShards AS shard,
+         |       CAST(row_number() OVER (PARTITION BY k % $PipeShards ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+         |FROM sk ORDER BY doc_id""".stripMargin,
 
     "decon_flags" ->
       s"""WITH $deconCtes

@@ -40,6 +40,33 @@ object Pipeline {
     docs.filter(bucket < threshold)
   }
 
+  /** Deterministic corpus shuffle: assign every document a
+    * pseudorandom shard and a position within it — the
+    * shard-and-shuffle step a training data loader consumes (global
+    * order must be reproducible across re-runs and independent of how
+    * the corpus happened to be partitioned). The shuffle key is the
+    * same pure (id, seed) md5 bucket as [[sampleStratified]], so the
+    * permutation is a function of ids alone; ties on the 32-bit key
+    * break by id, keeping the order total and deterministic.
+    *
+    * Scale shape: ONE shuffle — the window partitioned on `shard` —
+    * and parallelism = `numShards` (pick shards ≈ output files; a
+    * 100 TB corpus shuffles as thousands of independent shards, never
+    * through a global sort). Position is 0-based within the shard; a
+    * loader reading shards in any order with `pos`-sorted rows
+    * reproduces the permutation exactly.
+    */
+  def shuffleDeterministic(docs: DataFrame, idCol: String, seed: Long,
+                           numShards: Int): DataFrame = {
+    require(numShards > 0, "shuffleDeterministic: numShards must be positive")
+    val key = Dedup.md5Hash32(concat_ws("|", col(idCol), lit(seed)))
+    val w = Window.partitionBy("shard").orderBy(col("_k"), col(idCol))
+    docs.select(col(idCol), key.as("_k"))
+      .withColumn("shard", (col("_k") % numShards).cast("long"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Benchmark decontamination: flag training documents that share at
     * least `minHits` distinct word n-grams with an evaluation corpus —
     * the standard guard against eval-set leakage into training data

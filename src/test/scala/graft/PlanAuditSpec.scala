@@ -119,6 +119,16 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the over-cap bucket set to anti-join as a broadcast:\n${plan(fired)}")
   }
 
+  test("shuffleDeterministic plans ONE shard shuffle and no unpartitioned window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.Pipeline.shuffleDeterministic(docs, "doc_id", 7L, 8))
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size === 1, s"expected exactly one shuffle:\n$p")
+    assert(collectAll(p) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, s"the position window must partition on shard:\n$p")
+  }
+
   test("decontaminate probes the bench grams via broadcast; corpus side never shuffles before the join") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.llm.Pipeline.decontaminate(

@@ -80,6 +80,21 @@ class PipelineSpec extends SparkSpec {
     assert(saltedTokens === megaTokens, "salting must conserve the token stream")
   }
 
+  test("shuffleDeterministic: pure (id, seed) permutation, contiguous shard positions") {
+    def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Pipeline.shuffleDeterministic(df, "doc_id", seed, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(docs, 42L)
+    assert(a === run(docs.repartition(7), 42L),
+      "partitioning must not change the permutation")
+    assert(a.map(_._1) === docs.collect().map(_.getLong(0)).toSet,
+      "every doc appears exactly once")
+    for ((sh, rows) <- a.groupBy(_._2))
+      assert(rows.map(_._3) === (0L until rows.size).toSet,
+        s"shard $sh positions must be contiguous from 0")
+    assert(a !== run(docs, 43L), "a different seed must reorder")
+  }
+
   // Decontamination fixtures: bench 3-grams are {zzz alpha beta,
   // alpha beta gamma, beta gamma delta, gamma delta yyy}.
   private val deconTrain = Seq(
