@@ -754,6 +754,7 @@ object SparkEntry {
   private val PipeSeed = 7L
   private val PipeBudget = 512
   private val PipeShards = 8
+  private val VocabK = 20
 
   // Embedding-LSH parameters shared by ann_* / dedup_cosine query/oracles.
   private val EmbDim = 64
@@ -1549,6 +1550,15 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- LLM: corpus-relative commonness (row 47) --
+    // VocabK = 20 keeps part of the ~30-word test vocabulary OOV, so
+    // in_vocab_frac discriminates at every SF.
+    "text_commonness" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.commonness(docs, TextAnalysis.vocabulary(docs, "text", VocabK))
+        .orderBy("doc_id")
+    },
+
     // -- LLM: deterministic corpus shuffle (row 46) --
     "pipe_shuffle" -> { (s, dir) =>
       Pipeline.shuffleDeterministic(s.read.parquet(s"$dir/documents.parquet"),
@@ -2091,6 +2101,24 @@ object SparkEntry {
          |  round(CASE WHEN b.nb IS NULL THEN 0.0 ELSE b.topb * 1.0 / b.nb END, 6) AS top_bigram_frac
          |FROM tok t LEFT JOIN wagg w USING (doc_id) LEFT JOIN bagg b USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "text_commonness" ->
+      s"""WITH $TokCte, tt AS (
+         |  SELECT doc_id, unnest(ts) AS token FROM tok
+         |), vf AS (
+         |  SELECT token, count(*) AS freq FROM tt GROUP BY token
+         |  ORDER BY freq DESC, token LIMIT $VocabK
+         |), agg AS (
+         |  SELECT t.doc_id, count(*) AS n, count(vf.freq) AS nv,
+         |         coalesce(sum(vf.freq), 0) AS s
+         |  FROM tt t LEFT JOIN vf USING (token) GROUP BY t.doc_id
+         |)
+         |SELECT t.doc_id,
+         |  round(CASE WHEN a.n IS NULL OR a.n = 0 THEN 0.0
+         |             ELSE a.nv * 1.0 / a.n END, 6) AS in_vocab_frac,
+         |  round(CASE WHEN coalesce(a.nv, 0) = 0 THEN 0.0
+         |             ELSE a.s * 1.0 / a.nv END, 6) AS mean_vocab_freq
+         |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "pipe_shuffle" ->
       s"""WITH sk AS (

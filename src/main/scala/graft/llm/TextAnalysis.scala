@@ -182,6 +182,54 @@ object TextAnalysis {
         round(col("_r.dup_word_frac"), 6).as("dup_word_frac"),
         round(col("_r.top_bigram_frac"), 6).as("top_bigram_frac"))
 
+  /** Top-`k` corpus vocabulary by token frequency, deterministically
+    * tie-broken by token — the vocabulary-construction half of
+    * CCNet-style corpus-relative filtering (Wenzek et al. 2020 score
+    * documents against a corpus-level language model; the vocabulary
+    * cap is what keeps the model metadata-sized). One token-key
+    * aggregation (map-side combined to distinct-tokens-per-partition)
+    * followed by a distributed top-k — never a global sort of the
+    * corpus.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "vocabulary: k must be positive")
+    docs.select(explode(graft.llm.Dedup.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(k)
+  }
+
+  /** Corpus-relative commonness per document: `in_vocab_frac` (share of
+    * token positions covered by the vocabulary) and `mean_vocab_freq`
+    * (mean corpus frequency of the covered positions) — a log-free
+    * surprisal proxy: documents of rare or out-of-vocabulary words
+    * score low, boilerplate scores high. Kept to exact integer counts
+    * plus one double division per output so the DuckDB oracle
+    * hash-matches (an ln-based perplexity would hang the gate on libm
+    * last-ulp differences between engines).
+    *
+    * Scale shape: `vocab` is top-k = metadata-sized BY CONSTRUCTION, so
+    * it broadcasts; the corpus explodes once against the broadcast and
+    * re-aggregates per doc id — map-side combined (doc_id, long) pairs,
+    * the only shuffle. Empty documents score (0.0, 0.0) via
+    * `explode_outer`.
+    */
+  def commonness(docs: DataFrame, vocab: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val toks = docs.select(col(idCol),
+      explode_outer(graft.llm.Dedup.tokens(col(textCol))).as("token"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(idCol).agg(
+        count(col("token")).as("_n"),
+        count(col("freq")).as("_nv"),
+        coalesce(sum("freq"), lit(0L)).as("_s"))
+      .select(col(idCol),
+        round(when(col("_n") === 0, 0.0)
+          .otherwise(col("_nv").cast("double") / col("_n")), 6).as("in_vocab_frac"),
+        round(when(col("_nv") === 0, 0.0)
+          .otherwise(col("_s").cast("double") / col("_nv")), 6).as("mean_vocab_freq"))
+  }
+
   /** The full analysis DataFrame over a `documents`-shaped table. Safe in
     * ANY session: [[fingerprint]] probes [[graft.functions.Native]] and
     * uses the codegen'd native expression when `graft.GraftExtensions` is

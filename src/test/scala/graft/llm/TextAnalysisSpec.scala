@@ -65,6 +65,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rep("A a") === ((2L, 1.0, 1.0, 1.0)))
   }
 
+  test("vocabulary + commonness: deterministic top-k ties, exact fractions") {
+    val docs = Seq(
+      (0L, "a a b c"), // corpus freqs: a:3 b:3 c:1 z:1
+      (1L, "a b b z"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val vocab2 = TextAnalysis.vocabulary(docs, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(vocab2 === Map("a" -> 3L, "b" -> 3L))
+    // the k=3 boundary tie (c:1 vs z:1) breaks by token, deterministically
+    val v3 = TextAnalysis.vocabulary(docs, "text", 3).collect().map(_.getString(0)).toSet
+    assert(v3 === Set("a", "b", "c"))
+    val out = TextAnalysis.commonness(docs, TextAnalysis.vocabulary(docs, "text", 2))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // doc 0 (a a b c): 3 of 4 positions in vocab; mean freq (3+3+3)/3 = 3
+    assert(out(0L) === ((0.75, 3.0)))
+    assert(out(1L) === ((0.75, 3.0)))
+    assert(out(2L) === ((0.0, 0.0)), "empty doc scores zeros, not a dropped row")
+  }
+
   test("quality score is in [0,1] and favors longer stopword-rich text") {
     def q(t: String): Double = {
       val cols = TextAnalysis.qualityCols(col("text")).toMap
