@@ -149,6 +149,22 @@ class PlanAuditSpec extends SparkSpec {
       s"training side must not shuffle below the gram probe:\n$p")
   }
 
+  test("commonness probes the vocab via broadcast; corpus side never shuffles before the join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.TextAnalysis.commonness(
+      docs, graft.llm.TextAnalysis.vocabulary(docs, "text", 20)))
+    val bcasts = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, s"expected the top-k vocabulary to broadcast:\n$p")
+    val streamed = bcasts.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bcasts.head.left
+      case _ => bcasts.head.right
+    }
+    assert(collectAll(streamed) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"corpus side must not shuffle below the vocab probe:\n$p")
+  }
+
   test("dedup clusters assignment plans no window — a mega-cluster cannot funnel") {
     // a boilerplate near-dup cluster can hold a large fraction of the
     // corpus; sizing it through a Window.partitionBy(cluster_id) would
