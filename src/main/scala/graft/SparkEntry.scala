@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -419,6 +419,39 @@ object SparkEntry {
            |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin)
   }
 
+  /** The dedup_semantic oracle over the frozen SemDeDup centroids,
+    * mirroring [[Similarity.semanticDup]]: per-(vector, centroid) scores,
+    * assignment by (score DESC, index ASC) — [[Similarity.bestCentroidCol]]'s
+    * tiebreak — then within-cluster pairs with exact cosine ≥ threshold.
+    */
+  private def semOracle: Map[String, String] = semCentsExport match {
+    case None => Map.empty
+    case Some(cents) =>
+      val arms = cents.zipWithIndex.map { case (c, i) =>
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        val clit = c.mkString("[", ", ", "]::DOUBLE[]")
+        s"SELECT vec_id, $i AS i, ${dotSql("v", s"($clit)")} / $cn AS s FROM nrm"
+      }.mkString("\n  UNION ALL\n  ")
+      Map("dedup_semantic" ->
+        s"""WITH $EmbCte, csc AS (
+           |  $arms
+           |), asg AS (
+           |  SELECT vec_id, i AS c FROM (
+           |    SELECT vec_id, i,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i ASC) AS rn
+           |    FROM csc
+           |  ) WHERE rn = 1
+           |), prs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(la.c AS BIGINT) AS cluster,
+           |         round(${dotSql("a.v", "b.v")} / (a.n * b.n), 6) AS cos
+           |  FROM asg la JOIN asg lb ON la.c = lb.c AND la.vec_id < lb.vec_id
+           |       JOIN nrm a ON a.vec_id = la.vec_id
+           |       JOIN nrm b ON b.vec_id = lb.vec_id
+           |)
+           |SELECT id_a, id_b, cluster, cos FROM prs
+           |WHERE cos >= $SemThreshold ORDER BY id_a, id_b""".stripMargin)
+  }
+
   // Tube parameters shared by the tube_* queries/oracles.
   private val TubeQ = Tube.TubeFactor // 2.0
   private val TubeFactors = Seq("TIME", "TIME2", "SGV")
@@ -756,6 +789,65 @@ object SparkEntry {
   private val PipeShards = 8
   private val VocabK = 20
 
+  // Duplicated-passage parameters shared by the text_passages
+  // query/oracle (row 48): word 3-grams over the ~30-word test vocabulary
+  // repeat across documents, so document-frequency ≥ PassMinDocs splits
+  // the gram population instead of flagging everything or nothing.
+  private val PassN = 3
+  private val PassMinDocs = 2
+
+  // Chunking parameters shared by the pipe_chunks query/oracle (row 50):
+  // 32-token chunks advancing by 24 (8-token overlap) — test documents
+  // run ~10-120 tokens, yielding one to a handful of chunks each, with
+  // both the short-final-chunk and the single-short-chunk cases present.
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  // SemDeDup parameters shared by the dedup_semantic query/oracle
+  // (row 51). Same 0.4 threshold as dedup_cosine so the two candidate
+  // generators (data-driven clusters vs random hyperplanes) are directly
+  // comparable on the same corpus.
+  private val SemK = 6
+  private val SemIters = 2
+  private val SemThreshold = 0.4
+
+  /** PII-injection column shared by the text_pii query/oracle: the
+    * synthetic corpus contains no PII-shaped strings, so the harness
+    * appends deterministic doc_id-derived email/phone/IP tails to a
+    * subset of documents — BOTH engines construct the same tails, making
+    * the detector/redactor gradeable with real positives AND real
+    * negatives (non-multiples keep unmodified text). The library
+    * operators ([[TextAnalysis.piiCols]]/[[TextAnalysis.redactPii]]) see
+    * only an ordinary text column.
+    */
+  private def piiInjected: Column = concat(col("text"),
+    when(col("doc_id") % 4 === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" call +33 555 "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit(" 214"))).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" node 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
+
+  /** The DuckDB twin of [[piiInjected]] (CTE `pii`, column `t`). */
+  private val PiiCte =
+    """pii AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN ' call +33 555 ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' 214'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+      |         ELSE '' END AS t
+      |  FROM documents
+      |)""".stripMargin
+
   // Embedding-LSH parameters shared by ann_* / dedup_cosine query/oracles.
   private val EmbDim = 64
   private val LshBits = 4
@@ -789,6 +881,13 @@ object SparkEntry {
     * both engines then share bit-for-bit.
     */
   @volatile private var ivfCentsExport: Option[Array[Array[Double]]] = None
+
+  /** Centroids of the most recent dedup_semantic run, frozen for the
+    * oracle exactly like [[ivfCentsExport]]: DuckDB re-derives the
+    * assignment and the within-cluster pair math from the shared
+    * centroids, bit-for-bit.
+    */
+  @volatile private var semCentsExport: Option[Array[Array[Double]]] = None
 
   /** DuckDB CTE: lowercased whitespace tokens of each document. */
   private val TokCte =
@@ -1559,6 +1658,44 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- LLM: corpus-duplicated passages (row 48) --
+    "text_passages" -> { (s, dir) =>
+      Dedup.dupPassageStats(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", PassN, PassMinDocs)
+        .orderBy("doc_id")
+    },
+
+    // -- LLM: PII detection/redaction (row 49) --
+    // Counts per PII kind plus the rolling-hash fingerprint of the
+    // redacted text — the fingerprint pins the full redacted string (a
+    // wrong replacement anywhere moves it) without shipping long text
+    // through the grading hash.
+    "text_pii" -> { (s, dir) =>
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), piiInjected.as("_t"))
+      base.select(
+        col("doc_id") +:
+          TextAnalysis.piiCols(col("_t")).map { case (n, c) => c.as(n) } :+
+          TextAnalysis.fingerprint(TextAnalysis.redactPii(col("_t"))).as("red_fp"): _*)
+        .orderBy("doc_id")
+    },
+
+    // -- LLM: document chunking (row 50) --
+    "pipe_chunks" -> { (s, dir) =>
+      Pipeline.chunk(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", ChunkSize, ChunkStride)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // -- LLM: SemDeDup semantic near-dup (row 51) --
+    "dedup_semantic" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", SemK, SemIters)
+      semCentsExport = Some(cents)
+      Similarity.semanticDup(emb, "vec_id", "embedding", SemThreshold, cents)
+        .orderBy("id_a", "id_b")
+    },
+
     // -- LLM: deterministic corpus shuffle (row 46) --
     "pipe_shuffle" -> { (s, dir) =>
       Pipeline.shuffleDeterministic(s.read.parquet(s"$dir/documents.parquet"),
@@ -2120,6 +2257,59 @@ object SparkEntry {
          |             ELSE a.s * 1.0 / a.nv END, 6) AS mean_vocab_freq
          |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    "text_passages" ->
+      s"""WITH $TokCte, pg AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(ts) - ${PassN - 1}, 1)),
+         |    i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(ts, i, i + ${PassN - 1}), ' ')), 1, 8)) AS BIGINT))) AS gh
+         |  FROM tok
+         |), pe AS (
+         |  SELECT doc_id, unnest(gh) AS g FROM pg
+         |), hotg AS (
+         |  SELECT g FROM pe GROUP BY g HAVING count(*) >= $PassMinDocs
+         |)
+         |SELECT pe.doc_id, count(*) AS n_grams,
+         |       CAST(count(h.g) AS BIGINT) AS dup_grams,
+         |       round(count(h.g) * 1.0 / count(*), 6) AS dup_frac
+         |FROM pe LEFT JOIN hotg h ON pe.g = h.g
+         |GROUP BY pe.doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_pii" -> {
+      val Seq(email, phone, ip) = TextAnalysis.PiiPatterns.map(_._2)
+      val red = TextAnalysis.PiiPatterns.foldLeft("t") { case (e, (_, pat, rep)) =>
+        s"regexp_replace($e, '$pat', '$rep', 'g')"
+      }
+      s"""WITH $PiiCte
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(
+         |        string_split(regexp_replace($red, '[^\\x00-\\x7F]', '', 'g'), ''),
+         |        c -> CAST(ord(c) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % ${TextAnalysis.FpMod}) AS red_fp
+         |FROM pii ORDER BY doc_id""".stripMargin
+    },
+
+    "pipe_chunks" ->
+      s"""WITH $TokCte, ch AS (
+         |  SELECT doc_id, ts,
+         |         CAST(floor((greatest(len(ts) - $ChunkSize, 0) + ${ChunkStride - 1})
+         |                    / ${ChunkStride}.0) AS BIGINT) + 1 AS nch
+         |  FROM tok WHERE len(ts) > 0
+         |), ex AS (
+         |  SELECT doc_id, ts, unnest(generate_series(0, nch - 1)) AS chunk_id FROM ch
+         |)
+         |SELECT doc_id, chunk_id, chunk_id * $ChunkStride AS start_tok,
+         |       CAST(len(list_slice(ts, chunk_id * $ChunkStride + 1,
+         |                           chunk_id * $ChunkStride + $ChunkSize)) AS BIGINT) AS n_tokens,
+         |       CAST(concat('0x', substr(md5(array_to_string(
+         |         list_slice(ts, chunk_id * $ChunkStride + 1,
+         |                    chunk_id * $ChunkStride + $ChunkSize), ' ')), 1, 8)) AS BIGINT) AS chunk_hash
+         |FROM ex ORDER BY doc_id, chunk_id""".stripMargin,
+
     "pipe_shuffle" ->
       s"""WITH sk AS (
          |  SELECT doc_id,
@@ -2171,7 +2361,7 @@ object SparkEntry {
          |SELECT record, t, 'value' AS variable, 'value' AS name, '-' AS unit,
          |       CAST(value AS DOUBLE) AS y
          |FROM opset ORDER BY record, t""".stripMargin,
-  ) ++ treeOracles ++ ivfOracle ++ tubeFitOracle ++ pcaCircleOracle
+  ) ++ treeOracles ++ ivfOracle ++ semOracle ++ tubeFitOracle ++ pcaCircleOracle
 
   // ----- long oracle bodies ----------------------------------------------
 

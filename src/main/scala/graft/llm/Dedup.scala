@@ -564,4 +564,43 @@ object Dedup {
     assigned.join(sizes, "cluster_id")
       .select(col(idCol), col("cluster_id"), col("cluster_size"))
   }
+
+  /** Corpus-duplicated passage statistics — exact-substring dedup signal
+    * at word-n-gram granularity (the tractable relational form of
+    * RefinedWeb's exact-substring removal, Penedo et al. 2023: spans
+    * repeated verbatim across documents are boilerplate/licensing/spam
+    * and get removed or down-weighted before training). Per document:
+    * `n_grams` (distinct word n-grams), `dup_grams` (those whose corpus
+    * document-frequency ≥ `minDocs`), `dup_frac` = dup/n.
+    *
+    * Scale shape: TWO scans of the corpus, both pure pipelines —
+    * (1) census: explode distinct grams per doc ([[wordNgramHashes]] is
+    * already distinct, so `count(*)` per gram IS document frequency),
+    * map-side-combined groupBy on the gram key; (2) probe: re-explode and
+    * join the duplicated-gram set, re-aggregate per doc id. The
+    * duplicated-gram table holds only grams appearing in ≥ `minDocs`
+    * documents — the boilerplate tail, small by construction for
+    * reasonable `minDocs` — so it BROADCASTS; `broadcastHot = false`
+    * flips to a shuffled hash join for corpora where even that table is
+    * big (same escape hatch as [[Pipeline.decontaminate]]). Nothing is
+    * cached: at 100 TB the exploded gram table dwarfs cluster memory, and
+    * re-scanning parquet twice beats spilling it once.
+    */
+  def dupPassageStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, minDocs: Int = 2,
+                      broadcastHot: Boolean = true): DataFrame = {
+    require(n > 0, "dupPassageStats: n must be positive")
+    require(minDocs >= 2, "dupPassageStats: minDocs must be at least 2")
+    def grams = docs.select(col(idCol),
+      explode(wordNgramHashes(col(textCol), n)).as("_g"))
+    val hot = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs).select("_g")
+    val probe = if (broadcastHot) broadcast(hot) else hot
+    grams.join(probe.withColumn("_hot", lit(1)), Seq("_g"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_grams"),
+        count(col("_hot")).as("dup_grams"))
+      .select(col(idCol), col("n_grams"), col("dup_grams"),
+        round(col("dup_grams").cast("double") / col("n_grams"), 6).as("dup_frac"))
+  }
 }

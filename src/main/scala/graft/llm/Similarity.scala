@@ -361,6 +361,48 @@ object Similarity {
     * This is the operator-level form of the scale knob [[cosineDup]]'s
     * Scaladoc documents; same output contract (id_a, id_b, cos).
     */
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023:
+    * k-means-cluster the embedding space, then compare ONLY within each
+    * cluster — the cluster plays the candidate-blocking role LSH buckets
+    * play in [[cosineDup]], but follows the data's own density instead of
+    * random hyperplanes, so paraphrase-level duplicates that straddle a
+    * random hyperplane still collide). Vectors are assigned to their
+    * nearest centroid from `cents` (train with [[ivfCentroids]] — the
+    * same coarse quantizer IVF search uses); within-cluster pairs with
+    * exact cosine ≥ `threshold` are emitted as
+    * `(id_a, id_b, cluster, cos)`. Feed the pairs to [[Dedup.clusters]]
+    * for winner selection, exactly like the other near-dup families.
+    *
+    * Scale shape: assignment is a pure projection against k×dim centroid
+    * literals (no join — centroids are metadata by construction); the
+    * only shuffle is the self-join on the cluster id, and all pair work
+    * is cluster-local. Grow k ∝ n to hold per-cluster occupancy (and so
+    * candidate volume per vector) constant — the SemDeDup paper runs
+    * 100k clusters; same knob as `bits` in [[cosineDup]]. A degenerate
+    * mega-cluster (k far too small, or an embedding-collapse pathology)
+    * is dropped from pairing by the same LOUD over-cap guard as every
+    * other candidate generator ([[graft.core.Salting.dropOverCap]]).
+    */
+  def semanticDup(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                  cents: Array[Array[Double]],
+                  scope: graft.core.CacheScope = graft.core.CacheScope.session,
+                  maxCluster: Int = 65536): DataFrame = {
+    // cache: assignment (k dot products per row) feeds the cap census and
+    // both sides of the cluster self-join; release via `scope`
+    val base0 = scope.cache(withNorm(emb, idCol, vecCol)
+      .withColumn("cluster", bestCentroidCol(col("_v"), cents).cast("long")))
+    val base = graft.core.Salting.dropOverCap(
+      base0, Seq("cluster"), maxCluster, s"semanticDup(maxCluster=$maxCluster)")
+    val l = base.select(col("cluster"), col(idCol).as("id_a"),
+      col("_v").as("_va"), col("_n").as("_na"))
+    val r = base.select(col("cluster"), col(idCol).as("id_b"),
+      col("_v").as("_vb"), col("_n").as("_nb"))
+    l.join(r, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cluster", "cos")
+  }
+
   def cosineDupAuto(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
                     targetRecall: Double = 0.9, targetOccupancy: Int = 64,
                     minBits: Int = 4, maxBits: Int = 24, maxTables: Int = 32,

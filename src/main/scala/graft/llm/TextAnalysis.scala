@@ -230,6 +230,35 @@ object TextAnalysis {
           .otherwise(col("_s").cast("double") / col("_nv")), 6).as("mean_vocab_freq"))
   }
 
+  /** PII patterns for detection/redaction before training-data release.
+    * Every construct (char classes, bounded repetition, `\b`) means the
+    * same thing to Java regex (Spark) and RE2 (DuckDB/ripgrep), so the
+    * oracle replays the exact match set; no lookarounds or backrefs.
+    * Phone is intentionally strict (`+CC NNN NNN NNN` international
+    * form) — a loose phone regex is the classic false-positive machine
+    * on numeric tables, and precision matters more than recall when the
+    * action is destructive redaction.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9]{1,3} [0-9]{3} [0-9]{3} [0-9]{3}", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+  )
+
+  /** Per-kind PII match counts (codegen'd `regexp_count` projections). */
+  def piiCols(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (kind, pat, _) => s"n_$kind" -> matchCount(text, pat) }
+
+  /** Text with every PII match replaced by its placeholder, applied in
+    * [[PiiPatterns]] order (email first: an IP-shaped string inside an
+    * email domain is redacted as part of the email, never double-hit).
+    * Pure per-row projection — zero shuffle at any corpus size.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (_, pat, rep)) =>
+      regexp_replace(t, pat, rep)
+    }
+
   /** The full analysis DataFrame over a `documents`-shaped table. Safe in
     * ANY session: [[fingerprint]] probes [[graft.functions.Native]] and
     * uses the codegen'd native expression when `graft.GraftExtensions` is

@@ -253,4 +253,28 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)))
   }
+
+  test("dupPassageStats counts corpus-duplicated n-grams per document") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),       // grams: abc bcd (3-grams)
+      (2L, "alpha beta gamma epsilon"),     // shares "alpha beta gamma" with 1
+      (3L, "zeta eta theta iota"),          // no shared gram
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupPassageStats(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: grams {alpha beta gamma, beta gamma delta} -> 1 duplicated
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((2L, 0L, 0.0)))
+  }
+
+  test("dupPassageStats: broadcastHot=false is result-identical") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c x y"), (3L, "p q r s t"), (4L, "p q r u v"),
+    ).toDF("doc_id", "text")
+    def rows(b: Boolean) =
+      Dedup.dupPassageStats(docs, "doc_id", "text", 3, 2, broadcastHot = b)
+        .orderBy("doc_id").collect().toSeq
+    assert(rows(true) === rows(false))
+  }
 }

@@ -139,4 +139,34 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSet
     assert(out === base)
   }
+
+  test("chunk covers every token with stride windows; final chunk may be short") {
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    // 10 tokens, chunk 4, stride 3 -> starts 0,3,6 and final short start 9? no:
+    // nChunks = 1 + ceil((10-4)/3) = 1 + 2 = 3 -> starts 0, 3, 6 (covers t7..t10)
+    val out = Pipeline.chunk(d, "doc_id", "text", 4, 3, withText = true)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    assert(out.map(_.getLong(2)).toSeq === Seq(0L, 3L, 6L))
+    assert(out.map(_.getLong(3)).toSeq === Seq(4L, 4L, 4L))
+    assert(out.last.getString(5) === "t7 t8 t9 t10")
+  }
+
+  test("chunk edge cases: short doc = one chunk, empty doc = no chunks") {
+    val d = Seq((1L, "a b"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val out = Pipeline.chunk(d, "doc_id", "text", 4, 3, withText = true).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1L && out.head.getLong(3) === 2L)
+    assert(out.head.getString(5) === "a b")
+  }
+
+  test("chunk: trailing tokens force one extra chunk (ceil, not floor)") {
+    // 11 tokens, chunk 4, stride 3: nChunks = 1 + ceil(7/3) = 4; last covers t10 t11
+    val d = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Pipeline.chunk(d, "doc_id", "text", 4, 3, withText = true)
+      .orderBy("chunk_id").collect()
+    assert(out.length === 4)
+    assert(out.last.getLong(2) === 9L && out.last.getLong(3) === 2L)
+    assert(out.last.getString(5) === "t10 t11")
+  }
 }

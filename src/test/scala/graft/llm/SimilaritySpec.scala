@@ -142,4 +142,28 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("semanticDup pairs only within a cluster, at exact cosine threshold") {
+    // two tight clusters on orthogonal axes + one outlier vector
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.1f, 0.9f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0))
+    val pairs = Similarity.semanticDup(emb, "vec_id", "embedding", 0.9, cents)
+      .select("id_a", "id_b", "cluster").as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L, 0L), (2L, 3L, 1L)))
+  }
+
+  test("semanticDup: a mega-cluster over maxCluster is dropped from pairing") {
+    val emb = (0L until 10L).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val all = Similarity.semanticDup(emb, "vec_id", "embedding", 0.0, cents)
+    assert(all.count() === 45L) // C(10,2), all in cluster 0
+    val capped = Similarity.semanticDup(emb, "vec_id", "embedding", 0.0, cents,
+      maxCluster = 5)
+    assert(capped.count() === 0L)
+  }
 }

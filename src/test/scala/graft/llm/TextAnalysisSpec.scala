@@ -95,4 +95,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(good > bad)
     assert(good <= 1.0 && bad >= 0.0)
   }
+
+  test("piiCols counts emails, phones, and IPs; redactPii replaces them") {
+    val docs = Seq(
+      (1L, "write to jane.doe+x@mail.example.org or call +33 555 010 214"),
+      (2L, "server at 192.168.0.1 and 10.0.0.2"),
+      (3L, "no pii here, just v1.2 of the doc"),   // version != IPv4 (needs 4 octets)
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +:
+        TextAnalysis.piiCols(col("text")).map { case (n, c) => c.as(n) } :+
+        TextAnalysis.redactPii(col("text")).as("red"): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) === ((1L, 1L, 0L,
+      "write to <EMAIL> or call <PHONE>")))
+    assert(out(2L) === ((0L, 0L, 2L, "server at <IP> and <IP>")))
+    assert(out(3L) === ((0L, 0L, 0L, "no pii here, just v1.2 of the doc")))
+  }
+
+  test("redactPii order: an IP-shaped e-mail domain redacts as one EMAIL") {
+    val docs = Seq((1L, "x@10.0.0.com ok")).toDF("doc_id", "text")
+    val red = docs.select(TextAnalysis.redactPii(col("text"))).head().getString(0)
+    assert(red === "<EMAIL> ok")
+  }
 }
