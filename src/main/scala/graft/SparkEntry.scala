@@ -811,6 +811,11 @@ object SparkEntry {
   private val SemIters = 2
   private val SemThreshold = 0.4
 
+  // Auto-scaled SemDeDup occupancy (row 51, scaled path): cluster count
+  // k = ceil(n/64) grows with the corpus, holding in-cluster pair volume
+  // linear where the fixed-k path goes quadratic (BENCH_SF1).
+  private val SemAutoOcc = 64
+
   /** PII-injection column shared by the text_pii query/oracle: the
     * synthetic corpus contains no PII-shaped strings, so the harness
     * appends deterministic doc_id-derived email/phone/IP tails to a
@@ -1696,6 +1701,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // -- LLM: SemDeDup, auto-scaled cluster count (row 51, scale path) --
+    "dedup_semantic_auto" -> { (s, dir) =>
+      Similarity.semanticDupAuto(s.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", SemThreshold, SemAutoOcc)
+        .orderBy("id_a", "id_b")
+    },
+
     // -- LLM: deterministic corpus shuffle (row 46) --
     "pipe_shuffle" -> { (s, dir) =>
       Pipeline.shuffleDeterministic(s.read.parquet(s"$dir/documents.parquet"),
@@ -2309,6 +2321,49 @@ object SparkEntry {
          |         list_slice(ts, chunk_id * $ChunkStride + 1,
          |                    chunk_id * $ChunkStride + $ChunkSize), ' ')), 1, 8)) AS BIGINT) AS chunk_hash
          |FROM ex ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Dynamic oracle: the whole two-level quantizer construction — k from
+    // count(*), seed selection by (md5(id), id), nearest-seed argmax by
+    // (score DESC, seed id ASC) — is re-derived in SQL, no frozen export.
+    "dedup_semantic_auto" ->
+      s"""WITH $EmbCte, semk AS (
+         |  SELECT vec_id, v, n,
+         |         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         |  FROM nrm
+         |), par AS (
+         |  SELECT CAST(greatest(1, ceil(count(*) / ${SemAutoOcc}.0)) AS BIGINT) AS k FROM semk
+         |), par2 AS (
+         |  SELECT k, CAST(greatest(1, ceil(sqrt(CAST(k AS DOUBLE)))) AS BIGINT) AS k1 FROM par
+         |), par3 AS (
+         |  SELECT k, k1, CAST(greatest(1, ceil(CAST(k AS DOUBLE) / k1)) AS BIGINT) AS k2 FROM par2
+         |), semcs AS (
+         |  SELECT vec_id AS s1, v AS cv, n AS cn FROM (
+         |    SELECT *, row_number() OVER (ORDER BY h, vec_id) AS rn FROM semk
+         |  ) WHERE rn <= (SELECT k1 FROM par3)
+         |), sema1 AS (
+         |  SELECT vec_id, v, n, h, c1 FROM (
+         |    SELECT semk.vec_id, semk.v, semk.n, semk.h, semcs.s1 AS c1,
+         |           row_number() OVER (PARTITION BY semk.vec_id
+         |             ORDER BY ${dotSql("semk.v", "semcs.cv")} / semcs.cn DESC, semcs.s1 ASC) AS rn
+         |    FROM semk CROSS JOIN semcs
+         |  ) WHERE rn = 1
+         |), semfs AS (
+         |  SELECT c1, vec_id AS s2, v AS fv, n AS fn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY c1 ORDER BY h, vec_id) AS rn FROM sema1
+         |  ) WHERE rn <= (SELECT k2 FROM par3)
+         |), sema2 AS (
+         |  SELECT vec_id, v, n, cluster FROM (
+         |    SELECT sema1.vec_id, sema1.v, sema1.n, semfs.s2 AS cluster,
+         |           row_number() OVER (PARTITION BY sema1.vec_id
+         |             ORDER BY ${dotSql("sema1.v", "semfs.fv")} / semfs.fn DESC, semfs.s2 ASC) AS rn
+         |    FROM sema1 JOIN semfs ON sema1.c1 = semfs.c1
+         |  ) WHERE rn = 1
+         |)
+         |SELECT id_a, id_b, cluster, cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+         |         round(${dotSql("a.v", "b.v")} / (a.n * b.n), 6) AS cos
+         |  FROM sema2 a JOIN sema2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |) WHERE cos >= $SemThreshold ORDER BY id_a, id_b""".stripMargin,
 
     "pipe_shuffle" ->
       s"""WITH sk AS (

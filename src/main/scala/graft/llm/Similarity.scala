@@ -403,6 +403,75 @@ object Similarity {
       .select("id_a", "id_b", "cluster", "cos")
   }
 
+  /** [[semanticDup]] with cluster count scaled to the corpus — the
+    * SemDeDup recipe at sizes where literal-centroid codegen stops being
+    * the right plan. Clusters come from a TWO-LEVEL deterministic seeded
+    * quantizer (faiss-style IVF init, no Lloyd refinement): `k = ⌈n /
+    * targetOccupancy⌉` total cells; the `k1 = ⌈√k⌉` vectors with the
+    * smallest (md5(id), id) are coarse seeds; every vector goes to its
+    * nearest coarse seed; within each coarse cell the `k2 = ⌈k/k1⌉`
+    * smallest-hash members are fine seeds and every member goes to its
+    * nearest fine seed. The cluster key IS the fine seed's vector id
+    * (globally unique — each vector lives in exactly one coarse cell), so
+    * no global index ranking is ever computed.
+    *
+    * Scale shape: assignment is n×(k1+k2) = n×2√(n/occ) dot products —
+    * SUBQUADRATIC where single-level nearest-of-k assignment would be
+    * n×k = n²/occ — done as two broadcast-join probes (coarse seeds are
+    * √-sized metadata; fine seeds are cell-local joins on the coarse
+    * key). Per-cluster occupancy stays ~`targetOccupancy` as n grows, so
+    * in-cluster pair volume stays LINEAR in n — this is the knob the
+    * fixed-k [[semanticDup]] documents but cannot turn. Everything is a
+    * pure function of ids and vector values: the oracle re-derives the
+    * whole construction dynamically from `count(*)`, no frozen-centroid
+    * export needed. Seed selection is `orderBy(hash).limit(k1)` — a
+    * TakeOrdered of a metadata-sized head, never a global sort of the
+    * corpus.
+    */
+  def semanticDupAuto(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                      targetOccupancy: Int = 64,
+                      scope: graft.core.CacheScope = graft.core.CacheScope.session,
+                      maxCluster: Int = 8192): DataFrame = {
+    require(targetOccupancy > 0, "semanticDupAuto: targetOccupancy must be positive")
+    val n = emb.count()
+    val k = math.max(1L, math.ceil(n.toDouble / targetOccupancy).toLong)
+    val k1 = math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
+    val k2 = math.max(1L, math.ceil(k.toDouble / k1).toLong).toInt
+    // cache: the hashed+normed table feeds seed selection, both assignment
+    // probes, and both sides of the pair join; release via `scope`
+    val base = scope.cache(withNorm(emb, idCol, vecCol)
+      .withColumn("_h", Dedup.md5Hash32(col(idCol).cast("string"))))
+    val cs = base.orderBy(col("_h"), col(idCol)).limit(k1)
+      .select(col(idCol).as("_s1"), col("_v").as("_cv"), col("_n").as("_cn"))
+    // nearest coarse seed: max of (score, -seedId) struct — groupBy+max is
+    // map-side combinable, unlike a per-vector window sort
+    val a1 = base.crossJoin(broadcast(cs))
+      .withColumn("_m", struct((dot(col("_v"), col("_cv")) / col("_cn")).as("s"),
+        (-col("_s1")).as("ns")))
+      .groupBy(col(idCol)).agg(max(col("_m")).as("_b"),
+        first(col("_v")).as("_v"), first(col("_n")).as("_n"), first(col("_h")).as("_h"))
+      .select(col(idCol), col("_v"), col("_n"), col("_h"), (-col("_b.ns")).as("_c1"))
+    val w2 = Window.partitionBy("_c1").orderBy(col("_h"), col(idCol))
+    val fs = a1.withColumn("_r", row_number().over(w2)).filter(col("_r") <= k2)
+      .select(col("_c1"), col(idCol).as("_s2"), col("_v").as("_fv"), col("_n").as("_fn"))
+    val a2 = a1.join(fs, "_c1")
+      .withColumn("_m", struct((dot(col("_v"), col("_fv")) / col("_fn")).as("s"),
+        (-col("_s2")).as("ns")))
+      .groupBy(col(idCol)).agg(max(col("_m")).as("_b"),
+        first(col("_v")).as("_v"), first(col("_n")).as("_n"))
+      .select(col(idCol), col("_v"), col("_n"), (-col("_b.ns")).as("cluster"))
+    val capped = graft.core.Salting.dropOverCap(
+      a2, Seq("cluster"), maxCluster, s"semanticDupAuto(maxCluster=$maxCluster)")
+    val l = capped.select(col("cluster"), col(idCol).as("id_a"),
+      col("_v").as("_va"), col("_n").as("_na"))
+    val r = capped.select(col("cluster"), col(idCol).as("id_b"),
+      col("_v").as("_vb"), col("_n").as("_nb"))
+    l.join(r, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cluster", "cos")
+  }
+
   def cosineDupAuto(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
                     targetRecall: Double = 0.9, targetOccupancy: Int = 64,
                     minBits: Int = 4, maxBits: Int = 24, maxTables: Int = 32,

@@ -166,4 +166,41 @@ class SimilaritySpec extends SparkSpec {
       maxCluster = 5)
     assert(capped.count() === 0L)
   }
+
+  test("semanticDupAuto with occupancy >= n degenerates to all-pairs brute force") {
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(4)(d => math.sin(i * 1.7 + d * 0.9).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    // k = ceil(12/100) = 1 -> one coarse seed, one fine seed, ONE cluster:
+    // the output must be exactly the brute-force pair set at the threshold
+    val got = Similarity.semanticDupAuto(emb, "vec_id", "embedding", 0.5,
+      targetOccupancy = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val want = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      if BigDecimal(cos(va, vb)).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.5
+    } yield (ia, ib)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "test corpus must produce at least one pair")
+  }
+
+  test("semanticDupAuto is partition-invariant and one-cluster-per-vector") {
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(6)(d => math.cos(i * 0.37 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val a = Similarity.semanticDupAuto(emb, "vec_id", "embedding", 0.3,
+      targetOccupancy = 8).orderBy("id_a", "id_b").collect().toSeq
+    val b = Similarity.semanticDupAuto(emb.repartition(7), "vec_id", "embedding", 0.3,
+      targetOccupancy = 8).orderBy("id_a", "id_b").collect().toSeq
+    assert(a === b, "the construction is a pure function of ids and values")
+    // a pair never appears under two clusters (each vector is in exactly one)
+    val keys = a.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.size === keys.size)
+  }
 }
