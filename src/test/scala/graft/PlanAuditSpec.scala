@@ -211,4 +211,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.size <= 1,
       s"multi-target scoring must not shuffle per target:\n${plan(m)}")
   }
+
+  test("dupPassageStats probes the duplicated-gram set via broadcast; corpus side never shuffles before the join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Dedup.dupPassageStats(docs, "doc_id", "text", n = 3, minDocs = 2))
+    val bcasts = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, s"expected the duplicated-gram tail to broadcast:\n$p")
+    // the 100 TB property of the probe phase: the corpus reaches the gram
+    // probe as one un-shuffled scan; only the census aggregation (feeding
+    // the metadata-sized hot set) and the post-join per-doc count exchange
+    val streamed = bcasts.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bcasts.head.left
+      case _ => bcasts.head.right
+    }
+    assert(collectAll(streamed) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"probe side must not shuffle below the gram join:\n$p")
+  }
+
+  test("chunk and redactPii plan zero shuffles (pure per-row pipelines)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (df <- Seq(
+        graft.llm.Pipeline.chunk(docs, "doc_id", "text", 32, 24),
+        docs.select(graft.llm.TextAnalysis.redactPii(col("text"))),
+        docs.select(graft.llm.TextAnalysis.piiCols(col("text")).map { case (n, c) => c.as(n) }: _*))) {
+      assert(collectAll(plan(df)) { case s: ShuffleExchangeExec => s }.isEmpty,
+        s"expected a shuffle-free per-row pipeline:\n${plan(df)}")
+    }
+  }
+
+  test("semanticDupAuto: seed probes broadcast, windows stay partitioned") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.llm.Similarity.semanticDupAuto(
+      emb, "vec_id", "embedding", 0.4, targetOccupancy = 64))
+    // both assignment probes reach the corpus as broadcasts: the coarse
+    // cross join must be broadcast-nested-loop (never a shuffled cartesian)
+    val bnl = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.nonEmpty, s"coarse assignment must broadcast the seed table:\n$p")
+    // every window is partitioned — the fine-seed selection shuffles on the
+    // coarse cell key, never through one partition
+    val badWindows = collectAll(p) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(badWindows.isEmpty, s"unpartitioned window in semanticDupAuto:\n$p")
+  }
 }
