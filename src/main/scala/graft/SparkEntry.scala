@@ -816,6 +816,56 @@ object SparkEntry {
   // linear where the fixed-k path goes quadratic (BENCH_SF1).
   private val SemAutoOcc = 64
 
+  // Probe widths for the ann_ivf_auto query/oracle (row 33, scaled path):
+  // 2 coarse cells × 3 fine lists — a recall/candidate-volume point the
+  // ScalaTest recall spec measures against brute force.
+  private val AnnAutoProbe1 = 2
+  private val AnnAutoProbe2 = 3
+
+  /** DuckDB CTE chain re-deriving the two-level seeded quantizer of
+    * [[Similarity.semanticDupAuto]]/[[Similarity.ivfTopKAuto]] DYNAMICALLY
+    * (k from count(*), coarse/fine seeds by smallest (md5(id), id),
+    * nearest-seed argmax by (score DESC, seed id ASC) — the exact
+    * tiebreak of the Spark side's max-of-(s, -id)-struct). Relations:
+    * `semk` (hashed corpus), `par3` (k, k1, k2), `semcs` (coarse seeds),
+    * `sema1` (coarse assignment), `semfs` (fine seeds), `sema2` (final
+    * assignment, cluster = fine-seed id). Requires [[EmbCte]].
+    */
+  private def semAutoCtes: String =
+    s"""semk AS (
+       |  SELECT vec_id, v, n,
+       |         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+       |  FROM nrm
+       |), par AS (
+       |  SELECT CAST(greatest(1, ceil(count(*) / ${SemAutoOcc}.0)) AS BIGINT) AS k FROM semk
+       |), par2 AS (
+       |  SELECT k, CAST(greatest(1, ceil(sqrt(CAST(k AS DOUBLE)))) AS BIGINT) AS k1 FROM par
+       |), par3 AS (
+       |  SELECT k, k1, CAST(greatest(1, ceil(CAST(k AS DOUBLE) / k1)) AS BIGINT) AS k2 FROM par2
+       |), semcs AS (
+       |  SELECT vec_id AS s1, v AS cv, n AS cn FROM (
+       |    SELECT *, row_number() OVER (ORDER BY h, vec_id) AS rn FROM semk
+       |  ) WHERE rn <= (SELECT k1 FROM par3)
+       |), sema1 AS (
+       |  SELECT vec_id, v, n, h, c1 FROM (
+       |    SELECT semk.vec_id, semk.v, semk.n, semk.h, semcs.s1 AS c1,
+       |           row_number() OVER (PARTITION BY semk.vec_id
+       |             ORDER BY ${dotSql("semk.v", "semcs.cv")} / semcs.cn DESC, semcs.s1 ASC) AS rn
+       |    FROM semk CROSS JOIN semcs
+       |  ) WHERE rn = 1
+       |), semfs AS (
+       |  SELECT c1, vec_id AS s2, v AS fv, n AS fn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY c1 ORDER BY h, vec_id) AS rn FROM sema1
+       |  ) WHERE rn <= (SELECT k2 FROM par3)
+       |), sema2 AS (
+       |  SELECT vec_id, v, n, cluster FROM (
+       |    SELECT sema1.vec_id, sema1.v, sema1.n, semfs.s2 AS cluster,
+       |           row_number() OVER (PARTITION BY sema1.vec_id
+       |             ORDER BY ${dotSql("sema1.v", "semfs.fv")} / semfs.fn DESC, semfs.s2 ASC) AS rn
+       |    FROM sema1 JOIN semfs ON sema1.c1 = semfs.c1
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
   /** PII-injection column shared by the text_pii query/oracle: the
     * synthetic corpus contains no PII-shaped strings, so the harness
     * appends deterministic doc_id-derived email/phone/IP tails to a
@@ -1708,6 +1758,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // -- LLM: IVF search over the auto-scaled quantizer (row 33, scale path) --
+    "ann_ivf_auto" -> { (s, dir) =>
+      Similarity.ivfTopKAuto(s.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", AnnQueryIds, AnnK, SemAutoOcc,
+          AnnAutoProbe1, AnnAutoProbe2)
+        .orderBy("q_id", "rank")
+    },
+
     // -- LLM: deterministic corpus shuffle (row 46) --
     "pipe_shuffle" -> { (s, dir) =>
       Pipeline.shuffleDeterministic(s.read.parquet(s"$dir/documents.parquet"),
@@ -2326,44 +2384,44 @@ object SparkEntry {
     // count(*), seed selection by (md5(id), id), nearest-seed argmax by
     // (score DESC, seed id ASC) — is re-derived in SQL, no frozen export.
     "dedup_semantic_auto" ->
-      s"""WITH $EmbCte, semk AS (
-         |  SELECT vec_id, v, n,
-         |         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-         |  FROM nrm
-         |), par AS (
-         |  SELECT CAST(greatest(1, ceil(count(*) / ${SemAutoOcc}.0)) AS BIGINT) AS k FROM semk
-         |), par2 AS (
-         |  SELECT k, CAST(greatest(1, ceil(sqrt(CAST(k AS DOUBLE)))) AS BIGINT) AS k1 FROM par
-         |), par3 AS (
-         |  SELECT k, k1, CAST(greatest(1, ceil(CAST(k AS DOUBLE) / k1)) AS BIGINT) AS k2 FROM par2
-         |), semcs AS (
-         |  SELECT vec_id AS s1, v AS cv, n AS cn FROM (
-         |    SELECT *, row_number() OVER (ORDER BY h, vec_id) AS rn FROM semk
-         |  ) WHERE rn <= (SELECT k1 FROM par3)
-         |), sema1 AS (
-         |  SELECT vec_id, v, n, h, c1 FROM (
-         |    SELECT semk.vec_id, semk.v, semk.n, semk.h, semcs.s1 AS c1,
-         |           row_number() OVER (PARTITION BY semk.vec_id
-         |             ORDER BY ${dotSql("semk.v", "semcs.cv")} / semcs.cn DESC, semcs.s1 ASC) AS rn
-         |    FROM semk CROSS JOIN semcs
-         |  ) WHERE rn = 1
-         |), semfs AS (
-         |  SELECT c1, vec_id AS s2, v AS fv, n AS fn FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY c1 ORDER BY h, vec_id) AS rn FROM sema1
-         |  ) WHERE rn <= (SELECT k2 FROM par3)
-         |), sema2 AS (
-         |  SELECT vec_id, v, n, cluster FROM (
-         |    SELECT sema1.vec_id, sema1.v, sema1.n, semfs.s2 AS cluster,
-         |           row_number() OVER (PARTITION BY sema1.vec_id
-         |             ORDER BY ${dotSql("sema1.v", "semfs.fv")} / semfs.fn DESC, semfs.s2 ASC) AS rn
-         |    FROM sema1 JOIN semfs ON sema1.c1 = semfs.c1
-         |  ) WHERE rn = 1
-         |)
+      s"""WITH $EmbCte, $semAutoCtes
          |SELECT id_a, id_b, cluster, cos FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
          |         round(${dotSql("a.v", "b.v")} / (a.n * b.n), 6) AS cos
          |  FROM sema2 a JOIN sema2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
          |) WHERE cos >= $SemThreshold ORDER BY id_a, id_b""".stripMargin,
+
+    // Search twin over the same dynamically re-derived quantizer: probe
+    // nearest coarse seeds, then nearest fine seeds among those cells,
+    // exact re-rank within the probed inverted lists.
+    "ann_ivf_auto" ->
+      s"""WITH $EmbCte, $semAutoCtes, aqv AS (
+         |  SELECT vec_id AS q_id, v AS qv, n AS qn FROM semk
+         |  WHERE vec_id IN (${AnnQueryIds.mkString(", ")})
+         |), aq1 AS (
+         |  SELECT q_id, qv, qn, c1 FROM (
+         |    SELECT aqv.q_id, aqv.qv, aqv.qn, semcs.s1 AS c1,
+         |           row_number() OVER (PARTITION BY aqv.q_id
+         |             ORDER BY ${dotSql("aqv.qv", "semcs.cv")} / semcs.cn DESC, semcs.s1 ASC) AS rn
+         |    FROM aqv CROSS JOIN semcs
+         |  ) WHERE rn <= $AnnAutoProbe1
+         |), aq2 AS (
+         |  SELECT q_id, qv, qn, cluster FROM (
+         |    SELECT aq1.q_id, aq1.qv, aq1.qn, semfs.s2 AS cluster,
+         |           row_number() OVER (PARTITION BY aq1.q_id
+         |             ORDER BY ${dotSql("aq1.qv", "semfs.fv")} / semfs.fn DESC, semfs.s2 ASC) AS rn
+         |    FROM aq1 JOIN semfs ON aq1.c1 = semfs.c1
+         |  ) WHERE rn <= $AnnAutoProbe2
+         |), ascored AS (
+         |  SELECT aq2.q_id, a.vec_id,
+         |         round(${dotSql("a.v", "aq2.qv")} / (a.n * aq2.qn), 6) AS cos
+         |  FROM aq2 JOIN sema2 a ON a.cluster = aq2.cluster
+         |  WHERE a.vec_id <> aq2.q_id
+         |)
+         |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM ascored
+         |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin,
 
     "pipe_shuffle" ->
       s"""WITH sk AS (

@@ -353,14 +353,6 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
-  /** [[cosineDup]] with the granularity chosen by [[lshAutoConfig]] from
-    * the ACTUAL corpus size (one `count()` job — a long, not data, reaches
-    * the driver): per-bucket occupancy stays ~`targetOccupancy` as the
-    * corpus grows, so candidate volume stays linear in n where a fixed
-    * `bits` goes quadratic, and `tables` grows to hold the recall floor.
-    * This is the operator-level form of the scale knob [[cosineDup]]'s
-    * Scaladoc documents; same output contract (id_a, id_b, cos).
-    */
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023:
     * k-means-cluster the embedding space, then compare ONLY within each
     * cluster — the cluster plays the candidate-blocking role LSH buckets
@@ -428,23 +420,31 @@ object Similarity {
     * TakeOrdered of a metadata-sized head, never a global sort of the
     * corpus.
     */
-  def semanticDupAuto(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
-                      targetOccupancy: Int = 64,
-                      scope: graft.core.CacheScope = graft.core.CacheScope.session,
-                      maxCluster: Int = 8192): DataFrame = {
-    require(targetOccupancy > 0, "semanticDupAuto: targetOccupancy must be positive")
-    val n = emb.count()
+  /** Two-level seed counts for corpus size `n`: total cells
+    * `k = ⌈n/occupancy⌉`, coarse `k1 = ⌈√k⌉`, fine-per-cell `k2 = ⌈k/k1⌉`.
+    */
+  private[llm] def twoLevelKs(n: Long, targetOccupancy: Int): (Int, Int) = {
     val k = math.max(1L, math.ceil(n.toDouble / targetOccupancy).toLong)
     val k1 = math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
     val k2 = math.max(1L, math.ceil(k.toDouble / k1).toLong).toInt
-    // cache: the hashed+normed table feeds seed selection, both assignment
-    // probes, and both sides of the pair join; release via `scope`
-    val base = scope.cache(withNorm(emb, idCol, vecCol)
-      .withColumn("_h", Dedup.md5Hash32(col(idCol).cast("string"))))
+    (k1, k2)
+  }
+
+  /** The two-level deterministic seeded quantizer shared by
+    * [[semanticDupAuto]] (candidate blocking) and [[ivfTopKAuto]]
+    * (inverted-list search). `base` must carry `(_v, _n, _h)` (see the
+    * callers) and be cached by the caller — it feeds seed selection and
+    * both assignment probes. Returns `(assigned, coarseSeeds, fineSeeds)`:
+    * assigned = `(idCol, _v, _n, cluster)` with cluster = the fine seed's
+    * id; coarseSeeds = `(_s1, _cv, _cn)`; fineSeeds = `(_c1, _s2, _fv,
+    * _fn)`. Nearest-seed argmax everywhere = max of a (score, -seedId)
+    * struct — a groupBy+max, map-side combinable, never a per-vector
+    * window sort.
+    */
+  private def twoLevelAssign(base: DataFrame, idCol: String,
+                             k1: Int, k2: Int): (DataFrame, DataFrame, DataFrame) = {
     val cs = base.orderBy(col("_h"), col(idCol)).limit(k1)
       .select(col(idCol).as("_s1"), col("_v").as("_cv"), col("_n").as("_cn"))
-    // nearest coarse seed: max of (score, -seedId) struct — groupBy+max is
-    // map-side combinable, unlike a per-vector window sort
     val a1 = base.crossJoin(broadcast(cs))
       .withColumn("_m", struct((dot(col("_v"), col("_cv")) / col("_cn")).as("s"),
         (-col("_s1")).as("ns")))
@@ -460,6 +460,24 @@ object Similarity {
       .groupBy(col(idCol)).agg(max(col("_m")).as("_b"),
         first(col("_v")).as("_v"), first(col("_n")).as("_n"))
       .select(col(idCol), col("_v"), col("_n"), (-col("_b.ns")).as("cluster"))
+    (a2, cs, fs)
+  }
+
+  /** [[withNorm]] plus the seed-selection hash `_h` = md5₃₂ of the id. */
+  private def withNormHash(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    withNorm(emb, idCol, vecCol)
+      .withColumn("_h", Dedup.md5Hash32(col(idCol).cast("string")))
+
+  def semanticDupAuto(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                      targetOccupancy: Int = 64,
+                      scope: graft.core.CacheScope = graft.core.CacheScope.session,
+                      maxCluster: Int = 8192): DataFrame = {
+    require(targetOccupancy > 0, "semanticDupAuto: targetOccupancy must be positive")
+    val (k1, k2) = twoLevelKs(emb.count(), targetOccupancy)
+    // cache: the hashed+normed table feeds seed selection, both assignment
+    // probes, and both sides of the pair join; release via `scope`
+    val base = scope.cache(withNormHash(emb, idCol, vecCol))
+    val (a2, _, _) = twoLevelAssign(base, idCol, k1, k2)
     val capped = graft.core.Salting.dropOverCap(
       a2, Seq("cluster"), maxCluster, s"semanticDupAuto(maxCluster=$maxCluster)")
     val l = capped.select(col("cluster"), col(idCol).as("id_a"),
@@ -472,6 +490,62 @@ object Similarity {
       .select("id_a", "id_b", "cluster", "cos")
   }
 
+  /** IVF approximate top-k over the SAME auto-scaled two-level quantizer
+    * as [[semanticDupAuto]] — the search twin of the dedup operator, and
+    * the scale path past [[ivfTopK]]'s literal-centroid plan (codegen of
+    * k literal arms stops being the right plan in the hundreds; here seeds
+    * live in DataFrames and k grows ∝ n). A query probes its
+    * `nProbeCoarse` nearest coarse seeds, then the `nProbeFine` nearest
+    * fine seeds among those cells, and re-ranks exactly within the probed
+    * inverted lists. Same output contract as [[topK]]:
+    * `(q_id, idCol, cos, rank)`.
+    *
+    * Scale shape: the corpus is touched by (1) the quantizer's two
+    * broadcast assignment probes and (2) ONE join of the assigned table
+    * against the broadcast (query, cluster) probe set — candidate work is
+    * inverted-list-local and per-list occupancy stays ~`targetOccupancy`
+    * as n grows. Probing MORE lists (recall) costs candidates linearly,
+    * never quadratically.
+    */
+  def ivfTopKAuto(emb: DataFrame, idCol: String, vecCol: String, queryIds: Seq[Long],
+                  k: Int, targetOccupancy: Int = 64,
+                  nProbeCoarse: Int = 2, nProbeFine: Int = 2,
+                  scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+    require(k > 0 && nProbeCoarse > 0 && nProbeFine > 0,
+      "ivfTopKAuto: k and probe counts must be positive")
+    val (k1, k2) = twoLevelKs(emb.count(), targetOccupancy)
+    // cache: feeds seed selection, both corpus assignment probes, and the
+    // query-side probe scans; release via `scope`
+    val base = scope.cache(withNormHash(emb, idCol, vecCol))
+    val (asg, cs, fs) = twoLevelAssign(base, idCol, k1, k2)
+    val q = base.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("q_id"), col("_v").as("_qv"), col("_n").as("_qn"))
+    val w1 = Window.partitionBy("q_id").orderBy(col("_s").desc, col("_s1").asc)
+    val q1 = q.crossJoin(broadcast(cs))
+      .withColumn("_s", dot(col("_qv"), col("_cv")) / col("_cn"))
+      .withColumn("_rn", row_number().over(w1)).filter(col("_rn") <= nProbeCoarse)
+      .select(col("q_id"), col("_qv"), col("_qn"), col("_s1").as("_c1"))
+    val w2 = Window.partitionBy("q_id").orderBy(col("_s").desc, col("_s2").asc)
+    val q2 = q1.join(fs, "_c1")
+      .withColumn("_s", dot(col("_qv"), col("_fv")) / col("_fn"))
+      .withColumn("_rn", row_number().over(w2)).filter(col("_rn") <= nProbeFine)
+      .select(col("q_id"), col("_qv"), col("_qn"), col("_s2").as("cluster"))
+    val scored = asg.join(broadcast(q2), Seq("cluster"))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", round(dot(col("_v"), col("_qv")) / (col("_n") * col("_qn")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("q_id"), col(idCol), col("cos"), col("_rn").cast("long").as("rank"))
+  }
+
+  /** [[cosineDup]] with the granularity chosen by [[lshAutoConfig]] from
+    * the ACTUAL corpus size (one `count()` job — a long, not data, reaches
+    * the driver): per-bucket occupancy stays ~`targetOccupancy` as the
+    * corpus grows, so candidate volume stays linear in n where a fixed
+    * `bits` goes quadratic, and `tables` grows to hold the recall floor.
+    * This is the operator-level form of the scale knob [[cosineDup]]'s
+    * Scaladoc documents; same output contract (id_a, id_b, cos).
+    */
   def cosineDupAuto(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
                     targetRecall: Double = 0.9, targetOccupancy: Int = 64,
                     minBits: Int = 4, maxBits: Int = 24, maxTables: Int = 32,

@@ -203,4 +203,27 @@ class SimilaritySpec extends SparkSpec {
     val keys = a.map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.distinct.size === keys.size)
   }
+
+  test("ivfTopKAuto with full probes equals brute-force topK exactly") {
+    val queries = Seq(0L, 1L, 2L)
+    val exact = Similarity.topK(emb, "vec_id", "embedding", queries, 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    // probes wide enough to cover every coarse cell and every fine list:
+    // candidates = the whole corpus, so the result must be bit-identical
+    val full = Similarity.ivfTopKAuto(emb, "vec_id", "embedding", queries, 3,
+      targetOccupancy = 4, nProbeCoarse = 1000, nProbeFine = 1000)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(full === exact)
+  }
+
+  test("ivfTopKAuto recovers cluster-mates at narrow probes on clustered data") {
+    val queries = Seq(0L, 1L, 2L)
+    val exact = Similarity.topK(emb, "vec_id", "embedding", queries, 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val auto = Similarity.ivfTopKAuto(emb, "vec_id", "embedding", queries, 3,
+      targetOccupancy = 8, nProbeCoarse = 2, nProbeFine = 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect auto).size.toDouble / exact.size
+    assert(recall >= 0.5, s"auto-IVF recall $recall too low")
+  }
 }
