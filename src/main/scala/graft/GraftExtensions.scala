@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, Md5Prefix32, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, WordNgramHashes}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, GramBuckets, Md5Prefix32, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, WordNgramHashes}
 import graft.llm.TextAnalysis
 
 /** Session extensions registering graft's native Catalyst expressions so
@@ -60,6 +60,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children(1).foldable, "graft_word_ngram_hashes: n must be a literal")
         WordNgramHashes(children(0),
           children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_buckets"),
+      new ExpressionInfo(classOf[GramBuckets].getName, null, "graft_gram_buckets",
+        "graft_gram_buckets(text, ns, buckets) - non-distinct word-n-gram bucket ids " +
+          "for every n in the comma-separated literal ns, one pass", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"graft_gram_buckets requires exactly 3 arguments, got ${children.size}")
+        require(children(1).foldable && children(2).foldable,
+          "graft_gram_buckets: ns and buckets must be literals")
+        val ns = children(1).eval().toString.split(",").toIndexedSeq.map(_.trim.toInt)
+        GramBuckets(children(0), ns,
+          children(2).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_set_overlap"),

@@ -789,6 +789,67 @@ object SparkEntry {
   private val PipeShards = 8
   private val VocabK = 20
 
+  // DSIR parameters shared by the dsir_* query/oracles (row 52): target
+  // distribution = the src0 slice of the corpus (the "domain to
+  // up-weight"); 512 hash buckets keeps the ratio table visibly
+  // metadata-sized at every graded SF (the paper's production setting is
+  // 10k); k/seed/denom drive the Gumbel-top-k selection.
+  private val DsirTargetSource = "src0"
+  private val DsirBuckets = 512
+  private val DsirK = 100
+  private val DsirSeed = 11L
+  private val DsirDenom = 1 << 20
+
+  // Mixture-sampling parameters shared by the pipe_mixture query/oracle
+  // (row 53): a three-source recipe over a small document budget so the
+  // min(1, quota/n) fraction is strictly < 1 for every stratum at every
+  // graded SF (quotas are constants; larger corpora downsample harder).
+  private val MixShares = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+  private val MixTotal = 30L
+  private val MixSeed = 13L
+  private val MixDenom = 10000
+
+  /** DuckDB expression: the word-`n`-gram instance stream of token list
+    * `ts`, hashed into [0, DsirBuckets) — the NON-distinct twin of the
+    * decontamination gram CTE (DSIR counts every occurrence).
+    */
+  private def dsirGramSql(n: Int): String =
+    s"list_transform(generate_series(1, greatest(len(ts) - ${n - 1}, 1)), " +
+      s"i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(ts, i, i + ${n - 1}), ' ')), 1, 8)) AS BIGINT) % $DsirBuckets)"
+
+  /** DuckDB CTE chain re-deriving [[Pipeline.importanceWeights]]:
+    * `dsg` (unigram+bigram bucket instances), `dtg` (target slice),
+    * `drw`/`dtc` (raw/target bucket counts), `dj`+`dtot` (full-outer
+    * merge + totals), `drat` (per-bucket log-ratio quantized to an exact
+    * BIGINT of 1e-6 ticks — float math happens once per bucket, the
+    * per-doc sum in `dwt` is pure integer arithmetic), `dwt`
+    * (doc_id, weight).
+    */
+  private def dsirCtes: String =
+    s"""$TokCte, dsg AS (
+       |  SELECT doc_id, unnest(list_concat(${dsirGramSql(1)}, ${dsirGramSql(2)})) AS b
+       |  FROM tok
+       |), dtg AS (
+       |  SELECT b FROM dsg WHERE doc_id IN
+       |    (SELECT doc_id FROM documents WHERE source = '$DsirTargetSource')
+       |), drw AS (
+       |  SELECT b, count(*) AS cr FROM dsg GROUP BY b
+       |), dtc AS (
+       |  SELECT b, count(*) AS ct FROM dtg GROUP BY b
+       |), dj AS (
+       |  SELECT coalesce(drw.b, dtc.b) AS b, coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+       |  FROM drw FULL OUTER JOIN dtc ON drw.b = dtc.b
+       |), dtot AS (
+       |  SELECT sum(cr) AS tr, sum(ct) AS tt FROM dj
+       |), drat AS (
+       |  SELECT b, CAST(floor((ln((ct + 1.0) / (tt + ${DsirBuckets}.0))
+       |                        - ln((cr + 1.0) / (tr + ${DsirBuckets}.0))) * 1000000.0 + 0.5) AS BIGINT) AS lri
+       |  FROM dj CROSS JOIN dtot
+       |), dwt AS (
+       |  SELECT dsg.doc_id, CAST(sum(lri) AS BIGINT) / 1000000.0 AS weight
+       |  FROM dsg JOIN drat USING (b) GROUP BY dsg.doc_id
+       |)""".stripMargin
+
   // Duplicated-passage parameters shared by the text_passages
   // query/oracle (row 48): word 3-grams over the ~30-word test vocabulary
   // repeat across documents, so document-frequency ≥ PassMinDocs splits
@@ -1698,6 +1759,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- LLM: DSIR importance weighting + Gumbel-top-k selection (row 52) --
+    "dsir_weights" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Pipeline.importanceWeights(docs,
+          docs.filter(col("source") === DsirTargetSource),
+          "doc_id", "text", Seq(1, 2), DsirBuckets)
+        .orderBy("doc_id")
+    },
+    "dsir_sample" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val w = Pipeline.importanceWeights(docs,
+        docs.filter(col("source") === DsirTargetSource),
+        "doc_id", "text", Seq(1, 2), DsirBuckets)
+      Pipeline.resampleTopK(w, "doc_id", DsirK, DsirSeed, 1.0, DsirDenom)
+        .orderBy(col("g_key").desc, col("doc_id"))
+    },
+
+    // -- LLM: mixture/quota sampling by source (row 53) --
+    "pipe_mixture" -> { (s, dir) =>
+      Pipeline.sampleToMixture(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "source", MixShares.toMap, MixTotal, MixSeed)
+        .orderBy("doc_id")
+    },
+
     "pipe_pack" -> { (s, dir) =>
       Pipeline.packSequences(s.read.parquet(s"$dir/documents.parquet"),
           "doc_id", "text", "source", PipeBudget)
@@ -2261,6 +2346,37 @@ object SparkEntry {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE CAST(concat('0x', substr(md5(concat_ws('|', doc_id, '$PipeSeed')), 1, 8)) AS BIGINT) % $denom
          |      < CASE lang $cases ELSE ${math.round(PipeDefaultFrac * denom)} END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "dsir_weights" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, weight FROM dwt ORDER BY doc_id""".stripMargin,
+
+    // Gumbel key = weight/T − ln(−ln u) with u the (id, seed) md5 bucket
+    // pushed to (0,1); top-k by (key DESC, id).
+    "dsir_sample" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, weight, g_key FROM (
+         |  SELECT doc_id, weight,
+         |         round(weight / 1.0 - ln(-ln((CAST(concat('0x', substr(md5(concat_ws('|', doc_id, '$DsirSeed')), 1, 8)) AS BIGINT) % $DsirDenom + 0.5) / $DsirDenom)), 6) AS g_key
+         |  FROM dwt
+         |) ORDER BY g_key DESC, doc_id LIMIT $DsirK""".stripMargin,
+
+    // Per-stratum keep fraction min(1, totalN·share / n) re-derived from
+    // count(*); the keep decision is the same pure (id, seed) bucket as
+    // pipe_sample.
+    "pipe_mixture" -> {
+      val arms = MixShares.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+      s"""WITH mc AS (
+         |  SELECT source, count(*) AS nc FROM documents GROUP BY source
+         |), mth AS (
+         |  SELECT source,
+         |         floor(least(1.0, ${MixTotal}.0 * (CASE source $arms ELSE 0.0 END) / nc) * $MixDenom + 0.5) AS thr
+         |  FROM mc
+         |)
+         |SELECT doc_id, source FROM documents JOIN mth USING (source)
+         |WHERE CAST(concat('0x', substr(md5(concat_ws('|', doc_id, '$MixSeed')), 1, 8)) AS BIGINT) % $MixDenom < thr
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -176,6 +176,72 @@ case class WordNgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** NON-distinct word-n-gram bucket ids for every n in `ns`, concatenated
+  * in `ns` order — the one-pass native form of the DSIR feature stream
+  * (`Pipeline.gramBuckets`): every gram INSTANCE votes in a count model,
+  * so unlike [[WordNgramHashes]] nothing is deduplicated. Each instance
+  * is `graft_md5_32(gram) % buckets` (md5-prefix values are in
+  * [0, 2^32), so `%` never goes negative). Tokenization and the
+  * fewer-than-n / empty / null conventions match [[WordNgramHashes]]
+  * exactly: fewer than n tokens yield the whole token list as the single
+  * gram; no tokens (or null text, which `concat_ws` swallows in the
+  * declarative chain) yield the empty-string gram once per n.
+  *
+  * The declarative twin pays an interpreted lambda + a UTF8String
+  * concat + a digest per INSTANCE through generic HOF evaluation — at
+  * ~100 instances per document that dominated the whole DSIR scan; here
+  * the text is tokenized once and each gram is digested straight from
+  * the token array.
+  */
+case class GramBuckets(child: Expression, ns: Seq[Int], buckets: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(ns.nonEmpty && ns.forall(_ >= 1),
+    s"graft_gram_buckets: ns must be non-empty positive, got $ns")
+  require(buckets >= 1, s"graft_gram_buckets: buckets must be >= 1, got $buckets")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_gram_buckets expects string, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_gram_buckets"
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val toks: Array[String] =
+      if (v == null) Array.empty[String]
+      else v.asInstanceOf[UTF8String].toLowerCase.trim()
+        .toString.split("\\s+", -1).filter(_.nonEmpty)
+    val total = ns.map(n => math.max(toks.length - (n - 1), 1)).sum
+    val out = new Array[Any](total)
+    var o = 0
+    ns.foreach { n =>
+      val positions = math.max(toks.length - (n - 1), 1)
+      var p = 0
+      while (p < positions) {
+        val gram = toks.slice(p, math.min(p + n, toks.length)).mkString(" ")
+        md.reset()
+        val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        out(o) = h % buckets
+        o += 1
+        p += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramBuckets =
+    copy(child = newChild)
+}
+
 /** `struct(size(array_intersect(a, b)) AS inter, size(array_union(a, b))
   * AS uni)` in ONE pass over both arrays — the exact-Jaccard re-rank of
   * every candidate pair pays two generic set constructions per pair

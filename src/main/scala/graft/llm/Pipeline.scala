@@ -161,6 +161,143 @@ object Pipeline {
     * (or global shuffle) is ever required; a 100 TB corpus packs as
     * thousands of independent shards.
     */
+  /** One row per word-n-gram INSTANCE (n ∈ `ns`), hashed into
+    * [0, buckets). Deliberately NOT distinct-per-document — DSIR is a
+    * count model, every gram occurrence votes. A document with no
+    * tokens contributes one empty-string gram per n (the same
+    * short-text convention as [[Dedup.wordNgramHashes]]), so every
+    * document receives a weight.
+    */
+  private def gramBuckets(text: Column, ns: Seq[Int], buckets: Int): Column =
+    if (graft.functions.Native.registered)
+      call_function("graft_gram_buckets", text, lit(ns.mkString(",")), lit(buckets))
+    else {
+      val toks = Dedup.tokens(text)
+      ns.map { n =>
+        transform(
+          sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+          i => Dedup.md5Hash32(concat_ws(" ", slice(toks, i, lit(n)))) % buckets)
+      }.reduce(concat(_, _))
+    }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-n-gram profile is under a
+    * TARGET distribution (the domain to up-weight) than under the RAW
+    * corpus distribution. Features are word n-gram instances (n ∈ `ns`,
+    * unigram+bigram by default as in the paper) hashed into `buckets`
+    * buckets; each distribution is the α-smoothed bucket multinomial;
+    * a document's weight is Σ over its gram instances of
+    * ln p_target(bucket) − ln p_raw(bucket). Returns `(idCol, weight)`.
+    *
+    * Determinism contract: the per-bucket log-ratio is quantized to
+    * 1e-6 — `floor(x·1e6 + 0.5)`, an exact BIGINT — BEFORE the
+    * per-document sum, so the data-sized aggregation is exact integer
+    * arithmetic, immune to float summation order. The only float ops
+    * run once per BUCKET on inputs both engines compute identically
+    * (this is `text_commonness`'s hash-gate lesson, kept compatible
+    * with the ln the DSIR semantics require).
+    *
+    * Scale shape: the two distributions are `buckets`-row aggregations
+    * (map-side combined; metadata-sized BY CONSTRUCTION — the paper
+    * uses 10k buckets) joined into ONE broadcast ratio table; scoring
+    * is one exploded scan probing the broadcast plus a
+    * map-side-combined per-doc sum — the same two-phase plan as
+    * [[decontaminate]]. Nothing data-sized converges anywhere.
+    */
+  def importanceWeights(docs: DataFrame, target: DataFrame, idCol: String, textCol: String,
+                        ns: Seq[Int] = Seq(1, 2), buckets: Int = 512,
+                        alpha: Double = 1.0): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ > 0), "importanceWeights: ns must be positive")
+    require(buckets > 0, "importanceWeights: buckets must be positive")
+    require(alpha > 0,
+      "importanceWeights: alpha must be positive (a zero bucket has no finite log)")
+    val dg = docs.select(col(idCol), explode(gramBuckets(col(textCol), ns, buckets)).as("_b"))
+    // BOTH bucket multinomials from ONE aggregation over a flagged union
+    // (raw = _t 0, target = _t 1) — each input is scanned exactly once
+    // for counting; the raw corpus is scanned once more by the scoring
+    // probe below. Totals come from a window over the counts table
+    // itself (≤ `buckets` rows — a single-partition window is the POINT
+    // here, never a data-sized one), not from a second aggregation that
+    // would re-run the gram scans.
+    val counts = dg.select(col("_b"), lit(0).as("_t"))
+      .unionAll(target.select(explode(gramBuckets(col(textCol), ns, buckets)).as("_b"),
+        lit(1).as("_t")))
+      .groupBy("_b").agg(
+        count(when(col("_t") === 0, 1)).as("_cr"),
+        count(when(col("_t") === 1, 1)).as("_ct"))
+    val wAll = Window.partitionBy(lit(0))
+    val aB = alpha * buckets
+    val ratio = counts
+      .withColumn("_tr", sum("_cr").over(wAll))
+      .withColumn("_tt", sum("_ct").over(wAll))
+      .select(col("_b"),
+        floor((log((col("_ct") + alpha) / (col("_tt") + aB))
+          - log((col("_cr") + alpha) / (col("_tr") + aB))) * 1e6 + 0.5).as("_lri"))
+    dg.join(broadcast(ratio), "_b")
+      .groupBy(idCol).agg((sum("_lri") / 1e6).as("weight"))
+  }
+
+  /** DSIR's selection step: Gumbel-top-k resampling — sampling k
+    * documents without replacement with probability ∝ exp(weight/T) is
+    * exactly taking the k largest `weight/T + Gumbel(0,1)` keys. The
+    * Gumbel draw is the pure (id, seed) md5 bucket pushed through the
+    * inverse CDF (−ln(−ln u)), so selection is reproducible and
+    * partition-independent like every sampler here. Returns
+    * `(idCol, weight, g_key)`, the selected k.
+    *
+    * Scale shape: `orderBy.limit(k)` plans as TakeOrderedAndProject —
+    * a per-partition k-heap merged on the driver, NO global sort; right
+    * for metadata-sized k. For a corpus-sized selection, flip to a
+    * threshold plan: one histogram aggregation of `g_key` picks the
+    * cutoff bucket, then a filter keeps keys above it — same keys, no
+    * driver merge.
+    */
+  def resampleTopK(weighted: DataFrame, idCol: String, k: Int, seed: Long,
+                   temperature: Double = 1.0, denom: Int = 1 << 20): DataFrame = {
+    require(k > 0, "resampleTopK: k must be positive")
+    require(temperature > 0, "resampleTopK: temperature must be positive")
+    require(denom > 0, "resampleTopK: denom must be positive")
+    val u = (Dedup.md5Hash32(concat_ws("|", col(idCol), lit(seed))) % denom + 0.5) / denom
+    val key = col("weight") / temperature - log(-log(u))
+    weighted.select(col(idCol), col("weight"), round(key, 6).as("g_key"))
+      .orderBy(col("g_key").desc, col(idCol)).limit(k)
+  }
+
+  /** Mixture/quota sampling — the data-mixing step of corpus assembly
+    * (a Pile/LLaMA-style recipe: "the training set is X% of source A,
+    * Y% of source B"): downsample each stratum to its share of a
+    * `totalN`-document budget. Per-stratum keep fraction is
+    * `min(1, totalN·share / n_stratum)` with `n_stratum` from one
+    * count aggregation (metadata-sized — one row per stratum — so it
+    * BROADCASTS); the keep decision is then the same pure (id, seed)
+    * md5-bucket threshold as [[sampleStratified]], so the sample is
+    * reproducible, restartable, and independent of partitioning.
+    * Strata absent from `shares` get share 0 and are dropped. Returns
+    * the kept `(idCol, strataCol)` rows.
+    *
+    * Scale shape: one map-side-combined count aggregation + one
+    * broadcast join + one codegen'd filter projection — the corpus is
+    * scanned twice and never shuffled.
+    */
+  def sampleToMixture(docs: DataFrame, idCol: String, strataCol: String,
+                      shares: Map[String, Double], totalN: Long, seed: Long,
+                      denom: Int = 10000): DataFrame = {
+    require(totalN > 0, "sampleToMixture: totalN must be positive")
+    require(denom > 0, "sampleToMixture: denom must be positive")
+    shares.values.foreach(s =>
+      require(s >= 0.0, s"sampleToMixture: share $s must be non-negative"))
+    val share = shares.foldLeft(when(lit(false), lit(0.0))) {
+      case (c, (k, v)) => c.when(col(strataCol) === k, lit(v))
+    }.otherwise(lit(0.0))
+    val cnts = docs.groupBy(strataCol).agg(count(lit(1)).as("_nc"))
+    val thr = floor(least(lit(1.0), lit(totalN.toDouble) * share / col("_nc")) * denom + 0.5)
+    val bucket = Dedup.md5Hash32(concat_ws("|", col(idCol), lit(seed))) % denom
+    docs.join(broadcast(cnts), strataCol)
+      .filter(bucket < thr)
+      .select(col(idCol), col(strataCol))
+  }
+
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     shardCol: String, budget: Int): DataFrame = {
     require(budget > 0, "packSequences: budget must be positive")

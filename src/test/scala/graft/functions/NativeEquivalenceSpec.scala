@@ -67,6 +67,23 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
   }
 
+  test("graft_gram_buckets == declarative chain on generated strings") {
+    def decl(c: org.apache.spark.sql.Column, ns: Seq[Int], buckets: Int) = {
+      val toks = Dedup.tokens(c)
+      ns.map { n =>
+        transform(
+          sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+          i => declMd5(concat_ws(" ", slice(toks, i, lit(n)))) % buckets)
+      }.reduce(concat(_, _))
+    }
+    val df = (sampled(genText, 300, 23L) :+ null).toDF("text")
+    val bad = df.select(col("text"),
+        call_function("graft_gram_buckets", col("text"), lit("1,2"), lit(512)).as("nat"),
+        decl(col("text"), Seq(1, 2), 512).as("dec"))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
+  }
+
   test("graft_set_overlap == array_intersect/array_union sizes on generated arrays") {
     val genArr = Gen.listOf(Gen.chooseNum(0L, 30L)) // small domain → real overlaps
     val pairs = sampled(Gen.zip(genArr, genArr), 300, 13L)

@@ -169,4 +169,65 @@ class PipelineSpec extends SparkSpec {
     assert(out.last.getLong(2) === 9L && out.last.getLong(3) === 2L)
     assert(out.last.getString(5) === "t10 t11")
   }
+
+  // DSIR fixture: "wiki" docs share a vocabulary disjoint from "web" docs,
+  // so the importance ratio separates them cleanly.
+  private val dsirDocs = Seq(
+    (0L, "alpha beta gamma delta alpha beta", "wiki"),
+    (1L, "beta gamma delta alpha gamma", "wiki"),
+    (2L, "spam click buy now spam click", "web"),
+    (3L, "click buy spam now now buy", "web"),
+    (4L, "alpha beta gamma delta", "web"), // web doc with wiki vocabulary
+    (5L, "", "web")                        // empty doc still gets a weight
+  ).toDF("doc_id", "text", "source")
+
+  test("importanceWeights separates target-vocabulary docs and is partition-invariant") {
+    val target = dsirDocs.filter($"source" === "wiki")
+    val w = Pipeline.importanceWeights(dsirDocs, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size === 6, "every document, empty included, gets a weight")
+    // wiki-vocabulary docs (0, 1, and the wiki-flavored web doc 4) must
+    // outscore the pure web docs (2, 3)
+    Seq(0L, 1L, 4L).foreach(i => Seq(2L, 3L).foreach(j =>
+      assert(w(i) > w(j), s"doc $i ($w(i)) should outscore doc $j (${w(j)})")))
+    val w2 = Pipeline.importanceWeights(dsirDocs.repartition(7), target.repartition(3),
+      "doc_id", "text").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w === w2, "weights are a pure function of the data, not its partitioning")
+  }
+
+  test("resampleTopK: k >= n keeps everything; selection is deterministic") {
+    val target = dsirDocs.filter($"source" === "wiki")
+    val w = Pipeline.importanceWeights(dsirDocs, target, "doc_id", "text")
+    val all = Pipeline.resampleTopK(w, "doc_id", k = 100, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(all.length === 6)
+    assert(all.map(_._2).toSeq === all.map(_._2).sorted(Ordering[Double].reverse),
+      "output arrives in key order")
+    val top2a = Pipeline.resampleTopK(w, "doc_id", k = 2, seed = 5L)
+      .collect().map(_.getLong(0)).toSet
+    val top2b = Pipeline.resampleTopK(
+      Pipeline.importanceWeights(dsirDocs.repartition(5), target, "doc_id", "text"),
+      "doc_id", k = 2, seed = 5L).collect().map(_.getLong(0)).toSet
+    assert(top2a === top2b, "Gumbel keys are pure (id, seed) functions")
+  }
+
+  test("sampleToMixture: quota fractions, zero-share strata drop, determinism") {
+    // huge budget -> every in-share stratum keeps everything; "de" (no
+    // share) drops entirely
+    val all = Pipeline.sampleToMixture(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "es" -> 0.5), totalN = 1000L, seed = 3L)
+      .collect().map(_.getLong(0)).toSet
+    assert(all === Set(0L, 1L, 2L, 3L), "in-share strata keep all; de drops")
+    // zero budget share -> stratum drops even when listed
+    val none = Pipeline.sampleToMixture(docs, "doc_id", "lang",
+      Map("en" -> 0.0), totalN = 1000L, seed = 3L).count()
+    assert(none === 0L)
+    val a = Pipeline.sampleToMixture(docs, "doc_id", "lang",
+      Map("en" -> 0.7, "es" -> 0.3), totalN = 4L, seed = 9L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Pipeline.sampleToMixture(docs.repartition(7), "doc_id", "lang",
+      Map("en" -> 0.7, "es" -> 0.3), totalN = 4L, seed = 9L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b, "partitioning must not change the sample")
+  }
 }
