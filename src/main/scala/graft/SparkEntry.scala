@@ -789,6 +789,16 @@ object SparkEntry {
   private val PipeShards = 8
   private val VocabK = 20
 
+  // End-to-end cleaning parameters shared by the pipe_clean query/oracle
+  // (row 54): thresholds sit inside the corpus' quality distribution
+  // (p10 ≈ 0.56, p50 ≈ 0.73) so every stage of the funnel drops rows at
+  // every graded SF. quality compares ROUNDED values and top_word_frac
+  // is one integer division, so the keep set has no float-boundary
+  // ambiguity between engines.
+  private val CleanLang = "en"
+  private val CleanMinQuality = 0.6
+  private val CleanMaxTwf = 0.2
+
   // DSIR parameters shared by the dsir_* query/oracles (row 52): target
   // distribution = the src0 slice of the corpus (the "domain to
   // up-weight"); 512 hash buckets keeps the ratio table visibly
@@ -1783,6 +1793,16 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- LLM: end-to-end corpus cleaning (row 54) --
+    "pipe_clean" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Pipeline.cleanCorpus(docs,
+          docs.filter(col("doc_id") % DecBenchMod === 0),
+          "doc_id", "text", CleanLang, CleanMinQuality, CleanMaxTwf,
+          DecN, DecMinHits)
+        .orderBy("doc_id")
+    },
+
     "pipe_pack" -> { (s, dir) =>
       Pipeline.packSequences(s.read.parquet(s"$dir/documents.parquet"),
           "doc_id", "text", "source", PipeBudget)
@@ -2349,6 +2369,8 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "pipe_clean" -> pipeCleanOracle,
+
     "dsir_weights" ->
       s"""WITH $dsirCtes
          |SELECT doc_id, weight FROM dwt ORDER BY doc_id""".stripMargin,
@@ -2599,6 +2621,81 @@ object SparkEntry {
       "opset", "value", "record", "t", SgW, SgDeg, deriv, "x")
     s"""WITH $OpsetCte, $ctes
        |SELECT record, t, round(x, 6) AS x FROM $rel ORDER BY record, t""".stripMargin
+  }
+
+  /** DuckDB CTE chain re-deriving [[Pipeline.cleanCorpus]] end to end:
+    * `cq` (lang-id + quality per doc, the textLangid/textQuality
+    * formulas), `cwa` (top-word counts for the repetition cap), `cflt`
+    * (the fused row-local filter), `cwin`/`cded` (exact-dup min-id
+    * winners), `cgr`/`cbg`/`ctg`/`chit` (the decontamination probe,
+    * bench = every DecBenchMod-th document of the FULL corpus), final
+    * projection = survivors with the rolling-hash fingerprint of the
+    * PII-redacted text.
+    */
+  private def pipeCleanOracle: String = {
+    val stopEn = TextAnalysis.LangStopwords.head._2.mkString("\\b(", "|", ")\\b")
+    val scoreExprs = TextAnalysis.LangStopwords.map { case (lg, words) =>
+      val pat = words.mkString("\\b(", "|", ")\\b")
+      s"len(regexp_extract_all(lower(text), '$pat')) AS s_$lg"
+    }.mkString(",\n      ")
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val caseArm = langs.map(l => s"WHEN $best > 0 AND s_$l = $best THEN '$l'").mkString(" ")
+    val red = TextAnalysis.PiiPatterns.foldLeft("text") { case (e, (_, pat, rep)) =>
+      s"regexp_replace($e, '$pat', '$rep', 'g')"
+    }
+    s"""WITH $TokCte, cq AS (
+       |  SELECT doc_id, text,
+       |         CASE $caseArm ELSE 'und' END AS lang_id,
+       |         round(least(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.4
+       |           + least(CAST(stop AS DOUBLE) / safe_tok * 5.0, 1.0) * 0.3
+       |           + (1.0 - least(CAST(punct AS DOUBLE) / safe_chr * 10.0, 1.0)) * 0.15
+       |           + (1.0 - least(CAST(digit AS DOUBLE) / safe_chr * 10.0, 1.0)) * 0.15, 6) AS quality,
+       |         CAST(n_tokens AS BIGINT) AS n_tokens
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      $scoreExprs,
+       |      CAST(length(text) AS BIGINT) AS n_chars,
+       |      CASE WHEN length(trim(text)) = 0 THEN 0
+       |           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |      CASE WHEN length(trim(text)) = 0 THEN 1
+       |           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS safe_tok,
+       |      CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS safe_chr,
+       |      len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+       |      len(regexp_extract_all(text, '[0-9]')) AS digit,
+       |      len(regexp_extract_all(lower(text), '$stopEn')) AS stop
+       |    FROM documents
+       |  )
+       |), ct2 AS (SELECT doc_id, unnest(ts) AS w FROM tok
+       |), cwc AS (SELECT doc_id, w, count(*) AS c FROM ct2 GROUP BY doc_id, w
+       |), cwa AS (SELECT doc_id, max(c) AS topc, sum(c) AS n FROM cwc GROUP BY doc_id
+       |), cflt AS (
+       |  SELECT cq.* FROM cq LEFT JOIN cwa USING (doc_id)
+       |  WHERE lang_id = '$CleanLang' AND quality >= $CleanMinQuality
+       |    AND (CASE WHEN cwa.n IS NULL THEN 0.0 ELSE cwa.topc * 1.0 / cwa.n END) <= $CleanMaxTwf
+       |), cwin AS (SELECT min(doc_id) AS doc_id FROM cflt GROUP BY text
+       |), cded AS (SELECT cflt.* FROM cflt JOIN cwin USING (doc_id)
+       |), cgr AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(ts) - ${DecN - 1}, 1)),
+       |    i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(ts, i, i + ${DecN - 1}), ' ')), 1, 8)) AS BIGINT))) AS gh
+       |  FROM tok
+       |), cbg AS (SELECT DISTINCT unnest(gh) AS g FROM cgr WHERE doc_id % $DecBenchMod = 0
+       |), ctg AS (SELECT doc_id, unnest(gh) AS g FROM cgr
+       |           WHERE doc_id IN (SELECT doc_id FROM cded)
+       |), chit AS (
+       |  SELECT doc_id FROM ctg JOIN cbg USING (g)
+       |  GROUP BY doc_id HAVING count(*) >= $DecMinHits
+       |)
+       |SELECT doc_id, lang_id, quality, n_tokens,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(
+       |        string_split(regexp_replace($red, '[^\\x00-\\x7F]', '', 'g'), ''),
+       |        c -> CAST(ord(c) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % ${TextAnalysis.FpMod}) AS fingerprint
+       |FROM cded WHERE doc_id NOT IN (SELECT doc_id FROM chit)
+       |ORDER BY doc_id""".stripMargin
   }
 
   private def textQualityOracle: String = {

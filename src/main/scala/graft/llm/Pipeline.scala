@@ -150,6 +150,53 @@ object Pipeline {
       .select(out: _*)
   }
 
+  /** End-to-end C4/RefinedWeb-style corpus cleaning — the composition
+    * the per-step operators exist for, as ONE library call: keep
+    * documents that (1) language-identify as `lang`
+    * ([[TextAnalysis.langId]]), (2) score at least `minQuality`
+    * ([[TextAnalysis.qualityCols]]), and (3) stay under the
+    * Gopher-style `maxTopWordFrac` repetition cap
+    * ([[TextAnalysis.repetitionStruct]]); then (4) keep one exact-dup
+    * winner per identical text (min id, aggregation-shaped), (5) drop
+    * benchmark-contaminated survivors ([[decontaminate]] against
+    * `bench`), and (6) redact PII from what ships
+    * ([[TextAnalysis.redactPii]]). Returns
+    * `(idCol, lang_id, quality, n_tokens, fingerprint)` where
+    * `fingerprint` hashes the REDACTED text — the released artifact.
+    *
+    * Scale shape: steps 1–3 fuse into ONE codegen'd filter projection
+    * on the scan (zero shuffle — langId/quality are regex counts,
+    * repetition is the native one-pass expression); step 4 is one
+    * aggregation keyed on the text over filtered survivors only; step 5
+    * is the broadcast-gram probe of [[decontaminate]]; step 6 is a pure
+    * projection. Row-local filters run FIRST so every shuffled stage
+    * sees only survivors — the ordering a 100 TB pass depends on.
+    *
+    * Filter determinism: `quality` compares ROUNDED (6 dp) values and
+    * `top_word_frac` is a single division of exact integer counts, so
+    * both engines evaluate identical doubles at the threshold — no
+    * boundary ambiguity in the keep set.
+    */
+  def cleanCorpus(docs: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+                  lang: String = "en", minQuality: Double = 0.6,
+                  maxTopWordFrac: Double = 0.2,
+                  deconN: Int = 8, deconMinHits: Int = 1): DataFrame = {
+    val t = col(textCol)
+    val q = TextAnalysis.qualityCols(t).toMap
+    val filtered = docs
+      .withColumn("lang_id", TextAnalysis.langId(t))
+      .withColumn("quality", q("quality"))
+      .withColumn("n_tokens", q("n_tokens"))
+      .withColumn("_twf", TextAnalysis.repetitionStruct(t).getField("top_word_frac"))
+      .filter(col("lang_id") === lang && col("quality") >= minQuality
+        && col("_twf") <= maxTopWordFrac)
+    val winners = filtered.groupBy(t).agg(min(col(idCol)).as(idCol)).select(idCol)
+    val deduped = filtered.join(winners, Seq(idCol), "left_semi")
+    decontaminated(deduped, bench, idCol, textCol, deconN, deconMinHits)
+      .select(col(idCol), col("lang_id"), col("quality"), col("n_tokens"),
+        TextAnalysis.fingerprint(TextAnalysis.redactPii(t)).as("fingerprint"))
+  }
+
   /** GPT-style sequence packing: per shard (`shardCol`), documents are
     * concatenated in `idCol` order into one token stream cut into
     * training rows of `budget` tokens; each document is labeled with

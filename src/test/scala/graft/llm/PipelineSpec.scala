@@ -211,6 +211,47 @@ class PipelineSpec extends SparkSpec {
     assert(top2a === top2b, "Gumbel keys are pure (id, seed) functions")
   }
 
+  test("cleanCorpus: every funnel stage drops its offender, PII redacts in the output") {
+    // long English filler pushing quality over the bar
+    val good = ("the quick brown fox jumps over the lazy dog and then " +
+      "walks to the house of his friend where they talk about the weather " +
+      "for a while and it is all very pleasant in the end you know") // ~200 chars, en
+    val d = Seq(
+      (1L, good),                                     // survives
+      (2L, good),                                     // exact dup of 1 -> dropped (min id wins)
+      (3L, "it was a bright cold day in april and the clocks were striking " +
+        "thirteen while he slipped quickly through the glass doors of victory " +
+        "mansions though not quickly enough to prevent a swirl of gritty dust " +
+        "from entering along with him"),              // en, good quality, distinct
+      (4L, "der hund und die katze sind in dem haus und sie ist bei der " +
+        "arbeit mit den anderen und das ist auch ein sehr langer text der " +
+        "hier noch viel weiter geht und geht"),       // de -> dropped by langId
+      (5L, "a b" * 3),                                // short/low quality -> dropped
+      (6L, ("spam " * 40) + "the of and to in is it") // repetition cap -> dropped
+    ).toDF("doc_id", "text")
+    // bench set shares doc 3's text verbatim (and nothing of doc 1's)
+    // -> decon drops doc 3 only
+    val bench = Seq((100L, "it was a bright cold day in april and the " +
+      "clocks were striking thirteen")).toDF("doc_id", "text")
+    val out = Pipeline.cleanCorpus(d, bench, "doc_id", "text",
+      lang = "en", minQuality = 0.6, maxTopWordFrac = 0.2, deconN = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L), s"expected only doc 1 to survive, got $out")
+
+    // PII redaction reaches the fingerprint: same text ± an email must
+    // fingerprint identically after redaction... with placeholder, so two
+    // docs differing only in the concrete email redact to equal fingerprints
+    val p1 = good + " contact alice@example.com now"
+    val p2 = good + " contact bob.smith@other.org now"
+    val fps = Pipeline.cleanCorpus(
+      Seq((7L, p1), (8L, p2)).toDF("doc_id", "text"),
+      bench.limit(0), "doc_id", "text", deconN = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(fps.keySet === Set(7L, 8L))
+    assert(fps(7L) === fps(8L),
+      "different emails must redact to the same <EMAIL> fingerprint")
+  }
+
   test("sampleToMixture: quota fractions, zero-share strata drop, determinism") {
     // huge budget -> every in-share stratum keeps everything; "de" (no
     // share) drops entirely
