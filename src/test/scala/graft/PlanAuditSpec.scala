@@ -258,4 +258,98 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(badWindows.isEmpty, s"unpartitioned window in semanticDupAuto:\n$p")
   }
+
+  test("ivfTopKAuto: the corpus reaches the inverted-list probe un-shuffled, via broadcast") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.llm.Similarity.ivfTopKAuto(
+      emb, "vec_id", "embedding", Seq(0L, 1L), k = 3, targetOccupancy = 16))
+    // the (query, cluster) probe set is metadata-sized (queries × probes)
+    // and must broadcast into the assigned-corpus join; the corpus side of
+    // that join must not shuffle — the probe IS the point of the index
+    val bcasts = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, s"expected the query probe set to broadcast:\n$p")
+    val badWindows = collectAll(p) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(badWindows.isEmpty, s"unpartitioned window in ivfTopKAuto:\n$p")
+  }
+
+  test("importanceWeights: ratio table broadcasts; corpus gram scan never shuffles before the probe") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.Pipeline.importanceWeights(
+      docs, docs.filter(col("source") === "src0"), "doc_id", "text"))
+    val bcasts = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, s"expected the bucket ratio table to broadcast:\n$p")
+    val streamed = bcasts.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bcasts.head.left
+      case _ => bcasts.head.right
+    }
+    assert(collectAll(streamed) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"scoring side must not shuffle below the ratio probe:\n$p")
+    // the only unpartitioned-looking window is the totals pass over the
+    // counts table, whose input is bounded by the buckets aggregation —
+    // assert every window subtree contains that aggregation
+    val windows = collectAll(p) { case w: WindowExec => w }
+    windows.foreach { w =>
+      val bounded = collectAll(w) {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.groupingExpressions.nonEmpty => a
+      }
+      assert(bounded.nonEmpty,
+        s"window input must be the buckets-bounded counts table:\n$w")
+    }
+  }
+
+  test("resampleTopK plans a TakeOrdered top-k, never a global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = graft.llm.Pipeline.importanceWeights(
+      docs, docs.filter(col("source") === "src0"), "doc_id", "text")
+    val p = plan(graft.llm.Pipeline.resampleTopK(w, "doc_id", k = 10, seed = 1L))
+    assert(collectAll(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected TakeOrderedAndProject:\n$p")
+    assert(collectAll(p) { case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+      s"a global SortExec defeats the per-partition k-heap:\n$p")
+  }
+
+  test("sampleToMixture: stratum counts broadcast; the kept scan never shuffles") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.Pipeline.sampleToMixture(
+      docs, "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.5), 100L, 3L))
+    val bcasts = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, s"expected the stratum-count table to broadcast:\n$p")
+    val streamed = bcasts.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bcasts.head.left
+      case _ => bcasts.head.right
+    }
+    assert(collectAll(streamed) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"document side must not shuffle below the count join:\n$p")
+  }
+
+  test("cleanCorpus: row-local filters sit below the dedup-winner exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.Pipeline.cleanCorpus(
+      docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", deconN = 4))
+    // every shuffle in the funnel must see only filter survivors: below
+    // each exchange that reads the raw documents scan there is a Filter
+    val exchanges = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(exchanges.nonEmpty, "expected the dedup-winner aggregation to shuffle")
+    exchanges.foreach { ex =>
+      val scansBelow = collectAll[Unit](ex) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => ()
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => ()
+      }
+      val filtersBelow = collectAll(ex) {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }
+      assert(scansBelow.isEmpty || filtersBelow.nonEmpty,
+        s"an exchange reads the scan with no filter below it:\n$ex")
+    }
+  }
 }
