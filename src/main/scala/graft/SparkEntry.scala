@@ -807,6 +807,7 @@ object SparkEntry {
   private val DsirTargetSource = "src0"
   private val DsirBuckets = 512
   private val DsirK = 100
+  private val DsirKSel = 250 // dsir_select: exercises the threshold plan past k of dsir_sample
   private val DsirSeed = 11L
   private val DsirDenom = 1 << 20
 
@@ -1785,6 +1786,17 @@ object SparkEntry {
       Pipeline.resampleTopK(w, "doc_id", DsirK, DsirSeed, 1.0, DsirDenom)
         .orderBy(col("g_key").desc, col("doc_id"))
     },
+    // Same selection semantics through the histogram-threshold plan (no
+    // driver-side heap merge) — the corpus-sized-k path, graded against
+    // the identical SQL top-k.
+    "dsir_select" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val w = Pipeline.importanceWeights(docs,
+        docs.filter(col("source") === DsirTargetSource),
+        "doc_id", "text", Seq(1, 2), DsirBuckets)
+      Pipeline.resampleThreshold(w, "doc_id", DsirKSel, DsirSeed, 1.0, DsirDenom)
+        .orderBy(col("g_key").desc, col("doc_id"))
+    },
 
     // -- LLM: mixture/quota sampling by source (row 53) --
     "pipe_mixture" -> { (s, dir) =>
@@ -2384,6 +2396,16 @@ object SparkEntry {
          |         round(weight / 1.0 - ln(-ln((CAST(concat('0x', substr(md5(concat_ws('|', doc_id, '$DsirSeed')), 1, 8)) AS BIGINT) % $DsirDenom + 0.5) / $DsirDenom)), 6) AS g_key
          |  FROM dwt
          |) ORDER BY g_key DESC, doc_id LIMIT $DsirK""".stripMargin,
+
+    // The threshold plan must reproduce the top-k EXACTLY — the oracle is
+    // the same Gumbel top-k SQL at the dsir_select budget.
+    "dsir_select" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, weight, g_key FROM (
+         |  SELECT doc_id, weight,
+         |         round(weight / 1.0 - ln(-ln((CAST(concat('0x', substr(md5(concat_ws('|', doc_id, '$DsirSeed')), 1, 8)) AS BIGINT) % $DsirDenom + 0.5) / $DsirDenom)), 6) AS g_key
+         |  FROM dwt
+         |) ORDER BY g_key DESC, doc_id LIMIT $DsirKSel""".stripMargin,
 
     // Per-stratum keep fraction min(1, totalN·share / n) re-derived from
     // count(*); the keep decision is the same pure (id, seed) bucket as

@@ -300,15 +300,93 @@ object Pipeline {
     * cutoff bucket, then a filter keeps keys above it — same keys, no
     * driver merge.
     */
+  /** `(idCol, weight, g_key)` with the Gumbel selection key — shared by
+    * [[resampleTopK]] and [[resampleThreshold]], so both select the
+    * EXACT same set for the same (k, seed, temperature).
+    */
+  private def gumbelKeyed(weighted: DataFrame, idCol: String, seed: Long,
+                          temperature: Double, denom: Int): DataFrame = {
+    val u = (Dedup.md5Hash32(concat_ws("|", col(idCol), lit(seed))) % denom + 0.5) / denom
+    val key = col("weight") / temperature - log(-log(u))
+    weighted.select(col(idCol), col("weight"), round(key, 6).as("g_key"))
+  }
+
   def resampleTopK(weighted: DataFrame, idCol: String, k: Int, seed: Long,
                    temperature: Double = 1.0, denom: Int = 1 << 20): DataFrame = {
     require(k > 0, "resampleTopK: k must be positive")
     require(temperature > 0, "resampleTopK: temperature must be positive")
     require(denom > 0, "resampleTopK: denom must be positive")
-    val u = (Dedup.md5Hash32(concat_ws("|", col(idCol), lit(seed))) % denom + 0.5) / denom
-    val key = col("weight") / temperature - log(-log(u))
-    weighted.select(col(idCol), col("weight"), round(key, 6).as("g_key"))
+    gumbelKeyed(weighted, idCol, seed, temperature, denom)
       .orderBy(col("g_key").desc, col(idCol)).limit(k)
+  }
+
+  /** [[resampleTopK]]'s corpus-scale twin: the SAME selected set (same
+    * keys, same `(g_key DESC, id)` tiebreak) found WITHOUT a driver-side
+    * merge of per-partition heaps — TakeOrdered collects
+    * partitions × k rows to the driver, which stops being metadata when
+    * k is a corpus-sized selection budget. Here the driver only ever
+    * sees a `resolution`-cell histogram:
+    *
+    *   1. one aggregation finds the key range (two doubles);
+    *   2. one histogram aggregation counts keys per cell — walking its
+    *      cumulative counts from the top finds the BOUNDARY cell `b*`
+    *      and how many rows of it are still `need`ed;
+    *   3. one filter keeps every key in cells above `b*` outright
+    *      (strictly greater than every boundary key, so inside the
+    *      top-k regardless of ties), and ranks ONLY the boundary cell's
+    *      rows — expected n/resolution of the corpus, not the corpus —
+    *      through a window to take the `need` best.
+    *
+    * Degenerate bound: if the key distribution collapses (many exactly
+    * equal keys, e.g. temperature ≫ weight spread WITH a constant
+    * weight column), the boundary cell can hold a large key mass and
+    * its ranking window funnels — the Gumbel term makes keys
+    * id-distinct by construction, so this needs an adversarially
+    * constant key column. `resolution` is the knob: cells shrink as it
+    * grows and the histogram stays metadata-sized into the millions.
+    *
+    * The three passes share one cached scan of the keyed corpus;
+    * release via `scope`.
+    */
+  def resampleThreshold(weighted: DataFrame, idCol: String, k: Int, seed: Long,
+                        temperature: Double = 1.0, denom: Int = 1 << 20,
+                        resolution: Int = 4096,
+                        scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+    require(k > 0, "resampleThreshold: k must be positive")
+    require(temperature > 0, "resampleThreshold: temperature must be positive")
+    require(denom > 0, "resampleThreshold: denom must be positive")
+    require(resolution > 0, "resampleThreshold: resolution must be positive")
+    val keyed = scope.cache(gumbelKeyed(weighted, idCol, seed, temperature, denom))
+    val Array(row) = keyed.agg(min("g_key").as("lo"), max("g_key").as("hi"),
+      count(lit(1)).as("n")).collect()
+    if (row.isNullAt(0) || row.getLong(2) <= k)
+      // k covers everything (or the corpus is empty): no threshold exists
+      return keyed.orderBy(col("g_key").desc, col(idCol))
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    val width = (hi - lo) / resolution
+    // all-equal keys → one cell; the generic path below handles it
+    val cell =
+      if (width == 0) lit(0L)
+      else least(floor((col("g_key") - lo) / width), lit(resolution.toLong))
+    val hist = keyed.groupBy(cell.as("_c")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    // walk the histogram from the top cell down to the boundary (the
+    // early return above guarantees total > k, so the walk terminates
+    // strictly inside the array)
+    var above = 0L
+    var i = 0
+    while (above + hist(i)._2 < k) {
+      above += hist(i)._2
+      i += 1
+    }
+    val bStar = hist(i)._1
+    val need = k - above
+    val outright = keyed.filter(cell > bStar)
+    val wB = Window.partitionBy(cell.as("_c")).orderBy(col("g_key").desc, col(idCol))
+    val boundary = keyed.filter(cell === bStar)
+      .withColumn("_rn", row_number().over(wB)).filter(col("_rn") <= need)
+      .drop("_rn")
+    outright.unionAll(boundary).orderBy(col("g_key").desc, col(idCol))
   }
 
   /** Mixture/quota sampling — the data-mixing step of corpus assembly

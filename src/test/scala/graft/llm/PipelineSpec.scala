@@ -211,6 +211,32 @@ class PipelineSpec extends SparkSpec {
     assert(top2a === top2b, "Gumbel keys are pure (id, seed) functions")
   }
 
+  test("resampleThreshold selects exactly resampleTopK's set at every k, even under stress") {
+    val target = dsirDocs.filter($"source" === "wiki")
+    val w = Pipeline.importanceWeights(dsirDocs, target, "doc_id", "text")
+    for (k <- Seq(1, 3, 6, 16)) { // interior, exact-n, and k > n
+      val top = Pipeline.resampleTopK(w, "doc_id", k, seed = 5L)
+        .orderBy($"g_key".desc, $"doc_id").collect().toSeq
+      val thr = Pipeline.resampleThreshold(w, "doc_id", k, seed = 5L)
+        .orderBy($"g_key".desc, $"doc_id").collect().toSeq
+      assert(thr === top, s"threshold selection diverged from top-k at k=$k")
+    }
+    // resolution=1: every key lands in one boundary cell — the window
+    // path alone must still reproduce the exact top-k
+    val coarse = Pipeline.resampleThreshold(w, "doc_id", 3, seed = 5L, resolution = 1)
+      .orderBy($"g_key".desc, $"doc_id").collect().toSeq
+    val exact = Pipeline.resampleTopK(w, "doc_id", 3, seed = 5L)
+      .orderBy($"g_key".desc, $"doc_id").collect().toSeq
+    assert(coarse === exact)
+    // constant weights: selection is pure Gumbel order, keys id-distinct
+    val flat = dsirDocs.select($"doc_id", lit(1.0).as("weight"))
+    val ft = Pipeline.resampleTopK(flat, "doc_id", 2, seed = 9L)
+      .collect().map(_.getLong(0)).toSet
+    val fh = Pipeline.resampleThreshold(flat, "doc_id", 2, seed = 9L)
+      .collect().map(_.getLong(0)).toSet
+    assert(ft === fh)
+  }
+
   test("cleanCorpus: every funnel stage drops its offender, PII redacts in the output") {
     // long English filler pushing quality over the bar
     val good = ("the quick brown fox jumps over the lazy dog and then " +
