@@ -9,7 +9,7 @@ import graft.core.{ColumnMeta, Opset}
 import graft.dsp.SignalOps
 import graft.instants.{Indicators, Selector, Splits}
 import graft.instants.Indicators.IndicatorCode
-import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis, Web}
 import graft.plots.PlotData
 import graft.tubes.Tube
 
@@ -958,6 +958,61 @@ object SparkEntry {
       concat(lit(" node 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
         (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
 
+  // Per-domain cap shared by the url_domcap query/oracle (row 55).
+  private val DomCapK = 5
+  private val DomCapSeed = 17L
+
+  /** Deterministic doc_id-derived URL — the corpus carries no URL
+    * column, so the harness synthesizes one identically in both engines
+    * (the [[piiInjected]] pattern): mixed-case scheme/host exercises
+    * case folding, `WWW.` the prefix strip, `/Page` the path-case
+    * PRESERVATION, and the %-gated tails exercise trailing-slash,
+    * query-string, and fragment stripping. doc_id%37 × 2 TLDs ⇒ 74
+    * domains, so the per-domain cap engages at every graded SF.
+    */
+  private def urlInjected: Column = concat(
+    lit("HTTPS://"),
+    when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+    lit("Site"), (col("doc_id") % 37).cast("string"),
+    when(col("doc_id") % 2 === 0, lit(".Example.com")).otherwise(lit(".example.org")),
+    lit("/Page/"), col("doc_id").cast("string"),
+    when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit("?utm_source=feed&utm_id="), col("doc_id").cast("string")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 6 === 0,
+      concat(lit("#section-"), (col("doc_id") % 9).cast("string")))
+      .otherwise(lit("")))
+
+  /** The DuckDB twin of [[urlInjected]] (CTE `urls`, column `u`). */
+  private val UrlCte =
+    """urls AS (
+      |  SELECT doc_id,
+      |    'HTTPS://' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+      |    'Site' || CAST(doc_id % 37 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '.Example.com' ELSE '.example.org' END ||
+      |    '/Page/' || CAST(doc_id AS VARCHAR) ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN '?utm_source=feed&utm_id=' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+      |    CASE WHEN doc_id % 6 = 0
+      |         THEN '#section-' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END AS u
+      |  FROM documents
+      |)""".stripMargin
+
+  /** DuckDB expression chain mirroring [[graft.llm.Web.urlNormalize]]
+    * over column `u` — step-for-step, so both engines canonicalize
+    * identically.
+    */
+  private val UrlNormSql: String = {
+    val u1 = "regexp_replace(u, '[?#].*$', '')"
+    val sh = "^[^/]*//[^/]*"
+    val u2 = s"lower(regexp_extract($u1, '$sh', 0)) || regexp_replace($u1, '$sh', '')"
+    val u3 = s"regexp_replace($u2, '://www\\.', '://')"
+    s"regexp_replace($u3, '/$$', '')"
+  }
+
   /** The DuckDB twin of [[piiInjected]] (CTE `pii`, column `t`). */
   private val PiiCte =
     """pii AS (
@@ -1805,6 +1860,24 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- LLM: URL canonicalization + per-domain caps (row 55) --
+    "url_normalize" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), urlInjected.as("_u"))
+      docs.withColumn("url_norm", Web.urlNormalize(col("_u")))
+        .select(col("doc_id"), col("url_norm"),
+          Web.urlDomain(col("url_norm")).as("domain"))
+        .orderBy("doc_id")
+    },
+    "url_domcap" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), urlInjected.as("_u"))
+        .withColumn("domain", Web.urlDomain(Web.urlNormalize(col("_u"))))
+      Web.capPerDomain(docs, "doc_id", "domain", DomCapK, DomCapSeed)
+        .select("doc_id", "domain")
+        .orderBy("doc_id")
+    },
+
     // -- LLM: end-to-end corpus cleaning (row 54) --
     "pipe_clean" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -2382,6 +2455,29 @@ object SparkEntry {
     },
 
     "pipe_clean" -> pipeCleanOracle,
+
+    "url_normalize" ->
+      s"""WITH $UrlCte
+         |SELECT doc_id, url_norm,
+         |       regexp_extract(url_norm, '://([^/]*)', 1) AS domain
+         |FROM (SELECT doc_id, $UrlNormSql AS url_norm FROM urls)
+         |ORDER BY doc_id""".stripMargin,
+
+    // k smallest (md5(id, seed), id) per domain — the window rank
+    // materializes in a CTE (DuckDB bars window functions in WHERE).
+    "url_domcap" ->
+      s"""WITH $UrlCte, dom AS (
+         |  SELECT doc_id,
+         |         regexp_extract($UrlNormSql, '://([^/]*)', 1) AS domain,
+         |         CAST(concat('0x', substr(md5(concat_ws('|', doc_id, '$DomCapSeed')), 1, 8)) AS BIGINT) AS h
+         |  FROM urls
+         |), rnk AS (
+         |  SELECT doc_id, domain,
+         |         row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rn
+         |  FROM dom
+         |)
+         |SELECT doc_id, domain FROM rnk WHERE rn <= $DomCapK
+         |ORDER BY doc_id""".stripMargin,
 
     "dsir_weights" ->
       s"""WITH $dsirCtes
