@@ -1985,6 +1985,16 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- LLM: fuzzy (MinHash) decontamination (row 44, near-dup guard) --
+    "decon_fuzzy" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Pipeline.decontaminateFuzzy(
+          docs.filter(col("doc_id") % DecBenchMod =!= 0),
+          docs.filter(col("doc_id") % DecBenchMod === 0),
+          "doc_id", "text", MhShingle, MhHashes, MhBands, MhThreshold)
+        .orderBy("doc_id")
+    },
+
     // -- plot data preparation (rows 6, 11-15) --
     "plot_signal" -> { (s, dir) =>
       PlotData.signalTrace(opset(s, dir).get("1"), Seq("record", "t"), "value",
@@ -2699,6 +2709,27 @@ object SparkEntry {
          |WHERE doc_id % $DecBenchMod <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM dhits)
          |ORDER BY doc_id""".stripMargin,
+
+    // Bipartite twin of the dedup_minhash_pairs CTEs: train band keys
+    // join BENCH band keys, exact Jaccard re-rank, per-doc match stats.
+    "decon_fuzzy" -> {
+      val rpb = MhHashes / MhBands
+      val hEq = (0 until rpb).map(i => s"l.h_$i = r.h_$i").mkString(" AND ")
+      s"""WITH $minhashBandedCtes, fcand AS (
+         |  SELECT DISTINCT l.doc_id AS did, r.doc_id AS bid
+         |  FROM banded l JOIN banded r ON l.band = r.band AND $hEq
+         |  WHERE l.doc_id % $DecBenchMod <> 0 AND r.doc_id % $DecBenchMod = 0
+         |), fjac AS (
+         |  SELECT did,
+         |         round(len(list_intersect(a.hs, b.hs)) * 1.0
+         |               / len(list_distinct(list_concat(a.hs, b.hs))), 6) AS j
+         |  FROM fcand JOIN sh a ON a.doc_id = fcand.did
+         |             JOIN sh b ON b.doc_id = fcand.bid
+         |)
+         |SELECT did AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |       max(j) AS best_jaccard
+         |FROM fjac WHERE j >= $MhThreshold GROUP BY did ORDER BY doc_id""".stripMargin
+    },
 
     "plot_signal" ->
       s"""WITH $OpsetCte

@@ -217,27 +217,35 @@ object Dedup {
     (b, r)
   }
 
-  def lshCandidatePairs(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int,
-                        scope: graft.core.CacheScope = graft.core.CacheScope.session,
-                        maxBucket: Int = 8192): DataFrame = {
+  /** `(idCol, bucket)` banded-key rows from a signature table — the LSH
+    * blocking front end shared by the self-join dedup
+    * ([[lshCandidatePairs]]) and the bipartite fuzzy-decontamination
+    * probe ([[Pipeline.decontaminateFuzzy]]). Field names inside the
+    * band struct are positional (h_0..h_{r-1}), not the original sig_k
+    * names, so every band struct has the same type and they explode
+    * from one array — and so band keys from two DIFFERENT tables join.
+    */
+  def bandedKeys(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
-      // Field names must be positional (h_0..h_{r-1}), not the original
-      // sig_k names, so every band struct has the same type and they can
-      // be exploded from one array.
       val cs = (0 until rowsPerBand).map(i => col(s"sig_${b * rowsPerBand + i}").as(s"h_$i"))
       struct(lit(b).as("band") +: cs: _*).as(s"_band_$b")
     }
+    sigs.select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), explode(array((0 until bands).map(b => col(s"_band_$b")): _*)).as("bucket"))
+  }
+
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int,
+                        scope: graft.core.CacheScope = graft.core.CacheScope.session,
+                        maxBucket: Int = 8192): DataFrame = {
     // cache: `banded` feeds BOTH sides of the self-join below; uncached, each
     // side re-computes every array_min(transform(..)) signature + the explode
     // from scratch (the signature chain is the expensive part). Same pattern
     // as Similarity.lshTopK's cached bucket table. It cannot be unpersisted
     // before the lazily-returned result is consumed — release via `scope`
     // after consuming (see [[graft.core.CacheScope]]).
-    val banded = scope.cache(sigs
-      .select(col(idCol) +: bandCols: _*)
-      .select(col(idCol), explode(array((0 until bands).map(b => col(s"_band_$b")): _*)).as("bucket")))
+    val banded = scope.cache(bandedKeys(sigs, idCol, numHashes, bands))
     // Mega-bucket cap: census over the cached banded table (shared with
     // the self-join below, so this costs one aggregation, no recompute of
     // the signature chain). The over-cap set is bucket-count-sized —

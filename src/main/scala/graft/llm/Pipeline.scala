@@ -100,6 +100,50 @@ object Pipeline {
       .filter(col("hits") >= minHits)
   }
 
+  /** FUZZY benchmark decontamination: flag training documents whose
+    * character-shingle set is NEAR-duplicate (MinHash-estimated, exact
+    * Jaccard re-rank ≥ `threshold`) to ANY evaluation document — the
+    * guard [[decontaminate]]'s exact n-gram overlap misses when eval
+    * text leaks with light paraphrase, whitespace, or punctuation drift
+    * (the check frontier-lab pipelines run alongside the exact one).
+    * Returns `(idCol, n_matches, best_jaccard)` for flagged documents.
+    *
+    * Mechanics are [[Dedup.minhashLsh]]'s, made BIPARTITE: both sides
+    * shingle and sign with the SAME hash family, candidates come from a
+    * band-key join of train keys against bench keys (never a
+    * train×train self-join), and only candidates pay the exact
+    * set-overlap re-rank.
+    *
+    * Scale shape: the eval suite is metadata-sized next to the corpus,
+    * so its banded keys AND its shingle sets broadcast — the training
+    * corpus reaches both the candidate probe and the re-rank as
+    * un-shuffled scans; the only data-sized shuffle is the final
+    * per-document aggregation. `broadcastBench = false` flips both
+    * probes to shuffled hash joins for an oversized eval side.
+    */
+  def decontaminateFuzzy(docs: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                         threshold: Double = 0.6, broadcastBench: Boolean = true,
+                         scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "decontaminateFuzzy: threshold must be in (0,1]")
+    def bc(df: DataFrame): DataFrame = if (broadcastBench) broadcast(df) else df
+    // cache: shingle sets feed the signature chain AND the exact re-rank
+    val dBase = scope.cache(docs.select(col(idCol),
+      Dedup.distinctNgramHashes(col(textCol), shingleLen).as("_sh")))
+    val bBase = scope.cache(bench.select(col(idCol).as("_bid"),
+      Dedup.distinctNgramHashes(col(textCol), shingleLen).as("_bsh")))
+    val dKeys = Dedup.bandedKeys(
+      Dedup.minhashSignature(dBase, "_sh", numHashes).drop("_sh"), idCol, numHashes, bands)
+    val bKeys = Dedup.bandedKeys(
+      Dedup.minhashSignature(bBase, "_bsh", numHashes).drop("_bsh"), "_bid", numHashes, bands)
+    val cand = dKeys.join(bc(bKeys), "bucket").select(col(idCol), col("_bid")).distinct()
+    val (inter, uni) = Dedup.overlapCols(col("_sh"), col("_bsh"))
+    cand.join(dBase, idCol).join(bc(bBase), "_bid")
+      .withColumn("_j", round(inter / uni, 6))
+      .filter(col("_j") >= threshold)
+      .groupBy(idCol).agg(count(lit(1)).as("n_matches"), max(col("_j")).as("best_jaccard"))
+  }
+
   /** The surviving training corpus: `docs` minus [[decontaminate]]'s
     * flagged ids. The anti-join side is flagged-id-sized (a small
     * fraction of the corpus when the pipeline is healthy), so Spark's

@@ -211,6 +211,29 @@ class PipelineSpec extends SparkSpec {
     assert(top2a === top2b, "Gumbel keys are pure (id, seed) functions")
   }
 
+  test("decontaminateFuzzy flags near-dup eval leaks the exact n-gram check misses") {
+    val benchText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val train = Seq(
+      // light paraphrase drift: exact word-4-gram decon sees few shared
+      // grams, but the 5-char shingle sets stay highly similar
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today!"),
+      (2L, benchText), // verbatim leak -> jaccard 1.0
+      (3L, "completely unrelated content about cooking pasta with fresh tomatoes and basil")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val flags = Pipeline.decontaminateFuzzy(train, bench, "doc_id", "text",
+        threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(flags.keySet === Set(1L, 2L), s"expected docs 1 and 2 flagged, got $flags")
+    assert(flags(2L)._2 === 1.0, "a verbatim leak re-ranks to jaccard 1.0")
+    assert(flags(1L)._1 === 1L && flags(1L)._2 >= 0.6 && flags(1L)._2 < 1.0)
+    // the shuffled-join escape hatch selects the identical flag set
+    val shuffled = Pipeline.decontaminateFuzzy(train, bench, "doc_id", "text",
+        threshold = 0.6, broadcastBench = false)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(shuffled === flags)
+  }
+
   test("resampleThreshold selects exactly resampleTopK's set at every k, even under stress") {
     val target = dsirDocs.filter($"source" === "wiki")
     val w = Pipeline.importanceWeights(dsirDocs, target, "doc_id", "text")
