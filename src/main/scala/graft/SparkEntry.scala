@@ -386,7 +386,10 @@ object SparkEntry {
         val clit = c.mkString("[", ", ", "]::DOUBLE[]")
         s"SELECT vec_id, $i AS i, ${dotSql("v", s"($clit)")} / $cn AS s FROM nrm"
       }.mkString("\n  UNION ALL\n  ")
-      Map("ann_ivf" ->
+      // ann_indexed answers the SAME search through the cell-partitioned
+      // index layout — its oracle is the identical frozen-centroid SQL.
+      val keys = Seq("ann_ivf", "ann_indexed")
+      keys.map(_ ->
         s"""WITH $EmbCte, csc AS (
            |  $arms
            |), asg AS (
@@ -416,7 +419,7 @@ object SparkEntry {
            |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rank FROM (
            |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
            |  FROM scored
-           |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin)
+           |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin).toMap
   }
 
   /** The dedup_semantic oracle over the frozen SemDeDup centroids,
@@ -1753,6 +1756,22 @@ object SparkEntry {
       val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
       ivfCentsExport = Some(cents)
       Similarity.ivfTopK(emb, "vec_id", "embedding", AnnQueryIds, AnnK, cents, nProbe = IvfProbe)
+        .orderBy("q_id", "rank")
+    },
+
+    // -- LLM: IVF-partitioned index layout (row 33, storage path) --
+    // Same centroids/probes as ann_ivf, answered THROUGH a written
+    // cell-partitioned parquet index with the scan pruned to the probed
+    // cells — graded result-identical to the compute-side operator.
+    "ann_indexed" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
+      ivfCentsExport = Some(cents)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(dir.hashCode)}"
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, path)
+      Similarity.ivfIndexTopK(s.read.parquet(path),
+          emb.filter(col("vec_id").isin(AnnQueryIds: _*)),
+          "vec_id", "embedding", AnnK, cents, IvfProbe)
         .orderBy("q_id", "rank")
     },
 

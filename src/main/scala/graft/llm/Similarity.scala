@@ -309,6 +309,51 @@ object Similarity {
       .select(col("q_id"), col(idCol), col("cos"), col("_rn").cast("long").as("rank"))
   }
 
+  /** Write the corpus as an IVF-PARTITIONED parquet index: every vector
+    * lands in the directory of its coarse cell (`partitionBy("cell")`,
+    * assignment = the SAME [[bestCentroidCol]] expression [[ivfTopK]]
+    * uses), so a probed search reads ONLY its cells' files — partition
+    * PRUNING at the source, where a monolithic layout scans everything
+    * and filters after. This is the storage-side half of the IVF
+    * contract: [[ivfTopK]] prunes compute, the layout prunes I/O; at
+    * 100 TB a 2-of-64-cell probe reads ~3% of the bytes.
+    */
+  def writeIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[Array[Double]], path: String): Unit =
+    emb.withColumn("cell", bestCentroidCol(asDouble(col(vecCol)), cents))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probed exact-re-rank top-k over a [[writeIvfIndex]] layout —
+    * result-identical to [[ivfTopK]] on the same centroids (same probe
+    * tiebreaks, same re-rank) with the corpus scan PRUNED to the probed
+    * cells. The probe cells come from one metadata-sized collect
+    * (queries × nProbe ints), so they reach the scan as a LITERAL
+    * partition predicate and pruning happens at PLAN time; `queries`
+    * carries `(idCol, vecCol)` rows and is metadata-sized by contract.
+    */
+  def ivfIndexTopK(index: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                   k: Int, cents: Array[Array[Double]], nProbe: Int = 2): DataFrame = {
+    require(k > 0 && nProbe > 0, "ivfIndexTopK: k and nProbe must be positive")
+    val qScores = cents.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(col("_v"), litArray(c)) / lit(cn)).as("s"), lit(i).as("c"))
+    }
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col(idCol).as("q_id"), col("_v").as("_qv"), col("_n").as("_qn"),
+        explode(slice(reverse(array_sort(array(qScores.toIndexedSeq: _*))), 1, nProbe)
+          .getField("c")).as("cell"))
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val base = index.filter(col("cell").isin(cells: _*))
+      .select(col(idCol), asDouble(col(vecCol)).as("_v"), col("cell"))
+      .withColumn("_n", norm(col("_v")))
+    val scored = base.join(broadcast(q), Seq("cell"))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", round(dot(col("_v"), col("_qv")) / (col("_n") * col("_qn")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("q_id"), col(idCol), col("cos"), col("_rn").cast("long").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket with multi-table
     * hyperplane LSH, pair within buckets only, keep pairs with exact
     * cosine ≥ threshold. Output: (id_a, id_b, cos).

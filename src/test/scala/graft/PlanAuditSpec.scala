@@ -332,6 +332,28 @@ class PlanAuditSpec extends SparkSpec {
       s"document side must not shuffle below the count join:\n$p")
   }
 
+  test("ivfIndexTopK prunes the index scan to the probed cells (partition pruning)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.llm.Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_audit").toString
+    graft.llm.Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, path)
+    val p = plan(graft.llm.Similarity.ivfIndexTopK(spark.read.parquet(path),
+      emb.filter(col("vec_id").isin(0L, 1L)), "vec_id", "embedding", 3, cents, nProbe = 1))
+    // the probed-cell literal must land in the scan's PARTITION filters —
+    // pruning at plan time, not a post-scan row filter
+    val idxScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivf_audit")) => s
+    }
+    assert(idxScans.nonEmpty, s"expected a scan of the written index:\n$p")
+    idxScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"index scan must carry partition filters (pruned cells):\n$s")
+      assert(s.relation.partitionSchema.fieldNames.contains("cell"),
+        "index layout must be partitioned by cell")
+    }
+  }
+
   test("cleanCorpus: row-local filters sit below the dedup-winner exchange") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.llm.Pipeline.cleanCorpus(

@@ -226,4 +226,18 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect auto).size.toDouble / exact.size
     assert(recall >= 0.5, s"auto-IVF recall $recall too low")
   }
+
+  test("ivfIndexTopK over a written cell-partitioned index equals ivfTopK exactly") {
+    val queries = Seq(0L, 1L, 2L)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 4, iters = 3)
+    val direct = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 3, cents, nProbe = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, path)
+    val indexed = Similarity.ivfIndexTopK(spark.read.parquet(path),
+        emb.filter($"vec_id".isin(queries: _*)), "vec_id", "embedding", 3, cents, nProbe = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(indexed === direct,
+      "the storage-side probe must answer identically to the compute-side operator")
+  }
 }
