@@ -9,7 +9,8 @@ import graft.core.{ColumnMeta, Opset}
 import graft.dsp.SignalOps
 import graft.instants.{Indicators, Selector, Splits}
 import graft.instants.Indicators.IndicatorCode
-import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis, Web}
+import graft.events.EventOps
+import graft.llm.{Dedup, Multimodal, Pipeline, Retrieval, Similarity, TextAnalysis, Web}
 import graft.plots.PlotData
 import graft.tubes.Tube
 
@@ -420,6 +421,51 @@ object SparkEntry {
            |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
            |  FROM scored
            |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin).toMap
+  }
+
+  /** The ann_pq oracle over the frozen PQ codebooks, mirroring
+    * [[Similarity.pqTopK]] integer-exactly: per-(vector, subspace,
+    * codeword) squared-L2 TICKS (the same global-index `+` chain and
+    * half-up 1e-6 quantization as the Spark expressions), encode =
+    * argmin (ticks ASC, codeword ASC) per (vector, subspace), ADC =
+    * integer sum of the query's tick to each candidate's codeword.
+    */
+  private def pqOracle: Map[String, String] = pqBooksExport match {
+    case None => Map.empty
+    case Some(books) =>
+      val d = books(0)(0).length
+      val arms = (for {
+        j <- books.indices
+        (c, i) <- books(j).zipWithIndex
+      } yield {
+        val dexpr = (0 until d).map { dd =>
+          val g = j * d + dd + 1
+          s"(v[$g] - (${c(dd)})) * (v[$g] - (${c(dd)}))"
+        }.mkString(" + ")
+        s"SELECT vec_id, $j AS j, $i AS i, CAST(round(($dexpr) * 1000000.0) AS BIGINT) AS t FROM emb"
+      }).mkString("\n  UNION ALL\n  ")
+      Map("ann_pq" ->
+        s"""WITH $EmbCte, dst AS (
+           |  $arms
+           |), cod AS (
+           |  SELECT vec_id, j, i AS c FROM (
+           |    SELECT vec_id, j, i,
+           |           row_number() OVER (PARTITION BY vec_id, j ORDER BY t ASC, i ASC) AS rn
+           |    FROM dst
+           |  ) WHERE rn = 1
+           |), qdt AS (
+           |  SELECT vec_id AS q_id, j, i, t FROM dst
+           |  WHERE vec_id IN (${AnnQueryIds.mkString(", ")})
+           |), adc AS (
+           |  SELECT q.q_id, c.vec_id, CAST(sum(q.t) AS BIGINT) AS adc_ticks
+           |  FROM cod c JOIN qdt q ON q.j = c.j AND q.i = c.c
+           |  WHERE c.vec_id <> q.q_id
+           |  GROUP BY q.q_id, c.vec_id
+           |)
+           |SELECT q_id, vec_id, adc_ticks, CAST(rn AS BIGINT) AS rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_ticks ASC, vec_id ASC) AS rn
+           |  FROM adc
+           |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin)
   }
 
   /** The dedup_semantic oracle over the frozen SemDeDup centroids,
@@ -1033,6 +1079,25 @@ object SparkEntry {
       |  FROM documents
       |)""".stripMargin
 
+  // Event-analytics parameters shared by the events_* query/oracles.
+  // 6 h gap: the synthetic events run ~30 days × 150 users with a median
+  // per-user inter-event gap of ~7.3 h, so 6 h splits every user into
+  // many multi-event sessions (a web-style 30 min gap would make nearly
+  // every event its own session here — parameter, not semantics).
+  private val SessionGapUs = 6L * 3600 * 1000000
+  private val FunnelSteps = Seq("view", "click", "purchase")
+
+  // BM25 parameters shared by the text_bm25 query/oracle: three literal
+  // keyword queries over mid-frequency corpus terms (every term occurs,
+  // none dominates), standard k1/b.
+  private val Bm25Queries = Seq(
+    0L -> Seq("hash", "join"),
+    1L -> Seq("window", "stream"),
+    2L -> Seq("vector", "scan", "filter"))
+  private val Bm25K = 10
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
   // Embedding-LSH parameters shared by ann_* / dedup_cosine query/oracles.
   private val EmbDim = 64
   private val LshBits = 4
@@ -1060,12 +1125,25 @@ object SparkEntry {
   private val IvfIters = 3
   private val IvfProbe = 2
 
+  // PQ parameters shared by the ann_pq query/oracle: 8 subspaces × 8 dims,
+  // 16 codewords each → 8 codes ≈ 8 B/vector vs 256 B of floats (32×).
+  private val PqM = 8
+  private val PqKsub = 16
+  private val PqIters = 3
+
   /** Centroids of the most recent ann_ivf run, frozen as literals for the
     * oracle (same Verify-time pattern as [[treeExport]]): the oracle checks
     * the assign + probe + re-rank math given the trained centroids, which
     * both engines then share bit-for-bit.
     */
   @volatile private var ivfCentsExport: Option[Array[Array[Double]]] = None
+
+  /** PQ codebooks of the most recent ann_pq run, frozen for the oracle
+    * exactly like [[ivfCentsExport]]: DuckDB re-derives the per-subspace
+    * encoding argmin and the ADC tick sums from the shared codewords,
+    * integer-exact.
+    */
+  @volatile private var pqBooksExport: Option[Array[Array[Array[Double]]]] = None
 
   /** Centroids of the most recent dedup_semantic run, frozen for the
     * oracle exactly like [[ivfCentsExport]]: DuckDB re-derives the
@@ -1707,6 +1785,21 @@ object SparkEntry {
         .orderBy("record")
     },
 
+    // -- batch event analytics (row 56) --
+    "events_sessions" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      EventOps.sessionize(ev, "user_id", EventOps.eventMicros(ev, "ts"),
+          "event_id", SessionGapUs)
+        .orderBy("user_id", "session_id")
+    },
+
+    "events_funnel" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      EventOps.funnel(ev, "user_id", EventOps.eventMicros(ev, "ts"),
+          "event_type", FunnelSteps)
+        .orderBy("user_id")
+    },
+
     // -- LLM: SimHash near-dedup (row 29) --
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -1772,6 +1865,21 @@ object SparkEntry {
       Similarity.ivfIndexTopK(s.read.parquet(path),
           emb.filter(col("vec_id").isin(AnnQueryIds: _*)),
           "vec_id", "embedding", AnnK, cents, IvfProbe)
+        .orderBy("q_id", "rank")
+    },
+
+    // -- LLM: product-quantization ADC search (row 33, compressed path) --
+    // Codebooks train on a deterministic sample, the corpus is searched
+    // through its 8-byte codes only (asymmetric distance) — the
+    // memory-compressed representation that keeps a 100 TB embedding
+    // index in hot storage. Oracle = frozen codebooks, encode + ADC
+    // replayed in SQL on integer ticks.
+    "ann_pq" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        m = PqM, ksub = PqKsub, iters = PqIters)
+      pqBooksExport = Some(books)
+      Similarity.pqTopK(emb, "vec_id", "embedding", AnnQueryIds, AnnK, books)
         .orderBy("q_id", "rank")
     },
 
@@ -1920,6 +2028,13 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.commonness(docs, TextAnalysis.vocabulary(docs, "text", VocabK))
         .orderBy("doc_id")
+    },
+
+    // -- LLM: BM25 lexical retrieval (row 57) --
+    "text_bm25" -> { (s, dir) =>
+      Retrieval.bm25TopK(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          Bm25Queries, Bm25K, Bm25K1, Bm25B)
+        .orderBy("query_id", "rank")
     },
 
     // -- LLM: corpus-duplicated passages (row 48) --
@@ -2316,6 +2431,56 @@ object SparkEntry {
       """SELECT DISTINCT md5(text) AS fp, CAST(length(text) AS BIGINT) AS len
         |FROM documents ORDER BY fp""".stripMargin,
 
+    "events_sessions" ->
+      // integer epoch-micros end to end (epoch_us reads both ts
+      // vintages, the stream_counts precedent); ORDER BY (tus, event_id)
+      // is a UNIQUE ordering, so DuckDB's default RANGE frame on the
+      // running sum equals the Spark side's explicit ROWS frame
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+         |), b AS (
+         |  SELECT user_id, event_id, tus,
+         |         CASE WHEN lag(tus) OVER w IS NULL
+         |                   OR tus - lag(tus) OVER w > $SessionGapUs
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+         |), s AS (
+         |  SELECT user_id, tus,
+         |         sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS sid
+         |  FROM b
+         |)
+         |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       min(tus) AS start_us, max(tus) AS end_us,
+         |       max(tus) - min(tus) AS dur_us
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
+
+    "events_funnel" -> {
+      val Seq(s1, s2, s3) = FunnelSteps
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+         |), f1 AS (
+         |  SELECT *, min(CASE WHEN event_type = '$s1' THEN tus END)
+         |              OVER (PARTITION BY user_id) AS t_$s1 FROM e
+         |), f2 AS (
+         |  SELECT *, min(CASE WHEN event_type = '$s2' AND tus > t_$s1 THEN tus END)
+         |              OVER (PARTITION BY user_id) AS t_$s2 FROM f1
+         |), f3 AS (
+         |  SELECT *, min(CASE WHEN event_type = '$s3' AND tus > t_$s2 THEN tus END)
+         |              OVER (PARTITION BY user_id) AS t_$s3 FROM f2
+         |)
+         |SELECT user_id, t_$s1, t_$s2, t_$s3,
+         |       CAST(CASE WHEN t_$s3 IS NOT NULL THEN 3
+         |                 WHEN t_$s2 IS NOT NULL THEN 2
+         |                 WHEN t_$s1 IS NOT NULL THEN 1
+         |                 ELSE 0 END AS BIGINT) AS reached
+         |FROM (
+         |  SELECT user_id, min(t_$s1) AS t_$s1, min(t_$s2) AS t_$s2,
+         |         min(t_$s3) AS t_$s3
+         |  FROM f3 GROUP BY user_id
+         |) ORDER BY user_id""".stripMargin
+    },
+
     "stream_argmax" ->
       // batch twin of the streaming detector's final state: per record the
       // max value, first-occurrence (min t) on exact ties, 0-based instant
@@ -2594,6 +2759,50 @@ object SparkEntry {
          |FROM tok t LEFT JOIN wagg w USING (doc_id) LEFT JOIN bagg b USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    "text_bm25" -> {
+      val terms = Bm25Queries.flatMap(_._2).distinct
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val qtArms = Bm25Queries.flatMap { case (q, ts) =>
+        ts.map(t => s"SELECT CAST($q AS BIGINT) AS query_id, '$t' AS t")
+      }.mkString("\n  UNION ALL\n  ")
+      val k1p1 = Bm25K1 + 1 // interpolated so both engines parse the same literal
+      // idf ln quantized to 1e-6 ticks, per-(doc, term) contribution
+      // re-quantized to ticks before the per-doc sum — the per-doc
+      // aggregation is integer arithmetic, identical to the Spark side
+      s"""WITH $TokCte, st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(len(ts)) AS BIGINT) AS tot
+         |  FROM tok
+         |), hits AS (
+         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf,
+         |         CAST(max(dl) AS BIGINT) AS dl
+         |  FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS t FROM tok)
+         |  WHERE t IN ($termList)
+         |  GROUP BY doc_id, t
+         |), idf AS (
+         |  SELECT t, CAST(round(ln(((SELECT n FROM st) - df + 0.5) / (df + 0.5) + 1.0)
+         |                        * 1000000.0) AS BIGINT) AS it
+         |  FROM (SELECT t, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY t)
+         |), qt AS (
+         |  $qtArms
+         |), sc AS (
+         |  SELECT q.query_id, h.doc_id,
+         |         CAST(round(CAST(i.it AS DOUBLE) *
+         |           ((h.tf * $k1p1) / (h.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * h.dl
+         |              / (SELECT CAST(tot AS DOUBLE) / n FROM st))))) AS BIGINT) AS ticks
+         |  FROM hits h JOIN idf i USING (t) JOIN qt q USING (t)
+         |)
+         |SELECT query_id, doc_id, bm25_ticks, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT query_id, doc_id, bm25_ticks,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY bm25_ticks DESC, doc_id) AS rn
+         |  FROM (
+         |    SELECT query_id, doc_id, CAST(sum(ticks) AS BIGINT) AS bm25_ticks
+         |    FROM sc GROUP BY query_id, doc_id
+         |  )
+         |) WHERE rn <= $Bm25K ORDER BY query_id, rank""".stripMargin
+    },
+
     "text_commonness" ->
       s"""WITH $TokCte, tt AS (
          |  SELECT doc_id, unnest(ts) AS token FROM tok
@@ -2780,7 +2989,7 @@ object SparkEntry {
          |SELECT record, t, 'value' AS variable, 'value' AS name, '-' AS unit,
          |       CAST(value AS DOUBLE) AS y
          |FROM opset ORDER BY record, t""".stripMargin,
-  ) ++ treeOracles ++ ivfOracle ++ semOracle ++ tubeFitOracle ++ pcaCircleOracle
+  ) ++ treeOracles ++ ivfOracle ++ pqOracle ++ semOracle ++ tubeFitOracle ++ pcaCircleOracle
 
   // ----- long oracle bodies ----------------------------------------------
 

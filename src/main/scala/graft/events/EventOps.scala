@@ -1,0 +1,111 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** Batch event-log analytics over the long `events` table: gap-based
+  * sessionization and ordered-step funnel analysis — the two classic
+  * user-activity operators every telemetry/clickstream pipeline runs
+  * before any modeling. Both are single-shuffle by construction: the
+  * only exchange is the hash partition on the user key, and every
+  * subsequent window/aggregation reuses that partitioning (Spark's
+  * `ClusteredDistribution(user, …)` is satisfied by
+  * `HashPartitioning(user)`), so at 100 TB the cost is one shuffle of
+  * the projected columns, parallelism = user count.
+  *
+  * All arithmetic is INTEGER epoch-micros end to end — session ids,
+  * counts, bounds, and durations are exact BIGINTs, so the DuckDB
+  * oracle twins hash-match with no float-rounding surface at all.
+  */
+object EventOps {
+
+  /** Event time as epoch MICROS (long), branching on the stored type the
+    * same way `stream_counts` does: the ns-vintage events.parquet reads
+    * as LONG nanos under `nanosAsLong` (→ integer div 1000), the
+    * us-vintage reads as timestamp (→ `unix_micros`). Anything else is
+    * schema drift and fails loudly rather than as a wrong-but-plausible
+    * timeline.
+    */
+  def eventMicros(events: DataFrame, tsCol: String): Column =
+    events.schema(tsCol).dataType match {
+      case LongType => expr(s"$tsCol div 1000")
+      case TimestampType | TimestampNTZType => unix_micros(col(tsCol).cast("timestamp"))
+      case other => throw new IllegalArgumentException(
+        s"eventMicros: unsupported $tsCol type $other — expected LONG (nanos " +
+          "vintage), TIMESTAMP, or TIMESTAMP_NTZ")
+    }
+
+  /** Gap-based sessionization: a user's events sorted by time split into
+    * sessions wherever consecutive events are more than `gapUs` micros
+    * apart. Returns one row per session: `(user, session_id, n_events,
+    * start_us, end_us, dur_us)` with `session_id` numbered 1.. per user
+    * in time order.
+    *
+    * Plan shape: ONE shuffle (the window partition on `userCol`); the
+    * session-break flag is a `lag` diff, the session id its running sum
+    * over the same window frame, and the per-session rollup reuses the
+    * user partitioning — three operators, one exchange. `tieCol` breaks
+    * equal-timestamp orderings deterministically (an event id); sessions
+    * are unbounded in span by design (a session is CLOSED by a gap, not
+    * by length), which is the standard semantics and keeps state
+    * row-local.
+    */
+  def sessionize(events: DataFrame, userCol: String, microsCol: Column,
+                 tieCol: String, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col("_tus"), col(tieCol))
+    events
+      .withColumn("_tus", microsCol)
+      .withColumn("_brk",
+        when(col("_tus") - lag(col("_tus"), 1).over(w) > gapUs || lag(col("_tus"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("_tus")).as("start_us"),
+        max(col("_tus")).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+  }
+
+  /** Ordered-step funnel: per user, the first time each step type is
+    * reached AFTER the previous step's time (`t1 = min t of step1;
+    * t2 = min t of step2 with t > t1; …`). Returns one row per user with
+    * one nullable epoch-micros column per step plus `reached` = number
+    * of leading non-null steps.
+    *
+    * Plan shape: one shuffle on `userCol`, then a CHAIN of window
+    * selects (step k's conditional min references step k-1's column) —
+    * all over the same user partitioning, so Spark stacks WindowExec
+    * passes with no further exchange, and the final per-user dedup
+    * (`groupBy(user).agg(min …)` over per-user-constant columns) reuses
+    * it too. Steps are a handful by nature; the chain length is the
+    * funnel depth, not the data size.
+    */
+  def funnel(events: DataFrame, userCol: String, microsCol: Column,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: at least one step")
+    val w = Window.partitionBy(userCol)
+    val base = events.withColumn("_tus", microsCol)
+    val named = steps.map(s => s -> s"t_$s")
+    val stepped = named.zipWithIndex.foldLeft(base) {
+      case (df, ((step, out), i)) =>
+        val hit = col(typeCol) === step &&
+          (if (i == 0) lit(true) else col("_tus") > col(named(i - 1)._2))
+        df.withColumn(out, min(when(hit, col("_tus"))).over(w))
+    }
+    val reached = named.reverse.foldLeft(lit(0L)) {
+      case (tail, (_, out)) => when(col(out).isNotNull, tail + 1L).otherwise(tail)
+    }
+    // `reached` counts LEADING non-nulls: the fold builds
+    // when(t1 set, 1 + when(t2 set, 1 + …)) from the inside out, and a
+    // null step k forces t_{k+1} null too (its condition references it),
+    // so leading-count = total-count of non-nulls.
+    stepped.groupBy(col(userCol))
+      .agg(min(col(named.head._2)).as(named.head._2),
+        named.tail.map { case (_, out) => min(col(out)).as(out) }: _*)
+      .withColumn("reached", reached)
+  }
+}

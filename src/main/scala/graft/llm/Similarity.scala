@@ -605,4 +605,146 @@ object Similarity {
     cosineDup(emb, idCol, vecCol, threshold,
       hyperplanes(cfg.numPlanes, dim), cfg.bits, cfg.tables, scope, maxBucket)
   }
+
+  // ----- product quantization (Jégou et al. 2011, the faiss PQ/ADC recipe) -----
+
+  /** A whole codebook as ONE nested-array Literal node. Expanding m×ksub
+    * codewords into per-scalar literal arms (the [[bestCentroidCol]]
+    * shape) works at IVF's k=8 but makes Catalyst ANALYSIS of the PQ
+    * expressions the dominant cost (~10 s per query at 128 codewords,
+    * measured) — the same analysis blowup `ivfTopKAuto`'s Scaladoc
+    * warns about, solved the same way: the constants live in one value,
+    * the arithmetic in O(1)-size HOFs.
+    */
+  private def cwLit(book: Array[Array[Double]]): Column =
+    typedlit(book.map(_.toSeq).toSeq)
+
+  /** Per-codeword squared-L2 TICK distances of subspace `j` of `v`: an
+    * array of ksub longs. The fold runs in dimension order from a 0.0
+    * seed — bit-identical to the oracle's written-out left-associated
+    * `+` chain (0.0 + t1 == t1 exactly; every term is ≥ 0) — and each
+    * distance is quantized to 1e-6 BIGINT ticks (`round` is half-up on
+    * non-negative doubles in both engines), so every downstream ADC sum
+    * is pure integer arithmetic, immune to float summation order.
+    */
+  private def subDistTicksArr(v: Column, book: Array[Array[Double]], j: Int): Column = {
+    val d = book(0).length
+    val sv = slice(v, j * d + 1, d)
+    transform(cwLit(book), c =>
+      round(aggregate(zip_with(sv, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t) * lit(1e6)).cast("long"))
+  }
+
+  /** PQ code for subspace `j`: index of the L2-nearest codeword,
+    * first-index tiebreak — the argmin runs on TICK distances so the
+    * comparison the oracle replays is integer-exact.
+    */
+  private def subCode(v: Column, book: Array[Array[Double]], j: Int): Column = {
+    val scored = zip_with(subDistTicksArr(v, book, j),
+      sequence(lit(0), lit(book.length - 1)),
+      (t, i) => struct(t.as("d"), i.as("c")))
+    element_at(array_sort(scored), 1).getField("c")
+  }
+
+  /** Train per-subspace PQ codebooks: `m` subspaces of `dim/m` dims, each
+    * with `ksub` codewords from a few L2 Lloyd iterations. Training runs
+    * on a DETERMINISTIC sample — the `sampleCap` lowest-`xxhash64(id)`
+    * rows (a per-partition top-N heap, no global sort) — because at
+    * corpus scale k-means never sees every row (faiss trains PQ on
+    * ~O(256·k) samples); encoding DOES see every row, as one projection.
+    * Only m×ksub×(dim/m) doubles reach the driver.
+    */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int, iters: Int = 4,
+                  sampleCap: Int = 65536): Array[Array[Array[Double]]] = {
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
+    val d = dim / m
+    val sample = emb
+      .select(asDouble(col(vecCol)).as("_v"), xxhash64(col(idCol)).as("_h"))
+      .orderBy("_h").limit(sampleCap)
+      .cache()
+    try {
+      // seeds: the ksub lowest-hash sample rows (deterministic across
+      // runs and partitionings, the ivfCentroids recipe), sliced per
+      // subspace on the driver — ONE job for all m codebooks
+      val seedRows = sample.orderBy("_h").limit(ksub).select("_v").collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(seedRows.length == ksub, s"pqCodebooks: corpus smaller than ksub=$ksub")
+      var books: Array[Array[Array[Double]]] =
+        Array.tabulate(m)(j => seedRows.map(_.slice(j * d, (j + 1) * d)))
+      // each Lloyd iteration is ONE aggregation job covering ALL m
+      // subspaces (a per-subspace loop would pay m× the fixed job cost
+      // for the same shuffle volume): every row explodes to its m
+      // (subspace, code, subvector) assignments, then to per-dimension
+      // values; m×ksub×d partial means reach the driver. Empty cells
+      // keep their previous codeword.
+      (0 until iters).foreach { _ =>
+        val subStructs = (0 until m).map { j =>
+          struct(lit(j).as("_j"), subCode(col("_v"), books(j), j).as("_c"),
+            slice(col("_v"), j * d + 1, d).as("_sv"))
+        }
+        val sums = sample
+          .select(explode(array(subStructs: _*)).as("s"))
+          .select(col("s._j").as("_j"), col("s._c").as("_c"),
+            posexplode(col("s._sv")).as(Seq("_d", "_x")))
+          .groupBy("_j", "_c", "_d").agg(avg(col("_x")).as("_mean"))
+          .collect()
+        val updated = books.map(_.map(_.clone()))
+        sums.foreach(r => updated(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+        books = updated
+      }
+      books
+    } finally sample.unpersist()
+  }
+
+  /** Encode the corpus to PQ codes: `(idCol, code_0 … code_{m-1})`, one
+    * pure projection — ZERO shuffle at any corpus size. The codes are
+    * `m` small ints per vector (m bytes on disk after dictionary/bit
+    * packing) vs `dim` floats — a ~dim·4/m compression of the searchable
+    * representation; at 100 TB of embeddings that is the difference
+    * between an index that fits hot storage and one that doesn't.
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val codeCols = books.indices.map(j => subCode(v, books(j), j).as(s"code_$j"))
+    emb.select(col(idCol) +: codeCols: _*)
+  }
+
+  /** PQ asymmetric-distance top-k: the query keeps its EXACT vector; each
+    * corpus vector is represented only by its code, scored as the sum of
+    * per-subspace query→codeword distances (ADC). Per query the distance
+    * table is ksub×m TICK literals built by the same expression the
+    * encoder used, so the scan does m `element_at` lookups + an integer
+    * sum per row — no per-row vector math at all. Candidates rank by
+    * (adc_ticks ASC, id ASC); output `(q_id, idCol, adc_ticks, rank)`.
+    *
+    * Plan shape: one codes projection scan × broadcast of the per-query
+    * distance tables, then the same per-query top-k window as [[topK]].
+    * The approximation is graded against brute force in the ScalaTest
+    * spec (recall floor), and the oracle replays encode+ADC exactly.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, queryIds: Seq[Long],
+             k: Int, books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val codes = pqEncode(emb, idCol, vecCol, books)
+    val v = asDouble(col(vecCol))
+    // per-query distance tables: for subspace j an array of ksub tick
+    // values, computed DISTRIBUTED on the query rows (metadata-sized
+    // result, broadcast to the scan)
+    val dtCols = (0 until m).map { j =>
+      subDistTicksArr(v, books(j), j).as(s"_dt_$j")
+    }
+    val qd = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("q_id") +: dtCols: _*)
+    val adc = (0 until m).map(j =>
+      element_at(col(s"_dt_$j"), col(s"code_$j") + 1)).reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(qd))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("adc_ticks", adc)
+    val w = Window.partitionBy("q_id").orderBy(col("adc_ticks").asc, col(idCol))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("q_id"), col(idCol), col("adc_ticks"), col("_rn").cast("long").as("rank"))
+  }
 }

@@ -374,4 +374,52 @@ class PlanAuditSpec extends SparkSpec {
         s"an exchange reads the scan with no filter below it:\n$ex")
     }
   }
+
+  test("bm25TopK: term filter below the doc shuffle; idf and query tables broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(0L -> Seq("hash", "join")), k = 5))
+    val bcasts = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.size >= 2, s"expected idf AND query-term broadcasts:\n$p")
+    // the 100 TB property: every exchange that reads the raw corpus scan
+    // sits above the query-term Filter — the shuffle carries term hits,
+    // never the corpus
+    val exchanges = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { ex =>
+      val scansBelow = collectAll[Unit](ex) {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => ()
+        case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => ()
+      }
+      val filtersBelow = collectAll(ex) {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }
+      assert(scansBelow.isEmpty || filtersBelow.nonEmpty,
+        s"an exchange reads the corpus scan with no term filter below it:\n$ex")
+    }
+  }
+
+  test("pqTopK: codes scan never shuffles below the broadcast of the query tables") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val books = graft.llm.Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 4, iters = 1)
+    val p = plan(graft.llm.Similarity.pqTopK(emb, "vec_id", "embedding",
+      Seq(0L, 1L), 3, books))
+    val bcasts = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, s"expected the per-query distance tables to broadcast:\n$p")
+    // the corpus side reaches the ADC score as one un-shuffled projection;
+    // the only exchange is the per-query top-k window above it
+    val streamedShuffles = bcasts.flatMap(j => collectAll(j.children.head) {
+      case s: ShuffleExchangeExec => s
+    }) ++ bcasts.flatMap(j => collectAll(j.children.last) {
+      case s: ShuffleExchangeExec => s
+    })
+    assert(streamedShuffles.isEmpty,
+      s"no shuffle may sit below the ADC broadcast join:\n$p")
+  }
 }

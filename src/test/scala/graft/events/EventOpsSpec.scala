@@ -1,0 +1,74 @@
+package graft.events
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, event_id, micros): user 1 has two sessions split by a >10-gap,
+  // user 2 one single-event session, user 3 exact-gap boundary (NOT split)
+  private def ev = Seq(
+    (1L, 1L, 100L), (1L, 2L, 105L), (1L, 3L, 200L), (1L, 4L, 203L),
+    (2L, 5L, 50L),
+    (3L, 6L, 10L), (3L, 7L, 20L)
+  ).toDF("user_id", "event_id", "tus")
+
+  test("sessionize: gap splits, boundary gap does not, ids number in time order") {
+    val out = EventOps.sessionize(ev, "user_id", col("tus"), "event_id", gapUs = 10L)
+      .orderBy("user_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out === Array(
+      (1L, 1L, 2L, 100L, 105L, 5L),   // 100,105 (gap 5 ≤ 10 holds)
+      (1L, 2L, 2L, 200L, 203L, 3L),   // 200,203 after the 95 gap
+      (2L, 1L, 1L, 50L, 50L, 0L),
+      (3L, 1L, 2L, 10L, 20L, 10L)))   // gap == gapUs is NOT a break (strict >)
+  }
+
+  test("sessionize is partitioning-independent") {
+    val a = EventOps.sessionize(ev, "user_id", col("tus"), "event_id", 10L)
+      .collect().toSet
+    val b = EventOps.sessionize(ev.repartition(7), "user_id", col("tus"), "event_id", 10L)
+      .collect().toSet
+    assert(a === b)
+  }
+
+  test("funnel: steps must advance in time; reached counts leading hits") {
+    val e = Seq(
+      // user 1: full funnel in order
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "buy", 30L),
+      // user 2: click BEFORE the first view — step 2 unreached
+      (2L, "click", 5L), (2L, "view", 10L),
+      // user 3: view+click, the buy ties click's time (strict >: unreached)
+      (3L, "view", 1L), (3L, "click", 7L), (3L, "buy", 7L),
+      // user 4: no step-1 event at all
+      (4L, "buy", 3L)
+    ).toDF("user_id", "event_type", "tus")
+    val out = EventOps.funnel(e, "user_id", col("tus"), "event_type",
+        Seq("view", "click", "buy"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4)))
+    assert(out === Array(
+      (1L, Some(10L), Some(20L), Some(30L), 3L),
+      (2L, Some(10L), None, None, 1L),
+      (3L, Some(1L), Some(7L), None, 2L),
+      (4L, None, None, None, 0L)))
+  }
+
+  test("sessionize plan: exactly one exchange (window + rollup share the user hash)") {
+    val plan = EventOps.sessionize(ev, "user_id", col("tus"), "event_id", 10L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+
+  test("funnel plan: exactly one exchange for the whole step chain") {
+    val e = Seq((1L, "view", 10L)).toDF("user_id", "event_type", "tus")
+    val plan = EventOps.funnel(e, "user_id", col("tus"), "event_type",
+        Seq("view", "click", "buy"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+}

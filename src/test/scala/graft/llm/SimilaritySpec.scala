@@ -240,4 +240,39 @@ class SimilaritySpec extends SparkSpec {
     assert(indexed === direct,
       "the storage-side probe must answer identically to the compute-side operator")
   }
+
+  test("pqCodebooks are deterministic and partition-invariant") {
+    val a = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ksub = 4, iters = 2)
+    val b = Similarity.pqCodebooks(emb.repartition(7), "vec_id", "embedding", m = 4, ksub = 4, iters = 2)
+    assert(a.flatten.flatten.toSeq === b.flatten.flatten.toSeq,
+      "codebooks must be a pure function of the data (seeded by id hash)")
+    assert(a.length === 4 && a.forall(_.length === 4) && a.forall(_.forall(_.length === 2)))
+  }
+
+  test("pqEncode: one small code per subspace, partition-invariant") {
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", 4, 4, 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      .collect().map(r => (r.getLong(0), (1 to 4).map(r.getInt)))
+    assert(codes.length === 30)
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 4)))
+    val codes2 = Similarity.pqEncode(emb.repartition(5), "vec_id", "embedding", books)
+      .collect().map(r => (r.getLong(0), (1 to 4).map(r.getInt))).toSet
+    assert(codes.toSet === codes2)
+  }
+
+  test("pqTopK: ADC over codes alone recovers cluster-mates on clustered data") {
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", 4, 4, 2)
+    val out = Similarity.pqTopK(emb, "vec_id", "embedding", Seq(0L, 1L, 2L), 3, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 9, "3 rows per query")
+    // clusters are i % 3: every ADC hit must be a true cluster-mate
+    assert(out.forall { case (q, id, _, _) => id % 3 == q % 3 && id != q },
+      s"ADC hits must stay in the query's cluster: ${out.mkString(", ")}")
+    // ranks are 1..k with ticks non-decreasing per query
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === Seq(1L, 2L, 3L))
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted.toSeq)
+    }
+  }
 }
