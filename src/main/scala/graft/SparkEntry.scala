@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.analysis.Pca
-import graft.core.{ColumnMeta, Opset}
+import graft.analysis.{Pca, Sketches}
+import graft.core.{ColumnMeta, Opset, Profile}
 import graft.dsp.SignalOps
 import graft.instants.{Indicators, Selector, Splits}
 import graft.instants.Indicators.IndicatorCode
@@ -873,9 +873,48 @@ object SparkEntry {
     * `ts`, hashed into [0, DsirBuckets) — the NON-distinct twin of the
     * decontamination gram CTE (DSIR counts every occurrence).
     */
-  private def dsirGramSql(n: Int): String =
+  /** DuckDB list of hashed word-n-gram INSTANCE buckets over `tok.ts` —
+    * the SQL twin of `graft_gram_buckets` (one element per position,
+    * short texts yield one empty-string gram).
+    */
+  private def gramListSql(n: Int, buckets: Int): String =
     s"list_transform(generate_series(1, greatest(len(ts) - ${n - 1}, 1)), " +
-      s"i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(ts, i, i + ${n - 1}), ' ')), 1, 8)) AS BIGINT) % $DsirBuckets)"
+      s"i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(ts, i, i + ${n - 1}), ' ')), 1, 8)) AS BIGINT) % $buckets)"
+
+  private def dsirGramSql(n: Int): String = gramListSql(n, DsirBuckets)
+
+  /** Lineitem columns × profile kind, name-sorted like the Spark side's
+    * schema sort; drives [[profileSql]].
+    */
+  private val ProfileCols: Seq[(String, String)] = Seq(
+    "l_discount" -> "num", "l_extendedprice" -> "num", "l_linenumber" -> "num",
+    "l_linestatus" -> "str", "l_orderkey" -> "num", "l_partkey" -> "num",
+    "l_quantity" -> "num", "l_returnflag" -> "str", "l_shipdate" -> "ts",
+    "l_suppkey" -> "num", "l_tax" -> "num")
+
+  /** One UNION ALL branch per profiled column — the DuckDB twin of
+    * [[Profile.profile]]'s unpivoted single-pass aggregation (numeric
+    * bounds as rounded doubles, timestamps as epoch micros, string
+    * bounds as lengths).
+    */
+  private def profileSql: String =
+    ProfileCols.map { case (c, kind) =>
+      val (minN, maxN) = kind match {
+        case "num" => (s"round(CAST(min($c) AS DOUBLE), 6)", s"round(CAST(max($c) AS DOUBLE), 6)")
+        case "ts" => (s"round(CAST(min(epoch_us($c)) AS DOUBLE), 6)",
+          s"round(CAST(max(epoch_us($c)) AS DOUBLE), 6)")
+        case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      }
+      val (minL, maxL) =
+        if (kind == "str") (s"CAST(min(length($c)) AS BIGINT)", s"CAST(max(length($c)) AS BIGINT)")
+        else ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  $minN AS min_num, $maxN AS max_num,
+         |  $minL AS min_len, $maxL AS max_len
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
 
   /** DuckDB CTE chain re-deriving [[Pipeline.importanceWeights]]:
     * `dsg` (unigram+bigram bucket instances), `dtg` (target slice),
@@ -1097,6 +1136,25 @@ object SparkEntry {
   private val Bm25K = 10
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
+
+  // HLL precision shared by the sketch_hll query/oracle: p=9 -> 512
+  // registers (~4.6% relative error) -- small enough that the linear-
+  // counting branch is EXERCISED at the gate SFs (150 distinct users
+  // << 2.5m) while the raw-estimator branch is exercised by the spec's
+  // generated corpora.
+  private val HllP = 9
+
+  // Bigram-LM bucket sizes shared by the text_perplexity query/oracle:
+  // the test vocabulary is ~30 words (~900 possible bigrams), so 2048/8192
+  // buckets keep hash collisions rare without making the broadcast tables
+  // less than trivially metadata-sized.
+  private val PplUniBuckets = 2048
+  private val PplBigBuckets = 8192
+
+  // Attribution window shared by the stream_join query/oracle: views in
+  // the hour before each click of the same user (46 pairs at sf0.01).
+  private val JoinLookback = "1 hour"
+  private val JoinLookbackUs = 3600L * 1000000
 
   // Embedding-LSH parameters shared by ann_* / dedup_cosine query/oracles.
   private val EmbDim = 64
@@ -1749,6 +1807,52 @@ object SparkEntry {
         .orderBy("fp")
     },
 
+    // -- Structured Streaming interval join (row 39) --
+    // Land-and-grade for StreamOps.intervalJoin: events replays as a
+    // bounded one-file stream read TWICE (clicks side, views side, each
+    // its own scan of the staged file), the watermarked time-range inner
+    // join runs in append mode, and with one micro-batch every matched
+    // pair lands exactly once. The event-time column branches on the ts
+    // vintage like stream_counts (interval arithmetic is exact micros on
+    // both branches), and the graded surface is integer micros only.
+    // Oracle = the batch self-join with the same range predicate.
+    "stream_join" -> { (s, dir) =>
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val outPath = java.nio.file.Files.createTempDirectory("graft-stream-ij")
+      deleteAtExit(outPath)
+      val out = outPath.toString
+      val in = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(out, "in"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        in.resolve("events.parquet"))
+      def et: Column = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000"))
+        case org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType =>
+          col("ts").cast("timestamp")
+        case other => throw new IllegalArgumentException(
+          s"stream_join: unsupported events.ts type $other")
+      }
+      def side(tpe: String, prefix: String): DataFrame =
+        s.readStream.schema(schema).parquet(in.toString)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(s"${prefix}_user"),
+            col("event_id").as(s"${prefix}_id"), et.as(s"${prefix}_et"))
+      val joined = graft.streaming.StreamOps.intervalJoin(
+          side("click", "c"), side("view", "v"),
+          col("c_user") === col("v_user"), "c_et", "v_et",
+          JoinLookback, "1 hour")
+        .select(col("c_id").as("click_id"), col("v_id").as("view_id"),
+          (unix_micros(col("c_et")) - unix_micros(col("v_et"))).as("delay_us"))
+      graft.streaming.StreamOps.writeOpsetStore(
+        joined, s"$out/rows", s"$out/ckpt").awaitTermination()
+      deleteTree(in)
+      deleteTree(java.nio.file.Paths.get(out, "ckpt"))
+      s.read.parquet(s"$out/rows").orderBy("click_id", "view_id")
+    },
+
     // -- Structured Streaming running argmax (row 39) --
     // Land-and-grade for StreamOps.runningArgmax: the canonical opset
     // signal frame (record, t, value) — batch-prepared so stream and
@@ -1798,6 +1902,25 @@ object SparkEntry {
       EventOps.funnel(ev, "user_id", EventOps.eventMicros(ev, "ts"),
           "event_type", FunnelSteps)
         .orderBy("user_id")
+    },
+
+    "events_retention" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      EventOps.retention(ev, "user_id", EventOps.eventMicros(ev, "ts"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    // -- Deterministic HLL distinct-count sketch (row 58) --
+    "sketch_hll" -> { (s, dir) =>
+      Sketches.hll(s.read.parquet(s"$dir/events.parquet"),
+          Seq("event_type"), col("user_id"), HllP)
+        .orderBy("event_type")
+    },
+
+    // -- Schema-dynamic table profiling (row 59) --
+    "profile_table" -> { (s, dir) =>
+      Profile.profile(s.read.parquet(s"$dir/lineitem.parquet"))
+        .orderBy("column")
     },
 
     // -- LLM: SimHash near-dedup (row 29) --
@@ -2027,6 +2150,13 @@ object SparkEntry {
     "text_commonness" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.commonness(docs, TextAnalysis.vocabulary(docs, "text", VocabK))
+        .orderBy("doc_id")
+    },
+
+    // -- LLM: hashed bigram-LM perplexity scoring (row 60) --
+    "text_perplexity" -> { (s, dir) =>
+      TextAnalysis.bigramNll(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", None, PplUniBuckets, PplBigBuckets)
         .orderBy("doc_id")
     },
 
@@ -2431,6 +2561,18 @@ object SparkEntry {
       """SELECT DISTINCT md5(text) AS fp, CAST(length(text) AS BIGINT) AS len
         |FROM documents ORDER BY fp""".stripMargin,
 
+    "stream_join" ->
+      // batch twin of the watermarked interval join: same range
+      // predicate on truncated-to-micros event times (both ts vintages)
+      s"""SELECT c.event_id AS click_id, v.event_id AS view_id,
+         |       epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+         |FROM events c JOIN events v
+         |  ON c.user_id = v.user_id
+         | AND c.event_type = 'click' AND v.event_type = 'view'
+         | AND epoch_us(v.ts) <= epoch_us(c.ts)
+         | AND epoch_us(v.ts) >= epoch_us(c.ts) - $JoinLookbackUs
+         |ORDER BY click_id, view_id""".stripMargin,
+
     "events_sessions" ->
       // integer epoch-micros end to end (epoch_us reads both ts
       // vintages, the stream_counts precedent); ORDER BY (tus, event_id)
@@ -2480,6 +2622,57 @@ object SparkEntry {
          |  FROM f3 GROUP BY user_id
          |) ORDER BY user_id""".stripMargin
     },
+
+    "events_retention" ->
+      // integer epoch-DAY indexes (micros div 86400e6), the same exact-
+      // BIGINT surface as the other events_* rows
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+        |), f AS (
+        |  SELECT user_id, min(d) AS c0 FROM e GROUP BY user_id
+        |), cell AS (
+        |  SELECT DISTINCT e.user_id, f.c0 AS cohort_day, e.d - f.c0 AS day_offset
+        |  FROM e JOIN f USING (user_id)
+        |)
+        |SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+        |FROM cell GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "sketch_hll" -> {
+      // re-derives the registers exactly (top-9 md5 bits bucket, rank =
+      // leading zeros of the low 23 bits) and the fixed-point register
+      // sum in pure integers; the only float ops are the two estimator
+      // branches, once per GROUP, quantized to 1e-6 like every ln here.
+      val a = Sketches.alphaNumerator(HllP)
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+         |  FROM events
+         |), r AS (
+         |  SELECT event_type, hv >> 23 AS bucket,
+         |         CASE WHEN hv & 8388607 = 0 THEN 24
+         |              ELSE 24 - length(bin(hv & 8388607)) END AS rho
+         |  FROM h
+         |), reg AS (
+         |  SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY event_type, bucket
+         |), agg AS (
+         |  SELECT event_type, count(*) AS nb,
+         |         CAST(sum(CAST(1 AS BIGINT) << (24 - mj)) AS BIGINT) AS sobs
+         |  FROM reg GROUP BY event_type
+         |), fin AS (
+         |  SELECT event_type, CAST(512 AS INTEGER) AS m, 512 - nb AS zeros,
+         |         sobs + (512 - nb) * 16777216 AS s_fixed
+         |  FROM agg
+         |)
+         |SELECT event_type, m, zeros, s_fixed,
+         |       floor((CASE WHEN zeros > 0 AND $a / s_fixed <= 1280.0
+         |                   THEN 512.0 * ln(512.0 / zeros)
+         |                   ELSE $a / s_fixed END) * 1000000.0 + 0.5) / 1000000.0
+         |         AS distinct_est
+         |FROM fin ORDER BY event_type""".stripMargin
+    },
+
+    "profile_table" -> profileSql,
 
     "stream_argmax" ->
       // batch twin of the streaming detector's final state: per record the
@@ -2820,6 +3013,41 @@ object SparkEntry {
          |  round(CASE WHEN coalesce(a.nv, 0) = 0 THEN 0.0
          |             ELSE a.s * 1.0 / a.nv END, 6) AS mean_vocab_freq
          |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity" ->
+      // re-derives the hashed bigram LM: training counts over ALL gram
+      // positions (incl. the short-text convention), per-bucket ln
+      // quantized to exact 1e-6 BIGINT ticks (the dsir recipe), scoring
+      // pairs = (context unigram bucket, bigram bucket) per transition.
+      // The context bucket always hits qu (self-trained model); an
+      // unseen bigram bucket scores ln(α)=0 ticks for α=1.
+      s"""WITH $TokCte, pu AS (
+         |  SELECT unnest(${gramListSql(1, PplUniBuckets)}) AS bu FROM tok
+         |), qu AS (
+         |  SELECT bu, CAST(floor(ln(count(*) + ${1.0 * PplBigBuckets}) * 1000000.0 + 0.5) AS BIGINT) AS tu
+         |  FROM pu GROUP BY bu
+         |), pb AS (
+         |  SELECT unnest(${gramListSql(2, PplBigBuckets)}) AS bb FROM tok
+         |), qb AS (
+         |  SELECT bb, CAST(floor(ln(count(*) + 1.0) * 1000000.0 + 0.5) AS BIGINT) AS tb
+         |  FROM pb GROUP BY bb
+         |), prs AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+         |      i -> CAST(concat('0x', substr(md5(ts[i]), 1, 8)) AS BIGINT) % $PplUniBuckets)) AS bu,
+         |    unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+         |      i -> CAST(concat('0x', substr(md5(concat(ts[i], ' ', ts[i + 1])), 1, 8)) AS BIGINT) % $PplBigBuckets)) AS bb
+         |  FROM tok
+         |), sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS np,
+         |         CAST(sum(tu - coalesce(tb, 0)) AS BIGINT) AS st
+         |  FROM prs JOIN qu USING (bu) LEFT JOIN qb USING (bb)
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(np, CAST(0 AS BIGINT)) AS n_pairs,
+         |       CASE WHEN np IS NULL THEN NULL ELSE (st / 1000000.0) / np END AS mean_nll
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_passages" ->
       s"""WITH $TokCte, pg AS (

@@ -108,4 +108,33 @@ object EventOps {
         named.tail.map { case (_, out) => min(col(out)).as(out) }: _*)
       .withColumn("reached", reached)
   }
+
+  /** Cohort retention: users cohorted by the UTC day of their first
+    * event; each cell counts the distinct users of cohort `cohort_day`
+    * active `day_offset` days later. Returns
+    * `(cohort_day, day_offset, n_users)` with days as integer epoch-day
+    * indexes (micros div 86400e6 — exact BIGINTs, like everything here).
+    *
+    * Plan shape: the cohort day is a window `min` over the same user
+    * hash partition as [[sessionize]] (shuffle 1); the per-cell distinct
+    * then needs only a LOCAL dedup — `(cohort, offset, user)` clusters
+    * by user, which the existing partitioning already satisfies (Spark's
+    * subset rule: HashPartitioning(user) satisfies
+    * ClusteredDistribution(cohort, offset, user)) — so no exchange is
+    * added between the window and the dedup, and the final count shuffles
+    * only one row per (cohort, offset, user) triple, which is bounded by
+    * users × active-days, not by event volume.
+    */
+  def retention(events: DataFrame, userCol: String, microsCol: Column): DataFrame = {
+    val w = Window.partitionBy(userCol)
+    events
+      .withColumn("_tus", microsCol)
+      .withColumn("_day", expr("_tus div 86400000000"))
+      .withColumn("_c0", min(col("_day")).over(w))
+      .select(col("_c0").as("cohort_day"),
+        (col("_day") - col("_c0")).as("day_offset"), col(userCol))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -230,6 +230,86 @@ object TextAnalysis {
           .otherwise(col("_s").cast("double") / col("_nv")), 6).as("mean_vocab_freq"))
   }
 
+  /** Hashed bigram language-model scoring (the CCNet/KenLM quality
+    * idea re-expressed over hashed n-gram buckets): train unigram and
+    * bigram bucket counts on `model` (default: the corpus itself), then
+    * score every document's mean per-transition negative log-likelihood
+    * under the smoothed conditional
+    * `p(w_i|w_{i-1}) = (c_big + α) / (c_uni + α·bigBuckets)`. Low
+    * `mean_nll` = text whose transitions the corpus has seen (fluent
+    * boilerplate scores low, gibberish high) — the standard
+    * perplexity-style quality filter, deliberately left in nats without
+    * the final `exp` (exp's libm rounding differs across engines; the
+    * monotone surface filters identically). Returns
+    * `(idCol, n_pairs, mean_nll)` with `mean_nll` NULL for docs with
+    * fewer than two tokens.
+    *
+    * Determinism contract (the [[graft.llm.Pipeline.importanceWeights]]
+    * recipe): both `ln`s are quantized to exact 1e-6 BIGINT ticks at
+    * BUCKET granularity, so the data-sized per-document sum is pure
+    * integer arithmetic; the mean divides two exact integers at the
+    * end. An unseen bigram bucket scores `ln(α)` ticks computed
+    * JVM-side — exactly 0 for the default α=1, which keeps the graded
+    * surface libm-free (unseen CONTEXT buckets cannot occur when the
+    * model is the corpus itself).
+    *
+    * Scale shape: two training aggregations (map-side combined,
+    * metadata-sized outputs ≤ uniBuckets/bigBuckets rows) broadcast to
+    * one scoring scan — three scans total, nothing data-sized shuffles
+    * except the per-doc integer sum. Native one-pass gram hashing
+    * (`graft_gram_buckets`) on the hot path, HOF fallback in plain
+    * sessions.
+    */
+  def bigramNll(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                model: Option[DataFrame] = None,
+                uniBuckets: Int = 2048, bigBuckets: Int = 8192,
+                alpha: Double = 1.0): DataFrame = {
+    require(uniBuckets > 0 && bigBuckets > 0, "bigramNll: bucket counts must be positive")
+    require(alpha > 0, "bigramNll: alpha must be positive (a zero bucket has no finite log)")
+    import org.apache.spark.sql.functions.broadcast
+    def gramB(text: Column, n: Int, buckets: Int): Column =
+      if (graft.functions.Native.registered)
+        call_function("graft_gram_buckets", text, lit(n.toString), lit(buckets))
+      else {
+        val toks = Dedup.tokens(text)
+        transform(
+          sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+          i => Dedup.md5Hash32(concat_ws(" ", slice(toks, i, lit(n)))) % buckets)
+      }
+    val train = model.getOrElse(docs)
+    val qu = train.select(explode(gramB(col(textCol), 1, uniBuckets)).as("_bu"))
+      .groupBy("_bu").agg(count(lit(1)).as("_cu"))
+      .select(col("_bu"),
+        floor(log(col("_cu") + alpha * bigBuckets) * 1e6 + 0.5).cast("long").as("_tu"))
+    val qb = train.select(explode(gramB(col(textCol), 2, bigBuckets)).as("_bb"))
+      .groupBy("_bb").agg(count(lit(1)).as("_cb"))
+      .select(col("_bb"),
+        floor(log(col("_cb") + alpha) * 1e6 + 0.5).cast("long").as("_tb"))
+    val defU = math.floor(math.log(alpha * bigBuckets) * 1e6 + 0.5).toLong
+    val defB = math.floor(math.log(alpha) * 1e6 + 0.5).toLong
+    // Transition i pairs context bucket uni[i] with bigram bucket big[i],
+    // i ∈ [1, n_tokens−1]; explode_outer keeps <2-token docs as one
+    // null-pair row so they survive to the output with n_pairs = 0.
+    val scored = docs
+      .select(col(idCol), gramB(col(textCol), 1, uniBuckets).as("_ua"),
+        gramB(col(textCol), 2, bigBuckets).as("_ba"))
+      .withColumn("_np", greatest(size(col("_ua")) - 1, lit(0)))
+      .select(col(idCol), explode_outer(
+        zip_with(slice(col("_ua"), lit(1), col("_np")),
+          slice(col("_ba"), lit(1), col("_np")),
+          (u, b) => struct(u.as("bu"), b.as("bb")))).as("_p"))
+      .select(col(idCol), col("_p.bu").as("_bu"), col("_p.bb").as("_bb"))
+    scored
+      .join(broadcast(qu), Seq("_bu"), "left")
+      .join(broadcast(qb), Seq("_bb"), "left")
+      .groupBy(idCol)
+      .agg(count(col("_bu")).as("n_pairs"),
+        sum(when(col("_bu").isNotNull,
+          coalesce(col("_tu"), lit(defU)) - coalesce(col("_tb"), lit(defB)))).as("_st"))
+      .select(col(idCol), col("n_pairs"),
+        ((col("_st") / 1e6) / col("n_pairs")).as("mean_nll"))
+  }
+
   /** PII patterns for detection/redaction before training-data release.
     * Every construct (char classes, bounded repetition, `\b`) means the
     * same thing to Java regex (Spark) and RE2 (DuckDB/ripgrep), so the

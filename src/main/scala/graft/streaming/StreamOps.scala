@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -175,6 +175,32 @@ object StreamOps {
     claims.groupBy(col("docId").as("doc_id"))
       .agg(min(when(col("ownerId") =!= col("docId"), col("ownerId"))).as("dup_of"))
       .withColumn("is_dup", col("dup_of").isNotNull)
+
+  /** Watermarked stream-stream interval join — the attribution shape:
+    * each `effects` row (e.g. a click) pairs with every `causes` row
+    * (e.g. a view) of the same key whose event time falls in
+    * `[effect − lookback, effect]`. Both inputs must be STREAMING
+    * DataFrames with distinct column names (callers project/rename
+    * first); the result is an append-mode inner join.
+    *
+    * State bound: the time-range predicate plus the two watermarks give
+    * Spark a provable eviction horizon — a cause row is dropped from
+    * state once the effect-side watermark passes `causeTime + lookback`,
+    * so state is O(key-rate × (lookback + watermark delay)), never
+    * unbounded. That horizon is the whole design: an un-ranged
+    * stream-stream join would have to keep both sides forever. The join
+    * itself hash-partitions both sides on the key — one co-shuffle, the
+    * same exchange a batch join of the two streams would pay.
+    */
+  def intervalJoin(effects: DataFrame, causes: DataFrame,
+                   joinKeys: Column, effectTime: String, causeTime: String,
+                   lookback: String, watermarkDelay: String): DataFrame = {
+    val e = effects.withWatermark(effectTime, watermarkDelay)
+    val c = causes.withWatermark(causeTime, watermarkDelay)
+    e.join(c, joinKeys &&
+      col(causeTime) <= col(effectTime) &&
+      col(causeTime) >= col(effectTime) - expr(s"INTERVAL $lookback"))
+  }
 
   /** Land an UPDATE-mode stream (e.g. [[streamingNearDupClaims]], whose
     * stateful operator emits updates) into an append-only parquet

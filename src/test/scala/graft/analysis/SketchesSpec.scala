@@ -1,0 +1,68 @@
+package graft.analysis
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference md5-prefix hash, mirroring Dedup.md5Hash32. */
+  private def refHash(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("hllRegisters matches a per-key reference computation") {
+    val keys = (1 to 200).map(i => s"k$i")
+    val regs = Sketches.hllRegisters(keys.map(("g", _)).toDF("g", "k"), Seq("g"), col("k"), p = 9)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val expected = keys.map(refHash).groupBy(_ >> 23).map { case (b, hs) =>
+      b -> hs.map { h =>
+        val rem = h & ((1L << 23) - 1)
+        if (rem == 0) 24 else 24 - java.lang.Long.toBinaryString(rem).length
+      }.max
+    }
+    assert(regs === expected)
+  }
+
+  test("estimate lands within the published error band on 20k distinct keys") {
+    val df = (1 to 20000).map(i => ("g", s"key-$i")).toDF("g", "k")
+    val est = Sketches.hll(df, Seq("g"), col("k"), 9)
+      .select("distinct_est").as[Double].head()
+    // rse ≈ 1.04/√512 = 4.6%; allow 3σ
+    assert(math.abs(est - 20000) / 20000.0 < 0.14, s"est=$est")
+  }
+
+  test("linear-counting branch engages for tiny cardinalities") {
+    val df = (1 to 40).map(i => ("g", s"x$i")).toDF("g", "k")
+    val row = Sketches.hll(df, Seq("g"), col("k"), 9).head()
+    assert(row.getAs[Long]("zeros") > 400L)
+    assert(math.abs(row.getAs[Double]("distinct_est") - 40.0) < 6.0)
+  }
+
+  test("register merge equals the sketch of the unioned data") {
+    val a = (1 to 500).map(i => ("g", s"k$i")).toDF("g", "k")
+    val b = (300 to 900).map(i => ("g", s"k$i")).toDF("g", "k")
+    val merged = Sketches.hllEstimate(
+      Sketches.hllMergeRegisters(
+        Seq(Sketches.hllRegisters(a, Seq("g"), col("k")),
+          Sketches.hllRegisters(b, Seq("g"), col("k"))), Seq("g")), Seq("g"))
+    val direct = Sketches.hll(a.unionAll(b), Seq("g"), col("k"))
+    assert(merged.collect().toSeq === direct.collect().toSeq)
+  }
+
+  test("duplicate keys do not move the sketch") {
+    val once = (1 to 1000).map(i => ("g", s"k$i"))
+    val e1 = Sketches.hll(once.toDF("g", "k"), Seq("g"), col("k")).collect().toSeq
+    val e2 = Sketches.hll((once ++ once ++ once).toDF("g", "k"), Seq("g"), col("k"))
+      .collect().toSeq
+    assert(e1 === e2)
+  }
+
+  test("plan: both aggregations map-side combine; shuffles carry register rows only") {
+    val df = (1 to 100).map(i => ("g", s"k$i")).toDF("g", "k")
+    val plan = Sketches.hll(df, Seq("g"), col("k")).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2, s"plan:\n$plan")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.core
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: one row per column with type-appropriate stats") {
+    // 2024-01-01T00:00:00Z / 2024-01-02T00:00:00Z as epoch millis — no
+    // JVM-default-timezone dependence
+    val t1 = new Timestamp(1704067200000L)
+    val t2 = new Timestamp(1704153600000L)
+    val df = Seq(
+      (1L, Option(2.5), "ab", t1),
+      (2L, Option.empty[Double], "abcd", t2),
+      (2L, Option(4.0), "a", t1)
+    ).toDF("id", "x", "s", "t")
+    val out = Profile.profile(df).collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("id", "s", "t", "x"))
+    val id = out("id")
+    assert(id.getAs[Long]("n_rows") === 3L)
+    assert(id.getAs[Long]("n_null") === 0L)
+    assert(id.getAs[Long]("n_distinct") === 2L)
+    assert(id.getAs[Double]("min_num") === 1.0)
+    assert(id.getAs[Double]("max_num") === 2.0)
+    assert(id.isNullAt(id.fieldIndex("min_len")))
+    val x = out("x")
+    assert(x.getAs[Long]("n_null") === 1L)
+    assert(x.getAs[Long]("n_distinct") === 2L)
+    assert(x.getAs[Double]("min_num") === 2.5)
+    assert(x.getAs[Double]("max_num") === 4.0)
+    val s_ = out("s")
+    assert(s_.getAs[Long]("min_len") === 1L)
+    assert(s_.getAs[Long]("max_len") === 4L)
+    assert(s_.isNullAt(s_.fieldIndex("min_num")))
+    val t = out("t")
+    assert(t.getAs[Double]("min_num") === 1.7040672e15)
+    assert(t.getAs[Double]("max_num") === 1.7041536e15)
+    assert(t.getAs[Long]("n_distinct") === 2L)
+  }
+
+  test("profile of an empty table: zero counts, null bounds") {
+    val out = Profile.profile(Seq.empty[(Long, String)].toDF("id", "s")).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[Long]("n_rows") == 0L))
+    assert(out.forall(_.getAs[Long]("n_distinct") == 0L))
+    assert(out.forall(r =>
+      r.isNullAt(r.fieldIndex("min_num")) && r.isNullAt(r.fieldIndex("min_len"))))
+  }
+
+  test("profile rows come back in column-name order") {
+    val df = Seq((1, "z")).toDF("zz", "aa")
+    assert(Profile.profile(df).collect().map(_.getString(0)).toSeq === Seq("aa", "zz"))
+  }
+}

@@ -71,4 +71,42 @@ class EventOpsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 1, s"expected 1 shuffle, plan:\n$plan")
   }
+
+  // one day = 86_400_000_000 µs; users cohort by first-event day
+  private val Day = 86400000000L
+
+  test("retention: cohort by first-event day, distinct users per offset cell") {
+    val e = Seq(
+      // user 1: first on day 0, active days 0, 0 (twice), 2
+      (1L, 0L), (1L, 10L), (1L, 2 * Day + 5),
+      // user 2: first on day 0, active day 1
+      (2L, 100L), (2L, Day + 3),
+      // user 3: first on day 1 only
+      (3L, Day + 50L)
+    ).toDF("user_id", "tus")
+    val out = EventOps.retention(e, "user_id", col("tus"))
+      .orderBy("cohort_day", "day_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array(
+      (0L, 0L, 2L),  // users 1, 2 on their first day
+      (0L, 1L, 1L),  // user 2
+      (0L, 2L, 1L),  // user 1
+      (1L, 0L, 1L))) // user 3's cohort
+  }
+
+  test("retention is partitioning-independent") {
+    val e = Seq((1L, 0L), (1L, Day), (2L, 5L)).toDF("user_id", "tus")
+    assert(EventOps.retention(e, "user_id", col("tus")).collect().toSet ===
+      EventOps.retention(e.repartition(7), "user_id", col("tus")).collect().toSet)
+  }
+
+  test("retention plan: the per-cell dedup reuses the user hash (2 exchanges total)") {
+    val e = Seq((1L, 0L)).toDF("user_id", "tus")
+    val plan = EventOps.retention(e, "user_id", col("tus"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // window shuffle on user + final (cohort, offset) count — the
+    // intermediate distinct must NOT add a third
+    assert(exchanges === 2, s"expected 2 shuffles, plan:\n$plan")
+  }
 }

@@ -118,4 +118,34 @@ class TextAnalysisSpec extends SparkSpec {
     val red = docs.select(TextAnalysis.redactPii(col("text"))).head().getString(0)
     assert(red === "<EMAIL> ok")
   }
+
+  test("bigramNll scores transitions under the corpus bigram model (hand-checked)") {
+    // corpus: d1=[a,b,a] d2=[a,b] d3=[c]; unigram counts a=3 b=2 c=1,
+    // bigram counts "a b"=2 "b a"=1 "c"=1 (the <2-token convention gram)
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(docs).orderBy("doc_id").collect()
+    def q(x: Double): Double = math.floor(math.log(x) * 1e6 + 0.5)
+    val tuA = q(3 + 8192.0); val tuB = q(2 + 8192.0)
+    val tbAB = q(2 + 1.0); val tbBA = q(1 + 1.0)
+    val d1 = ((tuA - tbAB) + (tuB - tbBA)) / 1e6 / 2
+    val d2 = (tuA - tbAB) / 1e6 / 1
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0).getLong(1) === 2L && out(0).getDouble(2) === d1)
+    assert(out(1).getLong(1) === 1L && out(1).getDouble(2) === d2)
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(2))
+  }
+
+  test("bigramNll: corpus-frequent transitions score lower than novel ones") {
+    val fluent = (1L to 20L).map(i => (i, "the quick fox jumps"))
+    val docs = (fluent :+ (99L, "zeta qoph vav waw")).toDF("doc_id", "text")
+    val nll = TextAnalysis.bigramNll(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(1L) < nll(99L))
+  }
+
+  test("bigramNll is partitioning-independent") {
+    val docs = Seq((1L, "a b c a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramNll(docs).collect().toSet ===
+      TextAnalysis.bigramNll(docs.repartition(5)).collect().toSet)
+  }
 }

@@ -163,4 +163,30 @@ class StreamOpsSpec extends SparkSpec {
     q2.awaitTermination()
     assert(Opset.load(spark, s"$dir/store").df.count() === 3L)
   }
+
+  test("intervalJoin pairs effects with in-window causes per key") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val joined = StreamOps.intervalJoin(
+        clicks.toDF().toDF("c_et", "c_user", "c_id"),
+        views.toDF().toDF("v_et", "v_user", "v_id"),
+        col("c_user") === col("v_user"), "c_et", "v_et",
+        "10 seconds", "1 minute")
+      .select("c_id", "v_id")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      views.addData((ts(1000), 1L, 10L), (ts(1005), 1L, 11L), (ts(1030), 1L, 12L),
+        (ts(1005), 2L, 20L))
+      clicks.addData((ts(1008), 1L, 1L), (ts(1031), 1L, 2L))
+      q.processAllAvailable()
+      val rows = spark.table("ij_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // click 1 @1008s (user 1): views @1000,@1005 inside [−10 s, 0];
+      // click 2 @1031s: view @1030 inside, @1000/@1005 too old; user 2's
+      // view never matches
+      assert(rows === Set((1L, 10L), (1L, 11L), (2L, 12L)))
+    } finally q.stop()
+  }
 }
