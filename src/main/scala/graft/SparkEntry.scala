@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.analysis.{Pca, Sketches}
+import graft.analysis.{Pca, Sketches, Stats}
 import graft.core.{ColumnMeta, Opset, Profile}
 import graft.dsp.SignalOps
 import graft.instants.{Indicators, Selector, Splits}
@@ -1156,6 +1156,15 @@ object SparkEntry {
   private val JoinLookback = "1 hour"
   private val JoinLookbackUs = 3600L * 1000000
 
+  // Quantile probes shared by the stats_quantiles query/oracle.
+  private val QuantilePs = Seq(0.5, 0.9, 0.99)
+
+  // Collocation parameters shared by the text_collocations query/oracle:
+  // the ~30-word test vocabulary repeats pairs heavily, so minCount=5
+  // actually filters and k=50 cuts a real boundary.
+  private val CollMinCount = 5L
+  private val CollK = 50
+
   // Embedding-LSH parameters shared by ann_* / dedup_cosine query/oracles.
   private val EmbDim = 64
   private val LshBits = 4
@@ -1807,6 +1816,48 @@ object SparkEntry {
         .orderBy("fp")
     },
 
+    // -- Structured Streaming session windows (row 39) --
+    // Land-and-grade for StreamOps.sessionWindowCounts: events replays
+    // as a bounded stream with ONE sentinel event staged a year past the
+    // data's horizon — session windows only support APPEND output (a
+    // session emits exactly once, when the watermark closes it), so the
+    // sentinel pushes the final watermark beyond every real session's
+    // end and the closing no-data micro-batch flushes them all. The
+    // sentinel's own session never closes and so never lands (it is
+    // also filtered defensively). Oracle = the lag/running-sum batch
+    // sessionization with session_window's >= gap break, integer
+    // micros end to end.
+    "stream_sessions" -> { (s, dir) =>
+      import s.implicits._
+      val path = s"$dir/events.parquet"
+      val ev = s.read.parquet(path)
+      val outPath = java.nio.file.Files.createTempDirectory("graft-stream-sw")
+      deleteAtExit(outPath)
+      val out = outPath.toString
+      val in = s"$out/in"
+      val prepped = ev.select(col("user_id"),
+        timestamp_micros(EventOps.eventMicros(ev, "ts")).as("et"))
+      val horizon = prepped.agg(max(unix_micros(col("et")))).head().getLong(0)
+      prepped.unionAll(Seq((-1L, horizon + 365L * 86400 * 1000000))
+          .toDF("user_id", "us").select(col("user_id"),
+            timestamp_micros(col("us")).as("et")))
+        .write.parquet(in)
+      val sess = graft.streaming.StreamOps.sessionWindowCounts(
+        s.readStream.schema(prepped.schema).parquet(in),
+        "et", "user_id", "6 hours", "1 hour")
+      graft.streaming.StreamOps.writeOpsetStore(
+        sess, s"$out/rows", s"$out/ckpt").awaitTermination()
+      deleteTree(java.nio.file.Paths.get(in))
+      deleteTree(java.nio.file.Paths.get(out, "ckpt"))
+      s.read.parquet(s"$out/rows")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          unix_micros(col("session.start")).as("sess_start_us"),
+          unix_micros(col("session.end")).as("sess_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "sess_start_us")
+    },
+
     // -- Structured Streaming interval join (row 39) --
     // Land-and-grade for StreamOps.intervalJoin: events replays as a
     // bounded one-file stream read TWICE (clicks side, views side, each
@@ -1908,6 +1959,20 @@ object SparkEntry {
       val ev = s.read.parquet(s"$dir/events.parquet")
       EventOps.retention(ev, "user_id", EventOps.eventMicros(ev, "ts"))
         .orderBy("cohort_day", "day_offset")
+    },
+
+    "events_latest" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      EventOps.latestSnapshot(ev, Seq("user_id", "event_type"),
+          EventOps.eventMicros(ev, "ts"), "event_id", Seq("value"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // -- Exact pinned-formula quantiles (row 62) --
+    "stats_quantiles" -> { (s, dir) =>
+      Stats.quantiles(s.read.parquet(s"$dir/events.parquet"),
+          Seq("event_type"), col("value"), QuantilePs)
+        .orderBy("event_type", "p")
     },
 
     // -- Deterministic HLL distinct-count sketch (row 58) --
@@ -2158,6 +2223,13 @@ object SparkEntry {
       TextAnalysis.bigramNll(s.read.parquet(s"$dir/documents.parquet"),
           "doc_id", "text", None, PplUniBuckets, PplBigBuckets)
         .orderBy("doc_id")
+    },
+
+    // -- LLM: PMI collocations (row 63) --
+    "text_collocations" -> { (s, dir) =>
+      TextAnalysis.collocations(s.read.parquet(s"$dir/documents.parquet"),
+          "text", CollMinCount, CollK)
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
     },
 
     // -- LLM: BM25 lexical retrieval (row 57) --
@@ -2573,6 +2645,30 @@ object SparkEntry {
          | AND epoch_us(v.ts) >= epoch_us(c.ts) - $JoinLookbackUs
          |ORDER BY click_id, view_id""".stripMargin,
 
+    "stream_sessions" ->
+      // batch twin of session_window's gap-merge: an event strictly
+      // inside the previous event's +gap horizon merges, so the break is
+      // diff >= gap (the events_sessions oracle breaks on strict >);
+      // session end = last event + gap, exactly the window struct's end
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+         |), b AS (
+         |  SELECT user_id, event_id, tus,
+         |         CASE WHEN lag(tus) OVER w IS NULL
+         |                   OR tus - lag(tus) OVER w >= $SessionGapUs
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+         |), s AS (
+         |  SELECT user_id, tus,
+         |         sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS sid
+         |  FROM b
+         |)
+         |SELECT user_id, min(tus) AS sess_start_us,
+         |       max(tus) + $SessionGapUs AS sess_end_us,
+         |       CAST(count(*) AS BIGINT) AS n_events
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, sess_start_us""".stripMargin,
+
     "events_sessions" ->
       // integer epoch-micros end to end (epoch_us reads both ts
       // vintages, the stream_counts precedent); ORDER BY (tus, event_id)
@@ -2637,6 +2733,45 @@ object SparkEntry {
         |SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
         |FROM cell GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "events_latest" ->
+      // window formulation of the same semantics the Spark side's
+      // struct-max aggregation declares: max (tus, event_id) per key
+      """WITH r AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, event_type, tus AS last_us, event_id, value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "stats_quantiles" -> {
+      // the pinned type-7 interpolation, evaluated in the identical
+      // operation order: rank = p*(n-1), a + (b-a)*frac, round 6
+      val psList = QuantilePs.mkString("[", ", ", "]")
+      s"""WITH v AS (
+         |  SELECT event_type AS g, value AS x FROM events
+         |), s AS (
+         |  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) - 1 AS i FROM v
+         |), n AS (
+         |  SELECT g, count(*) AS n FROM v GROUP BY g
+         |), ps AS (
+         |  SELECT unnest($psList) AS p
+         |), c AS (
+         |  SELECT s.g, ps.p, s.x, s.i,
+         |         floor(ps.p * (n.n - 1)) AS lo,
+         |         ps.p * (n.n - 1) - floor(ps.p * (n.n - 1)) AS frac
+         |  FROM s JOIN n USING (g) CROSS JOIN ps
+         |  WHERE s.i = floor(ps.p * (n.n - 1)) OR s.i = floor(ps.p * (n.n - 1)) + 1
+         |)
+         |SELECT g AS event_type, p,
+         |       round(min(CASE WHEN i = lo THEN x END) +
+         |             (coalesce(min(CASE WHEN i = lo + 1 THEN x END),
+         |                       min(CASE WHEN i = lo THEN x END))
+         |              - min(CASE WHEN i = lo THEN x END)) * min(frac), 6) AS q
+         |FROM c GROUP BY g, p ORDER BY event_type, p""".stripMargin
+    },
 
     "sketch_hll" -> {
       // re-derives the registers exactly (top-9 md5 bits bucket, rank =
@@ -3048,6 +3183,35 @@ object SparkEntry {
          |       CASE WHEN np IS NULL THEN NULL ELSE (st / 1000000.0) / np END AS mean_nll
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "text_collocations" ->
+      // exact-count PMI with the pinned expression shape; top-k orders
+      // by the ROUNDED pmi with (w1, w2) tiebreak on both sides
+      s"""WITH $TokCte, uni AS (
+         |  SELECT unnest(ts) AS w FROM tok
+         |), cu AS (
+         |  SELECT w, count(*) AS c FROM uni GROUP BY w
+         |), nu AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n FROM cu
+         |), bg AS (
+         |  SELECT unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+         |                i -> ts[i])) AS w1,
+         |         unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+         |                i -> ts[i + 1])) AS w2
+         |  FROM tok
+         |), cb AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM bg GROUP BY w1, w2
+         |), nb AS (
+         |  SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM cb
+         |)
+         |SELECT cb.w1, cb.w2, cb.n_ab,
+         |       round(ln((CAST(cb.n_ab AS DOUBLE) * nu.n * nu.n) /
+         |                (CAST(nb.n AS DOUBLE) * a.c * b.c)), 6) AS pmi
+         |FROM cb CROSS JOIN nu CROSS JOIN nb
+         |JOIN cu a ON cb.w1 = a.w
+         |JOIN cu b ON cb.w2 = b.w
+         |WHERE cb.n_ab >= $CollMinCount
+         |ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT $CollK""".stripMargin,
 
     "text_passages" ->
       s"""WITH $TokCte, pg AS (

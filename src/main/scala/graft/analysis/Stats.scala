@@ -1,0 +1,64 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order statistics with a PINNED interpolation formula, so independent
+  * engines reproduce the result bit-for-bit — `percentile_approx` (and
+  * every engine's `quantile_cont`) is free to differ in accumulation
+  * details; this one is the contract:
+  *
+  *   rank = p·(n−1)   (double; both factors exact),
+  *   lo = ⌊rank⌋, frac = rank − lo,
+  *   q  = v[lo] + (v[lo+1] − v[lo])·frac   (0-based sorted order,
+  *        v[lo+1] falling back to v[lo] at the top edge)
+  *
+  * — the standard linear-interpolation definition (type-7 in the
+  * Hyndman–Fan taxonomy), evaluated in exactly this operation order.
+  * Ties cost nothing: equal values make the sorted-value sequence
+  * deterministic regardless of row order.
+  */
+object Stats {
+
+  /** Exact interpolated quantiles of `valueCol` per group: one row per
+    * `(groupCols…, p)` with `q` rounded to 6.
+    *
+    * Plan shape: ONE exchange total. The rank/count windows share the
+    * group hash partition, the candidate filter keeps ≤ 2·|ps| rows per
+    * group, and the final per-(group, p) aggregation still clusters by a
+    * superset of the group key, so Spark reuses the same partitioning
+    * (subset rule — no second shuffle). The in-partition sort is the
+    * honest cost of EXACT quantiles; when groups are corpus-sized and
+    * approximation is acceptable, `approx_percentile` is the documented
+    * swap — this operator exists for when the number must be exact and
+    * reproducible.
+    */
+  def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "quantiles: ps must be within [0, 1]")
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*).orderBy(col("_v"))
+    val wAll = Window.partitionBy(gs: _*)
+    val ranked = df
+      .select(gs :+ valueCol.cast("double").as("_v"): _*)
+      .withColumn("_i", row_number().over(w) - 1)
+      .withColumn("_n", count(lit(1)).over(wAll))
+    val cand = ranked
+      .select(gs ++ Seq(col("_v"), col("_i"), col("_n"),
+        explode(array(ps.map(lit): _*)).as("p")): _*)
+      .withColumn("_rank", col("p") * (col("_n") - 1).cast("double"))
+      .withColumn("_lo", floor(col("_rank")))
+      .filter(col("_i") === col("_lo") || col("_i") === col("_lo") + 1)
+    cand
+      .groupBy(gs :+ col("p"): _*)
+      .agg(
+        min(when(col("_i") === col("_lo"), col("_v"))).as("_a"),
+        min(when(col("_i") === col("_lo") + 1, col("_v"))).as("_b"),
+        min(col("_rank") - col("_lo")).as("_frac"))
+      .withColumn("q",
+        round(col("_a") + (coalesce(col("_b"), col("_a")) - col("_a")) * col("_frac"), 6))
+      .select(gs ++ Seq(col("p"), col("q")): _*)
+  }
+}

@@ -125,6 +125,31 @@ object EventOps {
     * only one row per (cohort, offset, user) triple, which is bounded by
     * users × active-days, not by event volume.
     */
+  /** CDC-style latest-record compaction: one row per key tuple holding
+    * the payload of that key's LAST event — max `(micros, tieCol)`, so
+    * equal-timestamp ties break deterministically. Returns
+    * `(keyCols…, last_us, tieCol, valueCols…)`.
+    *
+    * Plan shape: aggregation-shaped on purpose — `max` of a struct whose
+    * leading fields are the ordering and whose tail carries the payload,
+    * so it map-side combines and shuffles ONE candidate row per key per
+    * partition. The window formulation (`row_number() = 1`) every SQL
+    * cookbook reaches for shuffles and sorts EVERY raw row instead; at a
+    * 100 TB changelog the struct-max is the difference between a
+    * compaction that runs and one that spills.
+    */
+  def latestSnapshot(events: DataFrame, keyCols: Seq[String], microsCol: Column,
+                     tieCol: String, valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "latestSnapshot: at least one key column")
+    val carried = tieCol +: valueCols
+    events
+      .withColumn("_tus", microsCol)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(col("_tus").as("_tus") +: carried.map(col): _*)).as("_m"))
+      .select(keyCols.map(col) ++ (col("_m._tus").as("last_us") +:
+        carried.map(c => col(s"_m.$c").as(c))): _*)
+  }
+
   def retention(events: DataFrame, userCol: String, microsCol: Column): DataFrame = {
     val w = Window.partitionBy(userCol)
     events

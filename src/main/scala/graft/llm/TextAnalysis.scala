@@ -310,6 +310,62 @@ object TextAnalysis {
         ((col("_st") / 1e6) / col("n_pairs")).as("mean_nll"))
   }
 
+  /** Corpus collocations by pointwise mutual information: the top-k
+    * adjacent token pairs whose co-occurrence beats independence,
+    * `pmi = ln(p(w1 w2) / (p(w1)·p(w2)))` with each probability the
+    * count/total multinomial — the classic vocabulary-level analytic a
+    * tokenizer/phrase-mining pass runs before training. `minCount`
+    * guards the classic PMI pathology (a pair seen once between two
+    * hapaxes scores arbitrarily high).
+    *
+    * Determinism contract: counts stay exact BIGINTs through every
+    * aggregation; the single ln per OUTPUT ROW evaluates one pinned
+    * expression shape — `(c_ab·Nu·Nu) / (Nb·c_a·c_b)` cast to double
+    * once on each side's leading factor, left-associated — and rounds
+    * to 6; the top-k orders by the ROUNDED value with `(w1, w2)`
+    * tiebreak, so the selected set never depends on sub-1e-6 libm
+    * drift.
+    *
+    * Scale shape: unigram/bigram count tables are vocabulary-sized
+    * (map-side-combined aggregations — at 100 TB of text the vocab is
+    * millions of rows, the corpus trillions of instances); both are
+    * CACHED for the run because each is referenced twice (totals +
+    * join). The PMI joins key on words (vocab-sized shuffles), totals
+    * broadcast as one-row tables, and the top-k plans as
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    */
+  def collocations(docs: DataFrame, textCol: String = "text",
+                   minCount: Long = 5, k: Int = 50,
+                   scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
+    require(minCount >= 1, "collocations: minCount must be >= 1")
+    require(k >= 1, "collocations: k must be >= 1")
+    import org.apache.spark.sql.functions.broadcast
+    val base = docs.select(Dedup.tokens(col(textCol)).as("_ts"))
+    val uni = scope.cache(
+      base.select(explode(col("_ts")).as("_w"))
+        .groupBy("_w").agg(count(lit(1)).as("_c")))
+    val len1 = greatest(size(col("_ts")) - 1, lit(0))
+    val cb = scope.cache(
+      base.select(explode(
+          zip_with(slice(col("_ts"), lit(1), len1), slice(col("_ts"), lit(2), len1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("_p"))
+        .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab")))
+    val nu = uni.agg(sum("_c").as("_nu"))
+    val nb = cb.agg(sum("n_ab").as("_nb"))
+    cb.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("_w").as("w1"), col("_c").as("_ca")), "w1")
+      .join(uni.select(col("_w").as("w2"), col("_c").as("_cb")), "w2")
+      .crossJoin(broadcast(nu))
+      .crossJoin(broadcast(nb))
+      .withColumn("pmi", round(log(
+        (col("n_ab").cast("double") * col("_nu") * col("_nu")) /
+          (col("_nb").cast("double") * col("_ca") * col("_cb"))), 6))
+      .select(col("w1"), col("w2"), col("n_ab"), col("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** PII patterns for detection/redaction before training-data release.
     * Every construct (char classes, bounded repetition, `\b`) means the
     * same thing to Java regex (Spark) and RE2 (DuckDB/ripgrep), so the

@@ -176,6 +176,30 @@ object StreamOps {
       .agg(min(when(col("ownerId") =!= col("docId"), col("ownerId"))).as("dup_of"))
       .withColumn("is_dup", col("dup_of").isNotNull)
 
+  /** Per-key SESSION-window aggregation — the streaming twin of
+    * [[graft.events.EventOps.sessionize]], expressed through Spark's
+    * native `session_window` (gap-merged windows: an event extends its
+    * session to `t + gap`; a later event merges while strictly inside
+    * that horizon, so the batch twin's break condition is `diff ≥ gap`).
+    * Returns one row per (key, session_window) with `n_events` — the
+    * window struct carries start and `last event + gap` end.
+    *
+    * State shape: session state is per OPEN session per key, closed and
+    * evicted once the watermark passes the session end — bounded by key
+    * rate × gap, the property a batch lag/running-sum formulation
+    * cannot offer a stream. Spark restricts session-window aggregation
+    * to APPEND output: a session emits exactly once, when the watermark
+    * closes it — so a bounded replay needs a watermark push (e.g. a
+    * sentinel event past the data's horizon) to flush the tail sessions
+    * through the final no-data micro-batch.
+    */
+  def sessionWindowCounts(events: DataFrame, eventTime: String, keyCol: String,
+                          gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(eventTime, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(eventTime), gap).as("session"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Watermarked stream-stream interval join — the attribution shape:
     * each `effects` row (e.g. a click) pairs with every `causes` row
     * (e.g. a view) of the same key whose event time falls in

@@ -1,0 +1,41 @@
+package graft.analysis
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantiles: pinned type-7 interpolation, hand-checked") {
+    // group g: values 1..5 → p50 = 3.0; p90: rank 3.6 → 4 + 0.6*(5-4) = 4.6
+    // group h: single value → every p returns it
+    val df = ((1 to 5).map(v => ("g", v.toDouble)) :+ ("h", 7.0)).toDF("k", "v")
+    val out = Stats.quantiles(df, Seq("k"), col("v"), Seq(0.5, 0.9))
+      .orderBy("k", "p")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out === Array(
+      ("g", 0.5, 3.0), ("g", 0.9, 4.6),
+      ("h", 0.5, 7.0), ("h", 0.9, 7.0)))
+  }
+
+  test("quantiles: p=0 and p=1 hit the exact min/max") {
+    val df = Seq(("g", 2.0), ("g", 9.0), ("g", 4.0)).toDF("k", "v")
+    val out = Stats.quantiles(df, Seq("k"), col("v"), Seq(0.0, 1.0))
+      .orderBy("p").collect().map(_.getDouble(2))
+    assert(out === Array(2.0, 9.0))
+  }
+
+  test("quantiles: duplicated values keep the result deterministic") {
+    val df = Seq.fill(4)(("g", 5.0)).toDF("k", "v")
+    val out = Stats.quantiles(df.repartition(3), Seq("k"), col("v"), Seq(0.25, 0.75))
+      .collect().map(_.getDouble(2))
+    assert(out === Array(5.0, 5.0))
+  }
+
+  test("quantiles plan: one exchange — candidate filter and final agg reuse the group hash") {
+    val df = Seq(("g", 1.0)).toDF("k", "v")
+    val plan = Stats.quantiles(df, Seq("k"), col("v"), Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, s"plan:\n$plan")
+  }
+}

@@ -100,6 +100,32 @@ class EventOpsSpec extends SparkSpec {
       EventOps.retention(e.repartition(7), "user_id", col("tus")).collect().toSet)
   }
 
+  test("latestSnapshot keeps the max-(time, tie) payload per key") {
+    val e = Seq(
+      (1L, "a", 10L, 100L, 1.0), (1L, "a", 20L, 101L, 2.0), // later ts wins
+      (1L, "b", 5L, 102L, 3.0),
+      (2L, "a", 20L, 103L, 4.0), (2L, "a", 20L, 104L, 5.0)  // ts tie: max id wins
+    ).toDF("user_id", "event_type", "tus", "event_id", "value")
+    val out = EventOps.latestSnapshot(e, Seq("user_id", "event_type"),
+        col("tus"), "event_id", Seq("value"))
+      .orderBy("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out === Array(
+      (1L, "a", 20L, 101L, 2.0),
+      (1L, "b", 5L, 102L, 3.0),
+      (2L, "a", 20L, 104L, 5.0)))
+  }
+
+  test("latestSnapshot plan: aggregation-shaped, no window sort") {
+    val e = Seq((1L, "a", 10L, 100L, 1.0))
+      .toDF("user_id", "event_type", "tus", "event_id", "value")
+    val plan = EventOps.latestSnapshot(e, Seq("user_id", "event_type"),
+        col("tus"), "event_id", Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no WindowExec, plan:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, s"plan:\n$plan")
+  }
+
   test("retention plan: the per-cell dedup reuses the user hash (2 exchanges total)") {
     val e = Seq((1L, 0L)).toDF("user_id", "tus")
     val plan = EventOps.retention(e, "user_id", col("tus"))

@@ -143,6 +143,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nll(1L) < nll(99L))
   }
 
+  test("collocations: the bound pair beats independence, counts exact") {
+    // "new york" always adjacent; "the", "a" scattered independently
+    val docs = (1L to 6L).map(i => (i, s"the new york a t$i the a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val top = out.head
+    assert((top._1, top._2, top._3) === (("new", "york", 6L)))
+    assert(out.forall(_._4 >= out.last._4), "descending pmi order")
+  }
+
+  test("collocations: minCount filters hapax pairs") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta gamma delta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!out.contains(("alpha", "beta")))
+    assert(out.contains(("gamma", "delta")))
+  }
+
   test("bigramNll is partitioning-independent") {
     val docs = Seq((1L, "a b c a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
     assert(TextAnalysis.bigramNll(docs).collect().toSet ===

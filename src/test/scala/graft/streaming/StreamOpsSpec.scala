@@ -164,6 +164,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(Opset.load(spark, s"$dir/store").df.count() === 3L)
   }
 
+  test("sessionWindowCounts merges gap-adjacent events; append emits on watermark close") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.sessionWindowCounts(
+        in.toDF().toDF("et", "user_id"), "et", "user_id", "10 seconds", "0 seconds")
+      .select(col("user_id"), unix_micros(col("session.start")).as("s"),
+        unix_micros(col("session.end")).as("e"), col("n_events"))
+    val q = out.writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1000), 1L), (ts(1005), 1L), (ts(1030), 1L), (ts(1002), 2L))
+      q.processAllAvailable()
+      in.addData((ts(5000), 99L)) // watermark push past every session end
+      q.processAllAvailable()
+      val rows = spark.table("sw_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      def us(sec: Long) = sec * 1000000L
+      assert(rows === Set(
+        (1L, us(1000), us(1015), 2L), // 1000+1005 merge (gap 5 < 10), end = 1005+10
+        (1L, us(1030), us(1040), 1L),
+        (2L, us(1002), us(1012), 1L)))
+      // the sentinel's own session never closes, so it never lands
+      assert(!rows.exists(_._1 == 99L))
+    } finally q.stop()
+  }
+
   test("intervalJoin pairs effects with in-window causes per key") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, Long)]
