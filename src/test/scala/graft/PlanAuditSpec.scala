@@ -422,4 +422,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(streamedShuffles.isEmpty,
       s"no shuffle may sit below the ADC broadcast join:\n$p")
   }
+
+  test("bigramNll: count tables broadcast; the scoring scan never shuffles below the probes") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.TextAnalysis.bigramNll(docs))
+    val bcasts = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.size >= 2, s"expected both LM count tables to broadcast:\n$p")
+    // the streamed (scoring) side of the OUTER probe must reach the join
+    // un-shuffled — its only exchange is the final per-doc aggregation
+    // ABOVE the joins
+    bcasts.foreach { b =>
+      val streamed = b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.left
+        case _ => b.right
+      }
+      val shuffles = collectAll(streamed) { case s: ShuffleExchangeExec => s }
+      // inner probe sits under the outer one, so allow the OTHER join's
+      // broadcast subtree but never a streamed-side data shuffle
+      assert(shuffles.forall(sh => collectAll[Unit](sh) {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.groupingExpressions.nonEmpty => ()
+      }.nonEmpty), s"scoring side must not shuffle data below the LM probes:\n$p")
+    }
+  }
+
+  test("collocations: top-k plans as TakeOrdered, never a global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.TextAnalysis.collocations(docs,
+      scope = new graft.core.CacheScope))
+    assert(collectAll(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected TakeOrderedAndProject:\n$p")
+    assert(collectAll(p) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }.isEmpty, s"a global SortExec defeats the per-partition k-heap:\n$p")
+  }
 }
