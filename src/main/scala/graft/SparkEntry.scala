@@ -892,6 +892,44 @@ object SparkEntry {
     "l_quantity" -> "num", "l_returnflag" -> "str", "l_shipdate" -> "ts",
     "l_suppkey" -> "num", "l_tax" -> "num")
 
+  /** DuckDB twin of the HLL register table + estimator — shared by
+    * `sketch_hll` (batch) and `stream_hll` (landed-register fold, which
+    * is idempotent and therefore grades against the identical SQL):
+    * registers re-derived exactly (top-9 md5 bits bucket, rank = leading
+    * zeros of the low 23 bits), fixed-point register sum in pure
+    * integers; the only float ops are the two estimator branches, once
+    * per GROUP, quantized to 1e-6 like every ln here.
+    */
+  private def hllSql: String = {
+    val a = Sketches.alphaNumerator(HllP)
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+       |  FROM events
+       |), r AS (
+       |  SELECT event_type, hv >> 23 AS bucket,
+       |         CASE WHEN hv & 8388607 = 0 THEN 24
+       |              ELSE 24 - length(bin(hv & 8388607)) END AS rho
+       |  FROM h
+       |), reg AS (
+       |  SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY event_type, bucket
+       |), agg AS (
+       |  SELECT event_type, count(*) AS nb,
+       |         CAST(sum(CAST(1 AS BIGINT) << (24 - mj)) AS BIGINT) AS sobs
+       |  FROM reg GROUP BY event_type
+       |), fin AS (
+       |  SELECT event_type, CAST(512 AS INTEGER) AS m, 512 - nb AS zeros,
+       |         sobs + (512 - nb) * 16777216 AS s_fixed
+       |  FROM agg
+       |)
+       |SELECT event_type, m, zeros, s_fixed,
+       |       floor((CASE WHEN zeros > 0 AND $a / s_fixed <= 1280.0
+       |                   THEN 512.0 * ln(512.0 / zeros)
+       |                   ELSE $a / s_fixed END) * 1000000.0 + 0.5) / 1000000.0
+       |         AS distinct_est
+       |FROM fin ORDER BY event_type""".stripMargin
+  }
+
   /** One UNION ALL branch per profiled column — the DuckDB twin of
     * [[Profile.profile]]'s unpivoted single-pass aggregation (numeric
     * bounds as rounded doubles, timestamps as epoch micros, string
@@ -1858,6 +1896,40 @@ object SparkEntry {
         .orderBy("user_id", "sess_start_us")
     },
 
+    // -- Structured Streaming HLL sketch maintenance (rows 39 + 58) --
+    // Sketches.hllRegisters applies UNCHANGED to a stream: its groupBy
+    // (group, bucket) → max(rho) is a stateful aggregation whose state
+    // is register-bounded by construction (≤ groups × 2^p rows, ever) —
+    // the defining property that makes a sketch streaming-native where
+    // exact count-distinct state grows with the keys. Update-mode
+    // emissions land per batch; the read-back max-fold is idempotent
+    // (re-emitted registers only re-assert their max), and the final
+    // estimate is the BATCH estimator over the folded registers. Oracle
+    // = the same register + estimator SQL as sketch_hll.
+    "stream_hll" -> { (s, dir) =>
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val outPath = java.nio.file.Files.createTempDirectory("graft-stream-hll")
+      deleteAtExit(outPath)
+      val out = outPath.toString
+      val in = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(out, "in"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        in.resolve("events.parquet"))
+      val regs = Sketches.hllRegisters(
+        s.readStream.schema(schema).parquet(in.toString),
+        Seq("event_type"), col("user_id"), HllP)
+      graft.streaming.StreamOps.landUpdates(
+        regs, s"$out/rows", s"$out/ckpt").awaitTermination()
+      deleteTree(in)
+      deleteTree(java.nio.file.Paths.get(out, "ckpt"))
+      val folded = s.read.parquet(s"$out/rows")
+        .groupBy("event_type", "bucket")
+        .agg(max(col("mj")).cast("int").as("mj"))
+      Sketches.hllEstimate(folded, Seq("event_type"), HllP)
+        .orderBy("event_type")
+    },
+
     // -- Structured Streaming interval join (row 39) --
     // Land-and-grade for StreamOps.intervalJoin: events replays as a
     // bounded one-file stream read TWICE (clicks side, views side, each
@@ -2773,39 +2845,11 @@ object SparkEntry {
          |FROM c GROUP BY g, p ORDER BY event_type, p""".stripMargin
     },
 
-    "sketch_hll" -> {
-      // re-derives the registers exactly (top-9 md5 bits bucket, rank =
-      // leading zeros of the low 23 bits) and the fixed-point register
-      // sum in pure integers; the only float ops are the two estimator
-      // branches, once per GROUP, quantized to 1e-6 like every ln here.
-      val a = Sketches.alphaNumerator(HllP)
-      s"""WITH h AS (
-         |  SELECT event_type,
-         |         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
-         |  FROM events
-         |), r AS (
-         |  SELECT event_type, hv >> 23 AS bucket,
-         |         CASE WHEN hv & 8388607 = 0 THEN 24
-         |              ELSE 24 - length(bin(hv & 8388607)) END AS rho
-         |  FROM h
-         |), reg AS (
-         |  SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY event_type, bucket
-         |), agg AS (
-         |  SELECT event_type, count(*) AS nb,
-         |         CAST(sum(CAST(1 AS BIGINT) << (24 - mj)) AS BIGINT) AS sobs
-         |  FROM reg GROUP BY event_type
-         |), fin AS (
-         |  SELECT event_type, CAST(512 AS INTEGER) AS m, 512 - nb AS zeros,
-         |         sobs + (512 - nb) * 16777216 AS s_fixed
-         |  FROM agg
-         |)
-         |SELECT event_type, m, zeros, s_fixed,
-         |       floor((CASE WHEN zeros > 0 AND $a / s_fixed <= 1280.0
-         |                   THEN 512.0 * ln(512.0 / zeros)
-         |                   ELSE $a / s_fixed END) * 1000000.0 + 0.5) / 1000000.0
-         |         AS distinct_est
-         |FROM fin ORDER BY event_type""".stripMargin
-    },
+    "sketch_hll" -> hllSql,
+
+    // the landed-register fold is idempotent, so the streamed sketch
+    // grades against the IDENTICAL batch oracle
+    "stream_hll" -> hllSql,
 
     "profile_table" -> profileSql,
 

@@ -164,6 +164,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(Opset.load(spark, s"$dir/store").df.count() === 3L)
   }
 
+  test("Sketches.hllRegisters applies unchanged to a stream; the multi-batch fold equals the batch sketch") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val regs = graft.analysis.Sketches.hllRegisters(
+      in.toDF().toDF("g", "k"), Seq("g"), col("k"))
+    val q = regs.writeStream.format("memory").queryName("hll_out")
+      .outputMode("update").start()
+    try {
+      in.addData((1 to 300).map(i => ("g", s"k$i")): _*)
+      q.processAllAvailable()
+      in.addData((200 to 500).map(i => ("g", s"k$i")): _*) // overlap re-asserts maxes
+      q.processAllAvailable()
+      val folded = spark.table("hll_out")
+        .groupBy("g", "bucket").agg(max("mj").cast("int").as("mj"))
+      val batch = graft.analysis.Sketches.hllRegisters(
+        (1 to 500).map(i => ("g", s"k$i")).toDF("g", "k"), Seq("g"), col("k"))
+      assert(folded.collect().toSet === batch.collect().toSet)
+    } finally q.stop()
+  }
+
   test("sessionWindowCounts merges gap-adjacent events; append emits on watermark close") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
