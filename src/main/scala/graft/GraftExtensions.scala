@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, GramBuckets, Md5Prefix32, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, WordNgramHashes}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, GramBuckets, GramCounts, Md5Prefix32, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, WordNgramHashes}
 import graft.llm.TextAnalysis
 
 /** Session extensions registering graft's native Catalyst expressions so
@@ -74,6 +74,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val ns = children(1).eval().toString.split(",").toIndexedSeq.map(_.trim.toInt)
         GramBuckets(children(0), ns,
           children(2).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_counts"),
+      new ExpressionInfo(classOf[GramCounts].getName, null, "graft_gram_counts",
+        "graft_gram_counts(text) - per-document unigram + adjacent-bigram counts " +
+          "as array<struct<g, c>> in one hash-map pass", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_gram_counts requires exactly 1 argument, got ${children.size}")
+        GramCounts(children(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_set_overlap"),

@@ -84,6 +84,23 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
   }
 
+  test("graft_gram_counts == declarative per-doc instance counts on generated strings") {
+    val df = (sampled(genText, 300, 31L) :+ null).toDF("text")
+    val toks = Dedup.tokens(col("text"))
+    val bgs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val all = concat(toks, bgs)
+    val decl = transform(array_distinct(all), g =>
+      struct(g.as("g"), size(filter(all, x => x === g)).cast("long").as("c")))
+    val bad = df.select(col("text"),
+        array_sort(call_function("graft_gram_counts", col("text"))).as("nat"),
+        array_sort(decl).as("dec"))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
+  }
+
   test("graft_set_overlap == array_intersect/array_union sizes on generated arrays") {
     val genArr = Gen.listOf(Gen.chooseNum(0L, 30L)) // small domain → real overlaps
     val pairs = sampled(Gen.zip(genArr, genArr), 300, 13L)
