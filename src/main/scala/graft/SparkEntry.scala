@@ -1194,6 +1194,13 @@ object SparkEntry {
   private val JoinLookback = "1 hour"
   private val JoinLookbackUs = 3600L * 1000000
 
+  // Bloom-filter geometry shared by the sketch_bloom query/oracle:
+  // 2^14 bits / 4 hashes over ~1k build keys -> fp rate ~ (k*n/m)^k well
+  // under 1%, so the probe output contains real negatives AND real
+  // positives at every graded SF.
+  private val BloomBits = 16384
+  private val BloomK = 4
+
   // Quantile probes shared by the stats_quantiles query/oracle.
   private val QuantilePs = Seq(0.5, 0.9, 0.99)
 
@@ -2054,6 +2061,15 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // -- Deterministic Bloom filter: build on orders, probe customers (row 58) --
+    "sketch_bloom" -> { (s, dir) =>
+      val words = Sketches.bloomWords(s.read.parquet(s"$dir/orders.parquet"),
+        col("o_custkey"), BloomBits, BloomK)
+      Sketches.bloomProbe(s.read.parquet(s"$dir/customer.parquet").select("c_custkey"),
+          col("c_custkey"), "may_contain", words, BloomBits, BloomK)
+        .orderBy("c_custkey")
+    },
+
     // -- Schema-dynamic table profiling (row 59) --
     "profile_table" -> { (s, dir) =>
       Profile.profile(s.read.parquet(s"$dir/lineitem.parquet"))
@@ -2850,6 +2866,31 @@ object SparkEntry {
     // the landed-register fold is idempotent, so the streamed sketch
     // grades against the IDENTICAL batch oracle
     "stream_hll" -> hllSql,
+
+    "sketch_bloom" -> {
+      // rebuilds the word table and the k probe arms verbatim — every
+      // operation is exact integer arithmetic on md5-prefix hashes
+      def pos(keyExpr: String, i: Int) =
+        s"(CAST(concat('0x', substr(md5(concat(CAST($keyExpr AS VARCHAR), ':$i')), 1, 8)) AS BIGINT) % $BloomBits)"
+      val buildArms = (0 until BloomK).map(i => pos("o_custkey", i)).mkString(", ")
+      val joins = (0 until BloomK).map(i =>
+        s"LEFT JOIN w b$i ON ${pos("c.c_custkey", i)} // 32 = b$i.word_idx").mkString("\n")
+      val hits = (0 until BloomK).map { i =>
+        val m = s"(CAST(1 AS BIGINT) << CAST(${pos("c.c_custkey", i)} % 32 AS INTEGER))"
+        s"(b$i.bits IS NOT NULL AND (b$i.bits & $m) = $m)"
+      }.mkString("\n       AND ")
+      s"""WITH bp AS (
+         |  SELECT unnest([$buildArms]) AS p FROM orders
+         |), w AS (
+         |  SELECT p // 32 AS word_idx,
+         |         CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS BIGINT) AS bits
+         |  FROM bp GROUP BY p // 32
+         |)
+         |SELECT c.c_custkey, $hits AS may_contain
+         |FROM customer c
+         |$joins
+         |ORDER BY c.c_custkey""".stripMargin
+    },
 
     "profile_table" -> profileSql,
 

@@ -120,4 +120,60 @@ object Sketches {
   /** One-call form: distinct `key` count per `groupCols` group. */
   def hll(df: DataFrame, groupCols: Seq[String], key: Column, p: Int = 9): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, key, p), groupCols, p)
+
+  // ----- deterministic Bloom filter (semi-join reduction) ----------------
+
+  /** Position of hash `i` of `key` in an `mBits`-bit Bloom filter: the
+    * md5-prefix of `"key:i"` mod m — deterministic and engine-exact like
+    * everything in this family (Spark's own `bloom_filter_agg` is
+    * engine-private bytes; this one a DuckDB oracle rebuilds verbatim).
+    */
+  private def bloomPos(key: Column, i: Int, mBits: Int): Column =
+    graft.llm.Dedup.md5Hash32(concat(key.cast("string"), lit(s":$i"))) % mBits
+
+  /** Build the filter: `(word_idx, bits)` sparse 32-bit words (stored in
+    * BIGINTs — bit 63 of a 64-bit word would overflow DuckDB's CHECKED
+    * left shift, and halving the word width costs nothing at filter
+    * sizes), at most `mBits/32` rows regardless of build-side size. One map-side-combined
+    * `bit_or` aggregation; the result broadcasts (2 MiB covers 2^23
+    * bits). The classic use is the RUNTIME SEMI-JOIN REDUCTION: build on
+    * the small/filtered side of a join, probe the 100 TB side BEFORE the
+    * shuffle, and only possible matches pay exchange — with zero false
+    * negatives by construction, so the reduction never changes results.
+    */
+  def bloomWords(df: DataFrame, key: Column, mBits: Int, k: Int): DataFrame = {
+    require(mBits > 0 && mBits % 32 == 0, "bloomWords: mBits must be a positive multiple of 32")
+    require(k >= 1 && k <= 16, "bloomWords: k must be in [1,16]")
+    df.select(explode(array((0 until k).map(i => bloomPos(key, i, mBits)): _*)).as("_p"))
+      .select(expr("_p div 32").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))").as("_w"))
+      .groupBy("word_idx").agg(expr("bit_or(_w)").as("bits"))
+  }
+
+  /** Probe: adds boolean `outCol` to `df` — true iff every hash bit of
+    * `key` is set (possible member; false = PROVABLY absent).
+    *
+    * Plan shape: k broadcast hash joins on `word_idx` (each 1:1 — word
+    * ids are unique in the filter table), so the probe side streams
+    * through row-local lookups with NO shuffle and no column loss —
+    * exactly what lets it sit below a join as a pre-shuffle reducer.
+    */
+  def bloomProbe(df: DataFrame, key: Column, outCol: String,
+                 words: DataFrame, mBits: Int, k: Int): DataFrame = {
+    require(mBits > 0 && mBits % 32 == 0, "bloomProbe: mBits must be a positive multiple of 32")
+    require(k >= 1 && k <= 16, "bloomProbe: k must be in [1,16]")
+    val probed = (0 until k).foldLeft(df.withColumn("_k", key)) { (acc, i) =>
+      val w = broadcast(words.select(col("word_idx").as(s"_wi$i"), col("bits").as(s"_b$i")))
+      acc
+        .withColumn(s"_p$i", bloomPos(col("_k"), i, mBits))
+        .join(w, expr(s"_p$i div 32") === col(s"_wi$i"), "left")
+        .withColumn(s"_hit$i", col(s"_b$i").isNotNull &&
+          (col(s"_b$i").bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(_p$i % 32 AS INT))"))
+            === expr(s"shiftleft(CAST(1 AS BIGINT), CAST(_p$i % 32 AS INT))")))
+    }
+    val all = (0 until k).map(i => col(s"_hit$i")).reduce(_ && _)
+    probed.withColumn(outCol, all)
+      .drop("_k")
+      .drop((0 until k).flatMap(i => Seq(s"_p$i", s"_wi$i", s"_b$i", s"_hit$i")): _*)
+  }
 }

@@ -65,4 +65,37 @@ class SketchesSpec extends SparkSpec {
     val plan = Sketches.hll(df, Seq("g"), col("k")).queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2, s"plan:\n$plan")
   }
+
+  test("bloom: zero false negatives; disjoint keys mostly rejected") {
+    val build = (1 to 1000).map(i => Tuple1(s"in-$i")).toDF("k")
+    val words = Sketches.bloomWords(build, col("k"), mBits = 16384, k = 4)
+    val probeIn = Sketches.bloomProbe(build, col("k"), "hit", words, 16384, 4)
+    assert(probeIn.filter(!col("hit")).count() === 0L, "a false negative breaks the contract")
+    val out = (1 to 1000).map(i => Tuple1(s"out-$i")).toDF("k")
+    val fp = Sketches.bloomProbe(out, col("k"), "hit", words, 16384, 4)
+      .filter(col("hit")).count()
+    // fp rate ≈ (1 - e^{-kn/m})^k ≈ 4.4% at n=1000, m=16384, k=4; 3x slack
+    assert(fp < 150, s"false-positive rate implausibly high: $fp/1000")
+  }
+
+  test("bloom probe keeps every input column and adds only the verdict") {
+    val build = Seq(Tuple1("a")).toDF("k")
+    val words = Sketches.bloomWords(build, col("k"), 320, 2)
+    val probe = Seq(("a", 1L), ("b", 2L)).toDF("k", "payload")
+    val out = Sketches.bloomProbe(probe, col("k"), "hit", words, 320, 2)
+    assert(out.columns.toSeq === Seq("k", "payload", "hit"))
+    val m = out.collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(m("a") === true)
+  }
+
+  test("bloom probe plan: broadcast lookups only, no shuffle on the probe side") {
+    val build = (1 to 100).map(i => Tuple1(s"x$i")).toDF("k")
+    val words = Sketches.bloomWords(build, col("k"), 3200, 4)
+    val probe = (1 to 50).map(i => Tuple1(s"y$i")).toDF("k")
+    val plan = Sketches.bloomProbe(probe, col("k"), "hit", words, 3200, 4)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length === 4, s"plan:\n$plan")
+    // the only exchanges allowed are inside the broadcast (filter build) side
+    assert(!plan.contains("SortMergeJoin"), s"probe must never co-shuffle:\n$plan")
+  }
 }
