@@ -1194,6 +1194,11 @@ object SparkEntry {
   private val JoinLookback = "1 hour"
   private val JoinLookbackUs = 3600L * 1000000
 
+  // Z-order geometry shared by the layout_zorder query/oracle: 8 bits
+  // per column over (l_partkey, l_suppkey).
+  private val ZBits = 8
+  private val ZCols = Seq("l_partkey", "l_suppkey")
+
   // Bloom-filter geometry shared by the sketch_bloom query/oracle:
   // 2^14 bits / 4 hashes over ~1k build keys -> fp rate ~ (k*n/m)^k well
   // under 1%, so the probe output contains real negatives AND real
@@ -2061,6 +2066,14 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // -- Z-order layout key (row 64) --
+    "layout_zorder" -> { (s, dir) =>
+      graft.sources.Layout.zorderByRange(
+          s.read.parquet(s"$dir/lineitem.parquet"), ZCols, ZBits)
+        .select(col("l_orderkey"), col("l_linenumber"), col("z_key"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // -- Deterministic Bloom filter: build on orders, probe customers (row 58) --
     "sketch_bloom" -> { (s, dir) =>
       val words = Sketches.bloomWords(s.read.parquet(s"$dir/orders.parquet"),
@@ -2866,6 +2879,30 @@ object SparkEntry {
     // the landed-register fold is idempotent, so the streamed sketch
     // grades against the IDENTICAL batch oracle
     "stream_hll" -> hllSql,
+
+    "layout_zorder" -> {
+      // identical exact-integer pipeline: range quantization by scalar
+      // min/max, then the bit-interleave as a sum of disjoint-bit terms
+      val m = 1L << ZBits
+      val q = ZCols.zipWithIndex.map { case (c, i) =>
+        s"(((($c) - s.mn$i) * $m) // (s.mx$i - s.mn$i + 1)) AS q$i"
+      }.mkString(",\n       ")
+      val statSel = ZCols.zipWithIndex.map { case (c, i) =>
+        s"min($c) AS mn$i, max($c) AS mx$i"
+      }.mkString(", ")
+      val n = ZCols.size
+      val terms = (for { b <- 0 until ZBits; i <- 0 until n }
+        yield s"(((q$i >> $b) & 1) << ${b * n + i})").mkString(" + ")
+      s"""WITH s AS (
+         |  SELECT $statSel FROM lineitem
+         |), q AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |       $q
+         |  FROM lineitem CROSS JOIN s
+         |)
+         |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS z_key
+         |FROM q ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
 
     "sketch_bloom" -> {
       // rebuilds the word table and the k probe arms verbatim — every
