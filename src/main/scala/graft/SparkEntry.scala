@@ -2066,7 +2066,7 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
-    // -- Z-order layout key (row 64) --
+    // -- Z-order layout key (row 63) --
     "layout_zorder" -> { (s, dir) =>
       graft.sources.Layout.zorderByRange(
           s.read.parquet(s"$dir/lineitem.parquet"), ZCols, ZBits)
