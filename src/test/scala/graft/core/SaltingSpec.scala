@@ -77,6 +77,28 @@ class SaltingSpec extends SparkSpec {
     }
   }
 
+  test("skewJoin == plain inner join on hot-keyed data, at any salt count") {
+    // one viral key with 2000 rows, a long tail of singletons
+    val left = ((1 to 2000).map(i => (42L, i.toLong)) ++
+      (1 to 200).map(i => (i.toLong + 100, i.toLong))).toDF("k", "seq")
+    val right = (1 to 300).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val plain = left.join(right, Seq("k")).collect().toSet
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = Salting.skewJoin(left, right, Seq("k"),
+        Seq(col("k"), col("seq")), salts).collect().toSet
+      assert(salted === plain, s"salts=$salts")
+    }
+  }
+
+  test("skewJoin spreads the hot key's rows over the salt space") {
+    val left = (1 to 1000).map(i => (42L, i.toLong)).toDF("k", "seq")
+    val spread = left
+      .withColumn("_salt", pmod(xxhash64(col("k"), col("seq")), lit(8)).cast("int"))
+      .groupBy("_salt").count()
+    assert(spread.count() === 8)
+    assert(spread.agg(max("count")).head().getLong(0) < 1000)
+  }
+
   test("partial aggregation spreads the hot key over the salt space") {
     val hot = (0 until 1000).map(i => (i.toLong, "HOT")).toDF("doc_id", "text")
     val partials = hot.withColumn("_salt", pmod(xxhash64(col("doc_id")), lit(8)))
