@@ -2066,6 +2066,24 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // -- JSONL corpus source round-trip (row 64) --
+    // documents egress as JSON lines, re-ingest under the ENFORCED
+    // schema with two corrupt lines injected (malformed JSON + a
+    // type-violating doc_id) — the good side must round-trip exactly
+    // and the quarantine must absorb the rest (count pinned by spec).
+    "source_jsonl" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val outPath = java.nio.file.Files.createTempDirectory("graft-jsonl")
+      deleteAtExit(outPath)
+      val corpus = s"$outPath/corpus"
+      graft.sources.TextCorpus.writeJsonl(docs, corpus)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(corpus, "part-corrupt.txt"),
+        "{not json\n{\"doc_id\": \"xyz\"}\n".getBytes("UTF-8"))
+      val (good, _) = graft.sources.TextCorpus.readJsonl(s, corpus, docs.schema)
+      good.orderBy("doc_id")
+    },
+
     // -- Salted skew join: result-identical rewrite (row 27 sibling) --
     "join_salted" -> { (s, dir) =>
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -2890,6 +2908,11 @@ object SparkEntry {
     // the landed-register fold is idempotent, so the streamed sketch
     // grades against the IDENTICAL batch oracle
     "stream_hll" -> hllSql,
+
+    "source_jsonl" ->
+      // the round-trip identity: everything that left parquet comes back
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "join_salted" ->
       // the whole point: the salted plan must be indistinguishable from
