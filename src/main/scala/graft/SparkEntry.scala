@@ -1194,6 +1194,12 @@ object SparkEntry {
   private val JoinLookback = "1 hour"
   private val JoinLookbackUs = 3600L * 1000000
 
+  // Count-min geometry shared by the sketch_cms query/oracle: 256x4
+  // over 150-15k users -> real collisions at the larger SFs (the
+  // overestimate guarantee is exercised, not vacuous).
+  private val CmsWidth = 256
+  private val CmsDepth = 4
+
   // Z-order geometry shared by the layout_zorder query/oracle: 8 bits
   // per column over (l_partkey, l_suppkey).
   private val ZBits = 8
@@ -2103,6 +2109,15 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // -- Deterministic count-min sketch: per-user event frequency (row 58) --
+    "sketch_cms" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val counters = Sketches.cmsCounters(ev, col("user_id"), CmsWidth, CmsDepth)
+      val users = ev.groupBy("user_id").agg(count(lit(1)).as("n_true"))
+      Sketches.cmsEstimate(users, col("user_id"), "est", counters, CmsWidth, CmsDepth)
+        .orderBy("user_id")
+    },
+
     // -- Deterministic Bloom filter: build on orders, probe customers (row 58) --
     "sketch_bloom" -> { (s, dir) =>
       val words = Sketches.bloomWords(s.read.parquet(s"$dir/orders.parquet"),
@@ -2943,6 +2958,30 @@ object SparkEntry {
          |)
          |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS z_key
          |FROM q ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    "sketch_cms" -> {
+      // d count arms over events union into the counter table; the probe
+      // re-addresses each row's counter and takes the least — all exact
+      // integer arithmetic on md5-prefix hashes
+      def pos(keyExpr: String, j: Int) =
+        s"(CAST(concat('0x', substr(md5(concat(CAST($keyExpr AS VARCHAR), '#$j')), 1, 8)) AS BIGINT) % $CmsWidth)"
+      val arms = (0 until CmsDepth).map(j =>
+        s"SELECT $j AS row, ${pos("user_id", j)} AS col FROM events").mkString("\n  UNION ALL\n  ")
+      val joins = (0 until CmsDepth).map(j =>
+        s"LEFT JOIN cnt b$j ON b$j.row = $j AND ${pos("u.user_id", j)} = b$j.col").mkString("\n")
+      val est = (0 until CmsDepth).map(j => s"coalesce(b$j.cnt, 0)").mkString("least(", ", ", ")")
+      s"""WITH inst AS (
+         |  $arms
+         |), cnt AS (
+         |  SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM inst GROUP BY row, col
+         |), u AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_true FROM events GROUP BY user_id
+         |)
+         |SELECT u.user_id, u.n_true, CAST($est AS BIGINT) AS est
+         |FROM u
+         |$joins
+         |ORDER BY u.user_id""".stripMargin
     },
 
     "sketch_bloom" -> {

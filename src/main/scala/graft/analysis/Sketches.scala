@@ -150,6 +150,64 @@ object Sketches {
       .groupBy("word_idx").agg(expr("bit_or(_w)").as("bits"))
   }
 
+  // ----- deterministic count-min sketch (frequency estimation) -----------
+
+  /** Position of `key` in row `j` of a width-`w` count-min sketch — the
+    * same md5 family as the Bloom positions, `"key#j"`-salted.
+    */
+  private def cmsPos(key: Column, j: Int, width: Int): Column =
+    graft.llm.Dedup.md5Hash32(concat(key.cast("string"), lit(s"#$j"))) % width
+
+  /** Build a count-min sketch (Cormode & Muthukrishnan 2005) over the
+    * key instances of `df`: `(row, col, cnt)` with at most `depth×width`
+    * rows at ANY data size — the frequency-estimation member of the
+    * sketch family (HLL counts distinct, Bloom answers membership, CMS
+    * answers "how often"). One map-side-combined aggregation; counters
+    * MERGE BY SUM across partitions/days ([[cmsMerge]]), the same
+    * incremental property as the HLL registers.
+    */
+  def cmsCounters(df: DataFrame, key: Column, width: Int, depth: Int): DataFrame = {
+    require(width >= 2 && depth >= 1 && depth <= 16,
+      "cmsCounters: need width >= 2, depth in [1,16]")
+    df.select(posexplode(array((0 until depth).map(j => cmsPos(key, j, width)): _*))
+        .as(Seq("row", "col")))
+      .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge counter tables built with the same geometry: sum per cell. */
+  def cmsMerge(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "cmsMerge: no counter tables")
+    tables.reduce(_ unionByName _)
+      .groupBy("row", "col").agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Estimated instance count of `key` per row of `df`: adds `outCol` =
+    * min over the sketch rows of the addressed counters (0 when a
+    * counter was never touched). The classic guarantee holds exactly:
+    * the estimate NEVER undercounts, and overshoots by more than
+    * 2N/width with probability ≤ 2^-depth.
+    *
+    * Plan shape: `depth` 1:1 broadcast lookups (the counter table is
+    * ≤ depth×width rows by construction) — no shuffle, no column loss,
+    * the [[bloomProbe]] recipe.
+    */
+  def cmsEstimate(df: DataFrame, key: Column, outCol: String,
+                  counters: DataFrame, width: Int, depth: Int): DataFrame = {
+    require(width >= 2 && depth >= 1 && depth <= 16,
+      "cmsEstimate: need width >= 2, depth in [1,16]")
+    val probed = (0 until depth).foldLeft(df.withColumn("_k", key)) { (acc, j) =>
+      val c = broadcast(counters.filter(col("row") === j)
+        .select(col("col").as(s"_cc$j"), col("cnt").as(s"_cn$j")))
+      acc
+        .withColumn(s"_p$j", cmsPos(col("_k"), j, width))
+        .join(c, col(s"_p$j") === col(s"_cc$j"), "left")
+    }
+    val est = (0 until depth).map(j => coalesce(col(s"_cn$j"), lit(0L))).reduce(least(_, _))
+    probed.withColumn(outCol, est)
+      .drop("_k")
+      .drop((0 until depth).flatMap(j => Seq(s"_p$j", s"_cc$j", s"_cn$j")): _*)
+  }
+
   /** Probe: adds boolean `outCol` to `df` — true iff every hash bit of
     * `key` is set (possible member; false = PROVABLY absent).
     *

@@ -88,6 +88,37 @@ class SketchesSpec extends SparkSpec {
     assert(m("a") === true)
   }
 
+  test("cms never undercounts; exact at generous width; estimates track truth") {
+    val rnd = new scala.util.Random(3)
+    // Zipf-ish: key i appears ~ 1000/i times
+    val rows = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"key-$i"))
+    val df = rows.map(Tuple1(_)).toDF("k")
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val counters = Sketches.cmsCounters(df, col("k"), width = 64, depth = 4)
+    val est = Sketches.cmsEstimate(truth.keys.toSeq.map(Tuple1(_)).toDF("k"),
+        col("k"), "est", counters, 64, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, t) =>
+      assert(est(k) >= t, s"$k undercounted: ${est(k)} < $t")
+    }
+    // generous width → no collisions → exact
+    val wide = Sketches.cmsCounters(df, col("k"), width = 4096, depth = 4)
+    val exact = Sketches.cmsEstimate(truth.keys.toSeq.map(Tuple1(_)).toDF("k"),
+        col("k"), "est", wide, 4096, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact === truth)
+  }
+
+  test("cms counters merge by sum: merged == sketch of the union") {
+    val a = (1 to 400).map(i => Tuple1(s"k${i % 37}")).toDF("k")
+    val b = (1 to 300).map(i => Tuple1(s"k${i % 11}")).toDF("k")
+    val merged = Sketches.cmsMerge(Seq(
+      Sketches.cmsCounters(a, col("k"), 64, 3),
+      Sketches.cmsCounters(b, col("k"), 64, 3)))
+    val direct = Sketches.cmsCounters(a.unionAll(b), col("k"), 64, 3)
+    assert(merged.collect().toSet === direct.collect().toSet)
+  }
+
   test("bloom probe plan: broadcast lookups only, no shuffle on the probe side") {
     val build = (1 to 100).map(i => Tuple1(s"x$i")).toDF("k")
     val words = Sketches.bloomWords(build, col("k"), 3200, 4)
