@@ -1537,6 +1537,12 @@ object SparkEntry {
     },
 
     // -- record splits (row 21) --
+    // -- Signal resampling (row 17 sibling: the downsampling pass) --
+    "sg_resample" -> { (s, dir) =>
+      SignalOps.resample(opset(s, dir).df, "value", "record", "t", 20)
+        .orderBy("record", "t0")
+    },
+
     "split_left" -> { (s, dir) =>
       val os = opset(s, dir)
       Splits.left(os, Splits.argmaxInstants(os, "value")).df
@@ -2594,6 +2600,14 @@ object SparkEntry {
       s"""WITH $OpsetCte, $ctes
          |SELECT record, t, round(z, 6) AS z FROM $rel ORDER BY record, t""".stripMargin
     },
+
+    "sg_resample" ->
+      s"""WITH $OpsetCte
+         |SELECT record, ((t - 1) // 20) * 20 + 1 AS t0,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       round(avg(value), 6) AS mean_v,
+         |       min(value) AS min_v, max(value) AS max_v
+         |FROM opset GROUP BY record, t0 ORDER BY record, t0""".stripMargin,
 
     "split_left" ->
       s"""WITH $OpsetCte, $InstantsCte

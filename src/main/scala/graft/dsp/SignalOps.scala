@@ -352,4 +352,27 @@ object SignalOps {
       z
     }
   }
+
+  /** Index-bucket resampling: one row per (record, bucket of `every`
+    * consecutive samples) with count/mean/min/max and the bucket's first
+    * sample index `t0` — the downsampling pass every long-signal UI and
+    * coarse-grained model runs before touching a 10^9-sample channel.
+    *
+    * Aggregation-shaped on purpose: ONE map-side-combined groupBy, no
+    * window and no sort — at 100 TB the resample ships only bucket
+    * partials through the shuffle, and parallelism is records × buckets
+    * rather than records. The mean is rounded at the caller-visible
+    * precision (6) since float summation order is partition-dependent;
+    * min/max/count are exact.
+    */
+  def resample(df: DataFrame, valueCol: String, recordCol: String, tCol: String,
+               every: Int): DataFrame = {
+    require(every >= 1, "resample: every must be >= 1")
+    df.groupBy(col(recordCol),
+        (expr(s"($tCol - 1) div $every") * every + 1).as("t0"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 6).as("mean_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+  }
 }

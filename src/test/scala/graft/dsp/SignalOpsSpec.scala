@@ -60,4 +60,23 @@ class SignalOpsSpec extends SparkSpec {
     val out = SignalOps.indicatorDf(out0, "_sg", "record", "t", 2.0, "z")
     assert(collectCol(out, "f", "z").forall(_ == 0.0))
   }
+
+  test("resample: per-record index buckets with exact count/min/max") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 25).map(t => ("r", t.toLong, t.toDouble)).toDF("record", "t", "value")
+    val out = SignalOps.resample(df, "value", "record", "t", every = 10)
+      .orderBy("t0").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))
+    assert(out === Array((1L, 10L, 1.0, 10.0), (11L, 10L, 11.0, 20.0), (21L, 5L, 21.0, 25.0)))
+  }
+
+  test("resample plan: aggregation-shaped, no window, one exchange") {
+    import spark.implicits._
+    val df = Seq(("r", 1L, 1.0)).toDF("record", "t", "value")
+    val plan = SignalOps.resample(df, "value", "record", "t", 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"plan:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, s"plan:\n$plan")
+  }
 }
