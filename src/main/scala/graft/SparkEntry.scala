@@ -2118,8 +2118,13 @@ object SparkEntry {
     // -- Deterministic count-min sketch: per-user event frequency (row 58) --
     "sketch_cms" -> { (s, dir) =>
       val ev = s.read.parquet(s"$dir/events.parquet")
-      val counters = Sketches.cmsCounters(ev, col("user_id"), CmsWidth, CmsDepth)
-      val users = ev.groupBy("user_id").agg(count(lit(1)).as("n_true"))
+      // ONE events scan: the per-user counts feed both the weighted
+      // counter build (identical counters to the per-instance form) and
+      // the probe side; the cached table is user-count-sized
+      val users = graft.core.CacheScope.session.cache(
+        ev.groupBy("user_id").agg(count(lit(1)).as("n_true")))
+      val counters = Sketches.cmsCountersWeighted(
+        users, col("user_id"), col("n_true"), CmsWidth, CmsDepth)
       Sketches.cmsEstimate(users, col("user_id"), "est", counters, CmsWidth, CmsDepth)
         .orderBy("user_id")
     },

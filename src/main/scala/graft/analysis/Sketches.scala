@@ -131,6 +131,25 @@ object Sketches {
   private def bloomPos(key: Column, i: Int, mBits: Int): Column =
     graft.llm.Dedup.md5Hash32(concat(key.cast("string"), lit(s":$i"))) % mBits
 
+  /** Pin a metadata-sized two-column LONG table to a LocalRelation: the
+    * sketch-probe joins reference their filter table once PER ARM, and a
+    * lazy plan would re-execute the whole build aggregation (a full
+    * build-side scan) for every arm's broadcast. Sketch tables are
+    * bounded by construction (mBits/32, depth×width), so collecting them
+    * through the driver is the metadata-sized-collect precedent — the
+    * build scan provably runs ONCE.
+    */
+  private def pinLocal(t: DataFrame, c1: String, c2: String): DataFrame = {
+    val spark = t.sparkSession
+    val rows = t.select(col(c1).cast("long"), col(c2).cast("long")).collect()
+      .map(r => org.apache.spark.sql.Row(r.getLong(0), r.getLong(1)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(c1, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(c2, org.apache.spark.sql.types.LongType))))
+  }
+
   /** Build the filter: `(word_idx, bits)` sparse 32-bit words (stored in
     * BIGINTs — bit 63 of a 64-bit word would overflow DuckDB's CHECKED
     * left shift, and halving the word width costs nothing at filter
@@ -174,6 +193,22 @@ object Sketches {
       .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Weighted build: each `df` row contributes `weight` instances of its
+    * key. The pre-aggregated form of [[cmsCounters]] — when the caller
+    * already holds (key, count) pairs, building from them instead of raw
+    * instances is the same counters for one data pass less (the
+    * GramCounts lesson: collapse repeats BEFORE the explode).
+    */
+  def cmsCountersWeighted(df: DataFrame, key: Column, weight: Column,
+                          width: Int, depth: Int): DataFrame = {
+    require(width >= 2 && depth >= 1 && depth <= 16,
+      "cmsCountersWeighted: need width >= 2, depth in [1,16]")
+    df.select(weight.cast("long").as("_w"),
+        posexplode(array((0 until depth).map(j => cmsPos(key, j, width)): _*))
+          .as(Seq("row", "col")))
+      .groupBy("row", "col").agg(sum(col("_w")).as("cnt"))
+  }
+
   /** Merge counter tables built with the same geometry: sum per cell. */
   def cmsMerge(tables: Seq[DataFrame]): DataFrame = {
     require(tables.nonEmpty, "cmsMerge: no counter tables")
@@ -195,9 +230,12 @@ object Sketches {
                   counters: DataFrame, width: Int, depth: Int): DataFrame = {
     require(width >= 2 && depth >= 1 && depth <= 16,
       "cmsEstimate: need width >= 2, depth in [1,16]")
+    // fold row into the key so ONE pinned two-column table serves every arm
+    val pinned = pinLocal(
+      counters.select((col("row") * width + col("col")).as("rc"), col("cnt")), "rc", "cnt")
     val probed = (0 until depth).foldLeft(df.withColumn("_k", key)) { (acc, j) =>
-      val c = broadcast(counters.filter(col("row") === j)
-        .select(col("col").as(s"_cc$j"), col("cnt").as(s"_cn$j")))
+      val c = broadcast(pinned.select((col("rc") - j * width).as(s"_cc$j"), col("cnt").as(s"_cn$j"))
+        .filter(col(s"_cc$j") >= 0 && col(s"_cc$j") < width))
       acc
         .withColumn(s"_p$j", cmsPos(col("_k"), j, width))
         .join(c, col(s"_p$j") === col(s"_cc$j"), "left")
@@ -220,8 +258,9 @@ object Sketches {
                  words: DataFrame, mBits: Int, k: Int): DataFrame = {
     require(mBits > 0 && mBits % 32 == 0, "bloomProbe: mBits must be a positive multiple of 32")
     require(k >= 1 && k <= 16, "bloomProbe: k must be in [1,16]")
+    val pinned = pinLocal(words, "word_idx", "bits")
     val probed = (0 until k).foldLeft(df.withColumn("_k", key)) { (acc, i) =>
-      val w = broadcast(words.select(col("word_idx").as(s"_wi$i"), col("bits").as(s"_b$i")))
+      val w = broadcast(pinned.select(col("word_idx").as(s"_wi$i"), col("bits").as(s"_b$i")))
       acc
         .withColumn(s"_p$i", bloomPos(col("_k"), i, mBits))
         .join(w, expr(s"_p$i div 32") === col(s"_wi$i"), "left")

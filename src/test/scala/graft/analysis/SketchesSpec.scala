@@ -109,6 +109,15 @@ class SketchesSpec extends SparkSpec {
     assert(exact === truth)
   }
 
+  test("cms weighted build == per-instance build") {
+    val inst = (1 to 500).map(i => Tuple1(s"k${i % 23}")).toDF("k")
+    val grouped = inst.groupBy("k").count()
+    val a = Sketches.cmsCounters(inst, col("k"), 64, 4).collect().toSet
+    val b = Sketches.cmsCountersWeighted(grouped, col("k"), col("count"), 64, 4)
+      .collect().toSet
+    assert(a === b)
+  }
+
   test("cms counters merge by sum: merged == sketch of the union") {
     val a = (1 to 400).map(i => Tuple1(s"k${i % 37}")).toDF("k")
     val b = (1 to 300).map(i => Tuple1(s"k${i % 11}")).toDF("k")

@@ -126,13 +126,14 @@ class EventOpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, s"plan:\n$plan")
   }
 
-  test("retention plan: the per-cell dedup reuses the user hash (2 exchanges total)") {
+  test("retention plan: aggregation-shaped — no window, first agg combines map-side") {
     val e = Seq((1L, 0L)).toDF("user_id", "tus")
     val plan = EventOps.retention(e, "user_id", col("tus"))
       .queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    // window shuffle on user + final (cohort, offset) count — the
-    // intermediate distinct must NOT add a third
-    assert(exchanges === 2, s"expected 2 shuffles, plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the cohort min must be an aggregation, not a per-user sort:\n$plan")
+    // the (user, day) collapse must run partial+final (map-side combine
+    // eats the event volume before the only data-sized exchange)
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, s"plan:\n$plan")
   }
 }
