@@ -1194,6 +1194,9 @@ object SparkEntry {
   private val JoinLookback = "1 hour"
   private val JoinLookbackUs = 3600L * 1000000
 
+  // PageRank rounds shared by the graph_pagerank query/oracle.
+  private val PrIters = 5
+
   // Count-min geometry shared by the sketch_cms query/oracle: 256x4
   // over 150-15k users -> real collisions at the larger SFs (the
   // overestimate guarantee is exercised, not vacuous).
@@ -2078,6 +2081,16 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // -- Integer-tick PageRank over the user/event-type graph (row 65) --
+    "graph_pagerank" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val fwd = ev.select(concat(lit("u:"), col("user_id")).as("src"),
+        concat(lit("t:"), col("event_type")).as("dst"))
+      val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.Graph.pagerank(edges, "src", "dst", PrIters)
+        .orderBy("node")
+    },
+
     // -- JSONL corpus source round-trip (row 64) --
     // documents egress as JSON lines, re-ingest under the ENFORCED
     // schema with two corrupt lines injected (malformed JSON + a
@@ -2942,6 +2955,34 @@ object SparkEntry {
     // the landed-register fold is idempotent, so the streamed sketch
     // grades against the IDENTICAL batch oracle
     "stream_hll" -> hllSql,
+
+    "graph_pagerank" -> {
+      // the k rounds re-derived as chained CTEs — pure BIGINT arithmetic
+      val rounds = (1 to PrIters).map { i =>
+        s"""m$i AS (
+           |  SELECT e.dst AS node, CAST(sum(r${i - 1}.r // deg.d) AS BIGINT) AS m
+           |  FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+           |  GROUP BY e.dst
+           |), r$i AS (
+           |  SELECT n.node, 150000000 + (85 * coalesce(m$i.m, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN m$i USING (node)
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH e AS (
+         |  SELECT concat('u:', CAST(user_id AS VARCHAR)) AS src,
+         |         concat('t:', event_type) AS dst FROM events
+         |  UNION ALL
+         |  SELECT concat('t:', event_type), concat('u:', CAST(user_id AS VARCHAR))
+         |  FROM events
+         |), deg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src
+         |), nodes AS (
+         |  SELECT src AS node FROM e UNION SELECT dst FROM e
+         |), r0 AS (
+         |  SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes
+         |), $rounds
+         |SELECT node, r / 1000000000.0 AS rank FROM r$PrIters ORDER BY node""".stripMargin
+    },
 
     "source_jsonl" ->
       // the round-trip identity: everything that left parquet comes back
