@@ -2081,6 +2081,41 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // -- Star-schema join: revenue by region x order-year (row 66) --
+    // The canonical OLAP shape Catalyst exists for: two broadcast dims
+    // (nation, region) reach the fact chain shuffle-free, the fact-side
+    // joins co-shuffle on their keys, and revenue quantizes to exact
+    // 1e-4 ticks PER ROW before the integer sum (float revenue sums in
+    // shuffle order and cannot be hash-graded).
+    "star_join" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e4 + 0.5))
+            / 1e4).as("revenue"))
+        .orderBy("r_name", "o_year")
+    },
+
+    // -- OLAP rollup: event counts at three granularities (row 66) --
+    "events_rollup" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.withColumn("day", EventOps.eventMicros(ev, "ts") / lit(86400000000L))
+        .withColumn("day", expr("CAST(day AS BIGINT)"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 1e6 + 0.5)) / 1e6).as("sum_value"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("event_type"), col("day"))
+    },
+
     // -- Integer-tick PageRank over the user/event-type graph (row 65) --
     "graph_pagerank" -> { (s, dir) =>
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -2955,6 +2990,28 @@ object SparkEntry {
     // the landed-register fold is idempotent, so the streamed sketch
     // grades against the IDENTICAL batch oracle
     "stream_hll" -> hllSql,
+
+    "star_join" ->
+      """SELECT r.r_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, year(o.o_orderdate)
+        |ORDER BY r_name, o_year""".stripMargin,
+
+    "events_rollup" ->
+      // GROUPING() bitmask matches Spark's grouping_id() bit order
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_value,
+        |       CAST(GROUPING(event_type, epoch_us(ts) // 86400000000) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY ROLLUP (event_type, epoch_us(ts) // 86400000000)
+        |ORDER BY gid, event_type, day""".stripMargin,
 
     "graph_pagerank" -> {
       // the k rounds re-derived as chained CTEs — pure BIGINT arithmetic

@@ -448,6 +448,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("star_join: dimension tables broadcast, fact chain co-shuffles") {
+    val p = plan(SparkEntry.queries("star_join")(spark, dir))
+    val bcasts = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.size >= 2, s"nation and region must broadcast:\n$p")
+  }
+
   test("collocations: top-k plans as TakeOrdered, never a global sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.llm.TextAnalysis.collocations(docs,
