@@ -1540,6 +1540,12 @@ object SparkEntry {
     },
 
     // -- record splits (row 21) --
+    // -- Signal outlier flags (row 17 sibling: exact-moment z-scores) --
+    "sg_outliers" -> { (s, dir) =>
+      SignalOps.outliers(opset(s, dir).df, "value", "record", "t", 3.0)
+        .orderBy("record", "t")
+    },
+
     // -- Signal resampling (row 17 sibling: the downsampling pass) --
     "sg_resample" -> { (s, dir) =>
       SignalOps.resample(opset(s, dir).df, "value", "record", "t", 20)
@@ -2653,6 +2659,29 @@ object SparkEntry {
       s"""WITH $OpsetCte, $ctes
          |SELECT record, t, round(z, 6) AS z FROM $rel ORDER BY record, t""".stripMargin
     },
+
+    "sg_outliers" ->
+      // identical exact-moment pipeline: 1e-6 ticks per sample, HUGEINT
+      // moment sums, one mean/stddev per record, float ops pinned
+      s"""WITH $OpsetCte, tk AS (
+         |  SELECT record, t, value,
+         |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS tk
+         |  FROM opset
+         |), st AS (
+         |  SELECT record, count(*) AS n,
+         |         sum(CAST(tk AS HUGEINT)) AS s1,
+         |         sum(CAST(tk AS HUGEINT) * tk) AS s2
+         |  FROM tk GROUP BY record
+         |), m AS (
+         |  SELECT record, CAST(s1 AS DOUBLE) / n AS mu,
+         |         sqrt(CAST(s2 AS DOUBLE) / n
+         |              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd
+         |  FROM st
+         |)
+         |SELECT t.record, t.t, t.value, round((t.tk - m.mu) / m.sd, 6) AS z
+         |FROM tk t JOIN m USING (record)
+         |WHERE m.sd > 0 AND abs(t.tk - m.mu) > 3.0 * m.sd
+         |ORDER BY record, t""".stripMargin,
 
     "sg_resample" ->
       s"""WITH $OpsetCte

@@ -375,4 +375,35 @@ object SignalOps {
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"))
   }
+
+  /** Z-score outlier flags per record: samples whose value sits more
+    * than `k` standard deviations from the record mean, with `z`
+    * rounded to 6. The moment sums are EXACT — values quantize to 1e-6
+    * BIGINT ticks per row, and Σt / Σt² accumulate in 38-digit decimals
+    * (tick² ≤ 1e16; a 10^9-sample record stays within 10^25 ≪ 10^38) —
+    * so mean/stddev are computed ONCE per record from exact integers
+    * and the flag set is bit-reproducible at any partitioning, where a
+    * float `stddev_pop` sums in shuffle order. A constant record
+    * (σ = 0, or a negative float epsilon under the sqrt) flags nothing.
+    *
+    * Plan shape: one map-side-combined moment aggregation + a broadcast
+    * join back to the samples — two scans, no window, no sort.
+    */
+  def outliers(df: DataFrame, valueCol: String, recordCol: String, tCol: String,
+               k: Double): DataFrame = {
+    require(k > 0, "outliers: k must be positive")
+    val tk = df.withColumn("_tk",
+      floor(col(valueCol) * 1e6 + 0.5).cast("long"))
+    val st = tk.groupBy(col(recordCol)).agg(
+      count(lit(1)).as("_n"),
+      sum(col("_tk").cast("decimal(38,0)")).as("_s1"),
+      sum((col("_tk").cast("decimal(38,0)") * col("_tk")).cast("decimal(38,0)")).as("_s2"))
+    val mu = col("_s1").cast("double") / col("_n")
+    val sd = sqrt(col("_s2").cast("double") / col("_n") - mu * mu)
+    val stats = st.select(col(recordCol), mu.as("_mu"), sd.as("_sd"))
+    tk.join(broadcast(stats), recordCol)
+      .filter(col("_sd") > 0 && abs(col("_tk") - col("_mu")) > lit(k) * col("_sd"))
+      .select(col(recordCol), col(tCol), col(valueCol),
+        round((col("_tk") - col("_mu")) / col("_sd"), 6).as("z"))
+  }
 }

@@ -79,4 +79,26 @@ class SignalOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"plan:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, s"plan:\n$plan")
   }
+
+  test("outliers: flags beyond k sigma; constant records flag nothing") {
+    import spark.implicits._
+    // 20 samples at 10.0 plus one wild spike: sigma is dominated by the
+    // spike, so only the spike exceeds 3 sigma... use k=2 and a tighter
+    // cloud to get a deterministic hand-check
+    val base = (1 to 40).map(t => ("r", t.toLong, if (t == 7) 100.0 else 10.0))
+    val flat = (1 to 10).map(t => ("c", t.toLong, 5.0))
+    val out = SignalOps.outliers((base ++ flat).toDF("record", "t", "value"),
+        "value", "record", "t", k = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Array(("r", 7L)))
+  }
+
+  test("outliers is partitioning-independent (exact moment sums)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val df = (1 to 500).map(t => ("r", t.toLong, rnd.nextGaussian())).toDF("record", "t", "value")
+    val a = SignalOps.outliers(df, "value", "record", "t", 1.5).collect().toSet
+    val b = SignalOps.outliers(df.repartition(11), "value", "record", "t", 1.5).collect().toSet
+    assert(a === b)
+  }
 }
