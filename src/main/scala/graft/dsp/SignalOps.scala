@@ -390,7 +390,7 @@ object SignalOps {
     * join back to the samples — two scans, no window, no sort.
     */
   def outliers(df: DataFrame, valueCol: String, recordCol: String, tCol: String,
-               k: Double): DataFrame = {
+               k: Double, broadcastStats: Boolean = true): DataFrame = {
     require(k > 0, "outliers: k must be positive")
     val tk = df.withColumn("_tk",
       floor(col(valueCol) * 1e6 + 0.5).cast("long"))
@@ -401,7 +401,10 @@ object SignalOps {
     val mu = col("_s1").cast("double") / col("_n")
     val sd = sqrt(col("_s2").cast("double") / col("_n") - mu * mu)
     val stats = st.select(col(recordCol), mu.as("_mu"), sd.as("_sd"))
-    tk.join(broadcast(stats), recordCol)
+    // the stats table is RECORD-count-sized: broadcast is right up to
+    // millions of records; a billion-record corpus flips the flag and
+    // pays one co-shuffled join instead
+    tk.join(if (broadcastStats) broadcast(stats) else stats, Seq(recordCol))
       .filter(col("_sd") > 0 && abs(col("_tk") - col("_mu")) > lit(k) * col("_sd"))
       .select(col(recordCol), col(tCol), col(valueCol),
         round((col("_tk") - col("_mu")) / col("_sd"), 6).as("z"))
