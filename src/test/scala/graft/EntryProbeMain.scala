@@ -14,7 +14,8 @@ object EntryProbeMain {
     println(s"ENTRY rows=$n")
     // graft-function call sites must fall back to their HOF twins here
     // (no GraftExtensions in this session)
-    for (q <- Seq("ann_topk", "text_fingerprint", "dedup_minhash_sig", "dedup_jaccard")) {
+    for (q <- Seq("ann_topk", "text_fingerprint", "dedup_minhash_sig", "dedup_jaccard",
+        "text_collocations", "text_perplexity", "text_repetition")) {
       val c = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       println(s"PLAIN $q rows=$c")
     }
