@@ -2066,6 +2066,15 @@ object SparkEntry {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // -- Generic two-phase top-k per key (row 67) --
+    "events_topk" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.core.TopK.perKey(
+          ev.select(col("user_id"), col("event_id"), col("value")),
+          Seq("user_id"), Seq(col("value").desc, col("event_id")), 3)
+        .orderBy("user_id", "rank")
+    },
+
     "events_latest" -> { (s, dir) =>
       val ev = s.read.parquet(s"$dir/events.parquet")
       EventOps.latestSnapshot(ev, Seq("user_id", "event_type"),
@@ -2974,6 +2983,18 @@ object SparkEntry {
         |SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
         |FROM cell GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "events_topk" ->
+      // the single-window form IS the semantics; the Spark side's
+      // two-phase plan must reproduce it row-for-row
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id) AS rank
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
 
     "events_latest" ->
       // window formulation of the same semantics the Spark side's

@@ -86,18 +86,11 @@ object Retrieval {
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("_ticks")).as("bm25_ticks"))
 
-    // two-phase exact top-k: per-partition survivors first, so a small
-    // query count never concentrates the corpus into few window tasks
-    val pre = scored.withColumn("_p", spark_partition_id())
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("query_id", "_p")
-          .orderBy(col("bm25_ticks").desc, col(idCol))))
-      .filter(col("_rn") <= k).drop("_p", "_rn")
-    pre.withColumn("_rn", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("bm25_ticks").desc, col(idCol))))
-      .filter(col("_rn") <= k)
-      .select(col("query_id"), col(idCol), col("bm25_ticks"),
-        col("_rn").cast("long").as("rank"))
+    // two-phase exact top-k (extracted to [[graft.core.TopK.perKey]]):
+    // per-partition survivors first, so a small query count never
+    // concentrates the corpus into few window tasks
+    graft.core.TopK.perKey(scored, Seq("query_id"),
+        Seq(col("bm25_ticks").desc, col(idCol)), k)
+      .select(col("query_id"), col(idCol), col("bm25_ticks"), col("rank"))
   }
 }
