@@ -55,10 +55,14 @@ object Web {
   def capPerDomain(docs: DataFrame, idCol: String, domainCol: String,
                    k: Int, seed: Long): DataFrame = {
     require(k > 0, "capPerDomain: k must be positive")
-    val w = Window.partitionBy(col(domainCol)).orderBy(col("_h"), col(idCol))
-    docs.withColumn("_h", Dedup.md5Hash32(concat_ws("|", col(idCol), lit(seed))))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
+    // two-phase top-k (graft.core.TopK): a corpus dominated by FEW
+    // domains — exactly the situation the cap exists for — would funnel
+    // through that many window tasks in the single-window form; the
+    // per-(domain, partition) pre-rank keeps parallelism at
+    // domains × partitions with the identical winner set
+    graft.core.TopK.perKey(
+        docs.withColumn("_h", Dedup.md5Hash32(concat_ws("|", col(idCol), lit(seed)))),
+        Seq(domainCol), Seq(col("_h"), col(idCol)), k, "_rn")
       .drop("_h", "_rn")
   }
 }
