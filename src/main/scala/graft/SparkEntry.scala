@@ -883,6 +883,32 @@ object SparkEntry {
 
   private def dsirGramSql(n: Int): String = gramListSql(n, DsirBuckets)
 
+  /** DuckDB twin of the exact-moment z-score pipeline — shared by
+    * `sg_outliers` (batch) and `stream_outliers` (stream-static
+    * enrichment landing the identical flag set): 1e-6 ticks per sample,
+    * HUGEINT moment sums, one mean/stddev per record, float ops pinned.
+    */
+  private def outliersSql: String =
+    s"""WITH $OpsetCte, tk AS (
+         |  SELECT record, t, value,
+         |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS tk
+         |  FROM opset
+         |), st AS (
+         |  SELECT record, count(*) AS n,
+         |         sum(CAST(tk AS HUGEINT)) AS s1,
+         |         sum(CAST(tk AS HUGEINT) * tk) AS s2
+         |  FROM tk GROUP BY record
+         |), m AS (
+         |  SELECT record, CAST(s1 AS DOUBLE) / n AS mu,
+         |         sqrt(CAST(s2 AS DOUBLE) / n
+         |              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd
+         |  FROM st
+         |)
+         |SELECT t.record, t.t, t.value, round((t.tk - m.mu) / m.sd, 6) AS z
+         |FROM tk t JOIN m USING (record)
+         |WHERE m.sd > 0 AND abs(t.tk - m.mu) > 3.0 * m.sd
+         |ORDER BY record, t""".stripMargin
+
   /** Lineitem columns × profile kind, name-sorted like the Spark side's
     * schema sort; drives [[profileSql]].
     */
@@ -1963,6 +1989,42 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // -- Structured Streaming stream-static enrichment (row 39) --
+    // The stateless-enrichment claim made graded: per-record mean/sigma
+    // train in BATCH (the exact-tick moment pipeline of sg_outliers),
+    // broadcast-join into a bounded stream replay of the same signal,
+    // and the row-local z-score filter emits in append mode — no state,
+    // no watermark, the dimension-probe shape every streaming scorer
+    // uses. Oracle = the identical batch sg_outliers SQL.
+    "stream_outliers" -> { (s, dir) =>
+      val sig = opset(s, dir).df.select(col("record"), col("t"),
+        col("value").cast("double").as("value"))
+      val outPath = java.nio.file.Files.createTempDirectory("graft-stream-ol")
+      deleteAtExit(outPath)
+      val out = outPath.toString
+      val in = s"$out/in"
+      sig.write.parquet(in)
+      val tk = sig.withColumn("_tk", floor(col("value") * 1e6 + 0.5).cast("long"))
+      val st = tk.groupBy(col("record")).agg(
+        count(lit(1)).as("_n"),
+        sum(col("_tk").cast("decimal(38,0)")).as("_s1"),
+        sum((col("_tk").cast("decimal(38,0)") * col("_tk")).cast("decimal(38,0)")).as("_s2"))
+      val mu = col("_s1").cast("double") / col("_n")
+      val sd = sqrt(col("_s2").cast("double") / col("_n") - mu * mu)
+      val stats = st.select(col("record"), mu.as("_mu"), sd.as("_sd"))
+      val stream = s.readStream.schema(sig.schema).parquet(in)
+        .withColumn("_tk", floor(col("value") * 1e6 + 0.5).cast("long"))
+        .join(broadcast(stats), Seq("record"))
+        .filter(col("_sd") > 0 && abs(col("_tk") - col("_mu")) > lit(3.0) * col("_sd"))
+        .select(col("record"), col("t"), col("value"),
+          round((col("_tk") - col("_mu")) / col("_sd"), 6).as("z"))
+      graft.streaming.StreamOps.writeOpsetStore(
+        stream, s"$out/rows", s"$out/ckpt").awaitTermination()
+      deleteTree(java.nio.file.Paths.get(in))
+      deleteTree(java.nio.file.Paths.get(out, "ckpt"))
+      s.read.parquet(s"$out/rows").orderBy("record", "t")
+    },
+
     // -- Structured Streaming interval join (row 39) --
     // Land-and-grade for StreamOps.intervalJoin: events replays as a
     // bounded one-file stream read TWICE (clicks side, views side, each
@@ -2669,28 +2731,10 @@ object SparkEntry {
          |SELECT record, t, round(z, 6) AS z FROM $rel ORDER BY record, t""".stripMargin
     },
 
-    "sg_outliers" ->
-      // identical exact-moment pipeline: 1e-6 ticks per sample, HUGEINT
-      // moment sums, one mean/stddev per record, float ops pinned
-      s"""WITH $OpsetCte, tk AS (
-         |  SELECT record, t, value,
-         |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS tk
-         |  FROM opset
-         |), st AS (
-         |  SELECT record, count(*) AS n,
-         |         sum(CAST(tk AS HUGEINT)) AS s1,
-         |         sum(CAST(tk AS HUGEINT) * tk) AS s2
-         |  FROM tk GROUP BY record
-         |), m AS (
-         |  SELECT record, CAST(s1 AS DOUBLE) / n AS mu,
-         |         sqrt(CAST(s2 AS DOUBLE) / n
-         |              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd
-         |  FROM st
-         |)
-         |SELECT t.record, t.t, t.value, round((t.tk - m.mu) / m.sd, 6) AS z
-         |FROM tk t JOIN m USING (record)
-         |WHERE m.sd > 0 AND abs(t.tk - m.mu) > 3.0 * m.sd
-         |ORDER BY record, t""".stripMargin,
+    "sg_outliers" -> outliersSql,
+
+    // the stream-static enrichment lands the SAME flag set
+    "stream_outliers" -> outliersSql,
 
     "sg_resample" ->
       s"""WITH $OpsetCte
