@@ -883,6 +883,22 @@ object SparkEntry {
 
   private def dsirGramSql(n: Int): String = gramListSql(n, DsirBuckets)
 
+  /** DuckDB twin of the struct-max latest-record compaction — shared by
+    * `events_latest` (batch) and `stream_latest` (the same aggregation
+    * as a stateful streaming query with one-row-per-key state; the
+    * landed Update emissions max-fold idempotently): window formulation
+    * of max (tus, event_id) per key.
+    */
+  private def latestSql: String =
+    """WITH r AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, event_type, tus AS last_us, event_id, value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   /** DuckDB twin of the exact-moment z-score pipeline — shared by
     * `sg_outliers` (batch) and `stream_outliers` (stream-static
     * enrichment landing the identical flag set): 1e-6 ticks per sample,
@@ -1989,6 +2005,37 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // -- Structured Streaming CDC compaction (row 39) --
+    // The streaming twin of events_latest: the SAME struct-max
+    // aggregation runs as a stateful streaming query whose state is ONE
+    // row per key by construction (the latestSnapshot/sketch property —
+    // a changelog compaction never needs more), Update emissions land
+    // per batch, and the read-back max-fold is idempotent. Grades
+    // against the IDENTICAL batch oracle.
+    "stream_latest" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val outPath = java.nio.file.Files.createTempDirectory("graft-stream-lt")
+      deleteAtExit(outPath)
+      val out = outPath.toString
+      val in = s"$out/in"
+      ev.select(col("user_id"), col("event_type"),
+          EventOps.eventMicros(ev, "ts").as("tus"), col("event_id"), col("value"))
+        .write.parquet(in)
+      val stream = s.readStream
+        .schema(s.read.parquet(in).schema).parquet(in)
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("tus"), col("event_id"), col("value"))).as("_m"))
+      graft.streaming.StreamOps.landUpdates(
+        stream, s"$out/rows", s"$out/ckpt").awaitTermination()
+      deleteTree(java.nio.file.Paths.get(in))
+      deleteTree(java.nio.file.Paths.get(out, "ckpt"))
+      s.read.parquet(s"$out/rows")
+        .groupBy("user_id", "event_type").agg(max(col("_m")).as("_m"))
+        .select(col("user_id"), col("event_type"), col("_m.tus").as("last_us"),
+          col("_m.event_id").as("event_id"), col("_m.value").as("value"))
+        .orderBy("user_id", "event_type")
+    },
+
     // -- Structured Streaming stream-static enrichment (row 39) --
     // The stateless-enrichment claim made graded: per-record mean/sigma
     // train in BATCH (the exact-tick moment pipeline of sg_outliers),
@@ -3040,17 +3087,11 @@ object SparkEntry {
         |SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
 
-    "events_latest" ->
-      // window formulation of the same semantics the Spark side's
-      // struct-max aggregation declares: max (tus, event_id) per key
-      """WITH r AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id, value,
-        |         row_number() OVER (PARTITION BY user_id, event_type
-        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-        |  FROM events
-        |)
-        |SELECT user_id, event_type, tus AS last_us, event_id, value
-        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "stream_latest" -> latestSql,
+
+    "events_latest" -> latestSql,
+
+
 
     "stats_quantiles" -> {
       // the pinned type-7 interpolation, evaluated in the identical
