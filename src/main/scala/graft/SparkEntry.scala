@@ -177,7 +177,8 @@ object SparkEntry {
     pairsCache.getOrElseUpdate((s, dir), {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Dedup.minhashLsh(docs, "doc_id", "text",
-        MhShingle, MhHashes, MhBands, MhThreshold).cache()
+        MhShingle, MhHashes, MhBands, MhThreshold,
+        graft.core.CacheScope.session).cache()
     })
   }
 
@@ -388,8 +389,10 @@ object SparkEntry {
         s"SELECT vec_id, $i AS i, ${dotSql("v", s"($clit)")} / $cn AS s FROM nrm"
       }.mkString("\n  UNION ALL\n  ")
       // ann_indexed answers the SAME search through the cell-partitioned
-      // index layout — its oracle is the identical frozen-centroid SQL.
-      val keys = Seq("ann_ivf", "ann_indexed")
+      // index layout — its oracle is the identical frozen-centroid SQL;
+      // ann_indexed_append builds that layout in two batches (append under
+      // the frozen centroids is result-identical by construction).
+      val keys = Seq("ann_ivf", "ann_indexed", "ann_indexed_append")
       keys.map(_ ->
         s"""WITH $EmbCte, csc AS (
            |  $arms
@@ -947,7 +950,7 @@ object SparkEntry {
     s"""WITH h AS (
        |  SELECT event_type,
        |         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
-       |  FROM events
+       |  FROM events WHERE user_id IS NOT NULL
        |), r AS (
        |  SELECT event_type, hv >> 23 AS bucket,
        |         CASE WHEN hv & 8388607 = 0 THEN 24
@@ -2231,8 +2234,13 @@ object SparkEntry {
     // -- OLAP rollup: event counts at three granularities (row 66) --
     "events_rollup" -> { (s, dir) =>
       val ev = s.read.parquet(s"$dir/events.parquet")
-      ev.withColumn("day", EventOps.eventMicros(ev, "ts") / lit(86400000000L))
-        .withColumn("day", expr("CAST(day AS BIGINT)"))
+      // integer `div`, never `/`: long/long is DOUBLE division in Spark,
+      // and float rounding could bump the truncated quotient across a day
+      // boundary once day indexes grow past the double mantissa's exact
+      // range — the surface stays pure integer arithmetic end to end
+      // (same recipe as events_retention).
+      ev.withColumn("_tus", EventOps.eventMicros(ev, "ts"))
+        .withColumn("day", expr("_tus div 86400000000"))
         .rollup(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n"),
           (sum(floor(col("value") * 1e6 + 0.5)) / 1e6).as("sum_value"),
@@ -2378,6 +2386,27 @@ object SparkEntry {
       ivfCentsExport = Some(cents)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(dir.hashCode)}"
       Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, path)
+      Similarity.ivfIndexTopK(s.read.parquet(path),
+          emb.filter(col("vec_id").isin(AnnQueryIds: _*)),
+          "vec_id", "embedding", AnnK, cents, IvfProbe)
+        .orderBy("q_id", "rank")
+    },
+
+    // -- LLM: IVF index APPEND (row 33, maintenance path) --
+    // The same search through an index built in TWO batches: write half,
+    // append the other half against the index's own frozen centroids
+    // (read back from the artifact). Assignment is per-row and
+    // batch-independent, so the result is identical to the one-shot
+    // index — graded by the SAME frozen-centroid oracle as ann_indexed.
+    "ann_indexed_append" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
+      ivfCentsExport = Some(cents)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_append_${math.abs(dir.hashCode)}"
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", cents, path)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", path)
       Similarity.ivfIndexTopK(s.read.parquet(path),
           emb.filter(col("vec_id").isin(AnnQueryIds: _*)),
           "vec_id", "embedding", AnnK, cents, IvfProbe)
@@ -3098,7 +3127,7 @@ object SparkEntry {
       // operation order: rank = p*(n-1), a + (b-a)*frac, round 6
       val psList = QuantilePs.mkString("[", ", ", "]")
       s"""WITH v AS (
-         |  SELECT event_type AS g, value AS x FROM events
+         |  SELECT event_type AS g, value AS x FROM events WHERE value IS NOT NULL
          |), s AS (
          |  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) - 1 AS i FROM v
          |), n AS (

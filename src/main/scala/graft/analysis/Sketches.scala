@@ -69,7 +69,11 @@ object Sketches {
     val mask = (1L << remBits) - 1
     val h = graft.llm.Dedup.md5Hash32(key.cast("string"))
     val gs = groupCols.map(col)
-    df.select(gs :+ shiftright(h, remBits).as("bucket") :+
+    // NULL keys are IGNORED (standard distinct-count semantics): an
+    // unfiltered null would hash to a null bucket/mj row that hllEstimate
+    // counts into _nb but drops from the register sum, skewing zeros.
+    df.filter(key.isNotNull)
+      .select(gs :+ shiftright(h, remBits).as("bucket") :+
         h.bitwiseAND(lit(mask)).as("_rem"): _*)
       .withColumn("_rho",
         when(col("_rem") === 0, lit(maxRho(p)))
@@ -230,6 +234,9 @@ object Sketches {
                   counters: DataFrame, width: Int, depth: Int): DataFrame = {
     require(width >= 2 && depth >= 1 && depth <= 16,
       "cmsEstimate: need width >= 2, depth in [1,16]")
+    graft.core.Salting.requireFreeColumns(df,
+      "_k" +: (0 until depth).flatMap(j => Seq(s"_p$j", s"_cc$j", s"_cn$j")) :+ outCol,
+      "cmsEstimate")
     // fold row into the key so ONE pinned two-column table serves every arm
     val pinned = pinLocal(
       counters.select((col("row") * width + col("col")).as("rc"), col("cnt")), "rc", "cnt")
@@ -258,6 +265,9 @@ object Sketches {
                  words: DataFrame, mBits: Int, k: Int): DataFrame = {
     require(mBits > 0 && mBits % 32 == 0, "bloomProbe: mBits must be a positive multiple of 32")
     require(k >= 1 && k <= 16, "bloomProbe: k must be in [1,16]")
+    graft.core.Salting.requireFreeColumns(df,
+      "_k" +: (0 until k).flatMap(i => Seq(s"_p$i", s"_wi$i", s"_b$i", s"_hit$i")) :+ outCol,
+      "bloomProbe")
     val pinned = pinLocal(words, "word_idx", "bits")
     val probed = (0 until k).foldLeft(df.withColumn("_k", key)) { (acc, i) =>
       val w = broadcast(pinned.select(col("word_idx").as(s"_wi$i"), col("bits").as(s"_b$i")))

@@ -41,8 +41,13 @@ object Stats {
     val gs = groupCols.map(col)
     val w = Window.partitionBy(gs: _*).orderBy(col("_v"))
     val wAll = Window.partitionBy(gs: _*)
+    // NULLs are DROPPED before ranking (standard quantile semantics) —
+    // without this, Spark's window orderBy ranks nulls first while other
+    // engines rank them last, and nulls would still count into _n, so a
+    // nullable valueCol would silently break the cross-engine contract.
     val ranked = df
       .select(gs :+ valueCol.cast("double").as("_v"): _*)
+      .filter(col("_v").isNotNull)
       .withColumn("_i", row_number().over(w) - 1)
       .withColumn("_n", count(lit(1)).over(wAll))
     val cand = ranked

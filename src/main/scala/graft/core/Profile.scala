@@ -33,8 +33,20 @@ object Profile {
     val cols = df.schema.fields.sortBy(_.name)
     def numView(f: StructField): Option[Column] = f.dataType match {
       case _: NumericType => Some(col(f.name).cast("double"))
-      case TimestampType | TimestampNTZType =>
-        Some(unix_micros(col(f.name).cast("timestamp")).cast("double"))
+      case TimestampType => Some(unix_micros(col(f.name)).cast("double"))
+      case TimestampNTZType =>
+        // Convention: a naive timestamp profiles as its NAIVE-AS-UTC epoch
+        // micros, independent of spark.sql.session.timeZone (a bare
+        // cast-to-timestamp would interpret the naive value in the session
+        // zone and drift from any UTC-based oracle). Shifting the naive
+        // value INTO the session zone first makes the NTZ→LTZ cast's
+        // session-zone interpretation land back on the UTC instant the
+        // naive value denotes. (Caveat: wall times inside a DST fall-back
+        // overlap of the session zone resolve to the earlier offset —
+        // pin the session to a fixed-offset zone for bound exactness.)
+        Some(unix_micros(
+          convert_timezone(lit("UTC"), current_timezone(), col(f.name)).cast("timestamp"))
+          .cast("double"))
       case DateType => Some(datediff(col(f.name), lit("1970-01-01")).cast("double"))
       case _ => None
     }

@@ -18,6 +18,18 @@ object Salting {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Fail loudly when the input already carries a reserved working-column
+    * name: a silent `withColumn` overwrite (or a post-join drop) would
+    * CHANGE RESULTS instead of erroring — the caller must rename first.
+    */
+  private[graft] def requireFreeColumns(df: DataFrame, reserved: Seq[String],
+                                        what: String): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$what: input columns ${clash.toSeq.sorted.mkString(", ")} collide with " +
+        "reserved working-column names — rename them before calling")
+  }
+
   /** Hot-key guard for quadratic-fanout self-joins: drops every row whose
     * key group exceeds `cap` rows, LOUDLY — the over-cap census (group
     * count + largest size) is computed eagerly and logged at WARN with
@@ -53,12 +65,14 @@ object Salting {
     * combine.
     */
   def saltedAggregate(df: DataFrame, keyCols: Seq[String], saltExpr: Column, salts: Int,
-                      partial: Seq[Column], merge: Seq[Column]): DataFrame =
+                      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    requireFreeColumns(df, Seq("_salt"), "saltedAggregate")
     df.withColumn("_salt", pmod(saltExpr, lit(salts)))
       .groupBy((keyCols :+ "_salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keyCols.map(col): _*)
       .agg(merge.head, merge.tail: _*)
+  }
 
   /** Salted equi-join for skewed keys: result-identical to
     * `left.join(right, keyCols)` (inner), but the left side adds a
@@ -76,6 +90,8 @@ object Salting {
                saltSrc: Seq[Column], salts: Int): DataFrame = {
     require(keyCols.nonEmpty, "skewJoin: at least one join key")
     require(salts >= 1, "skewJoin: salts must be >= 1")
+    requireFreeColumns(left, Seq("_salt"), "skewJoin(left)")
+    requireFreeColumns(right, Seq("_salt"), "skewJoin(right)")
     val l = left.withColumn("_salt", pmod(xxhash64(saltSrc: _*), lit(salts)).cast("int"))
     val r = right.withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
     l.join(r, keyCols :+ "_salt").drop("_salt")

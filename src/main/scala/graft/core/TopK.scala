@@ -27,6 +27,7 @@ object TopK {
              outRank: String = "rank"): DataFrame = {
     require(keyCols.nonEmpty, "TopK.perKey: at least one key column")
     require(k >= 1, "TopK.perKey: k must be >= 1")
+    Salting.requireFreeColumns(df, Seq("_p", "_rn", outRank), "TopK.perKey")
     val pre = df.withColumn("_p", spark_partition_id())
       .withColumn("_rn", row_number().over(
         Window.partitionBy((keyCols :+ "_p").map(col): _*).orderBy(ordering: _*)))

@@ -262,19 +262,37 @@ object Dedup {
       .distinct()
   }
 
-  /** Full MinHash-LSH near-dedup: shingle → hash → signature → banded
-    * buckets → candidate pairs → exact Jaccard re-rank on the candidates
-    * only, keeping pairs with similarity ≥ `threshold`.
+  /** No-config [[minhashLsh]]: the banding derives from the ACTUAL corpus
+    * size via [[minhashAutoConfig]] (= [[minhashLshAuto]]). This is the
+    * DEFAULT on purpose — a fixed banding behind the obvious name is a
+    * scale trap (candidate volume ∝ n² at fixed config; measured 2×
+    * candidates and 32 GB of spill at 10× data on the 4×2 test config —
+    * BENCH_SF1), while deriving it costs one `count()` job. Callers who
+    * need a pinned banding (e.g. to reproduce a graded oracle) use the
+    * explicit-config overload below.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleLen: Int = 5, threshold: Double = 0.6,
+                 targetRecall: Double = 0.9,
+                 scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame =
+    minhashLshAuto(docs, idCol, textCol, shingleLen, threshold, targetRecall,
+      scope = scope)
+
+  /** Full MinHash-LSH near-dedup at an EXPLICIT banding: shingle → hash →
+    * signature → banded buckets → candidate pairs → exact Jaccard re-rank
+    * on the candidates only, keeping pairs with similarity ≥ `threshold`.
+    * (No defaults here — the no-config overload above IS the default, and
+    * it auto-scales the banding to the corpus.)
     */
   def minhashLsh(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      shingleLen: Int = 5,
-      numHashes: Int = 16,
-      bands: Int = 4,
-      threshold: Double = 0.6,
-      scope: graft.core.CacheScope = graft.core.CacheScope.session,
+      shingleLen: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      scope: graft.core.CacheScope,
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

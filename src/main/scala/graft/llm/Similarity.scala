@@ -203,6 +203,31 @@ object Similarity {
     * re-ranked by exact cosine. Same output shape as [[topK]]; recall vs
     * brute force is measured in the ScalaTest spec.
     */
+  /** Similarity band the no-config [[lshTopK]] tunes its granularity for:
+    * hyperplane LSH needs a target cosine to size its recall tables, and a
+    * top-k search has no explicit threshold — 0.4 is the "interesting
+    * neighbor" floor (a random pair in high dimensions sits near 0), so
+    * the derived config holds ≥ targetRecall on everything a user would
+    * call a neighbor. Pass explicit planes/bits/tables to tune elsewhere.
+    */
+  val LshSearchThreshold = 0.4
+
+  /** No-config [[lshTopK]]: bucket granularity derived from the ACTUAL
+    * corpus size via [[lshAutoConfig]] at [[LshSearchThreshold]] — same
+    * doctrine as the no-config [[cosineDup]]: per-bucket occupancy (and so
+    * candidate volume per query) stays constant as the corpus grows where
+    * fixed `bits` goes linear-per-bucket.
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String, queryIds: Seq[Long],
+              k: Int): DataFrame = {
+    val stats = emb.agg(count(lit(1)), max(size(col(vecCol)))).head()
+    val n = stats.getLong(0)
+    val dim = if (stats.isNullAt(1)) 1 else stats.getInt(1)
+    val cfg = lshAutoConfig(n, LshSearchThreshold)
+    lshTopK(emb, idCol, vecCol, queryIds, k,
+      hyperplanes(cfg.numPlanes, dim), cfg.bits, cfg.tables)
+  }
+
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, queryIds: Seq[Long],
               k: Int, planes: Array[Array[Double]], bits: Int, numTables: Int,
               scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
@@ -319,9 +344,84 @@ object Similarity {
     * 100 TB a 2-of-64-cell probe reads ~3% of the bytes.
     */
   def writeIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
-                    cents: Array[Array[Double]], path: String): Unit =
+                    cents: Array[Array[Double]], path: String): Unit = {
     emb.withColumn("cell", bestCentroidCol(asDouble(col(vecCol)), cents))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeIvfCentroids(emb.sparkSession, path, cents)
+  }
+
+  /** The frozen coarse quantizer lives INSIDE the index directory (an
+    * underscore-prefixed file, invisible to parquet scans): an IVF index
+    * is only searchable/appendable with the exact centroids it was built
+    * under, so they are part of the artifact, not something the caller
+    * must carry. Plain text — one centroid per line, comma-separated
+    * `Double.toString` values (shortest-round-trip: parse returns the
+    * identical bits) — via the Hadoop FS API so the path may be any
+    * cluster filesystem.
+    */
+  private def centroidsFile(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_centroids.txt")
+
+  def writeIvfCentroids(spark: org.apache.spark.sql.SparkSession, path: String,
+                        cents: Array[Array[Double]]): Unit = {
+    val p = centroidsFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(cents.map(_.mkString(",")).mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[Array[Double]] = {
+    val p = centroidsFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"readIvfCentroids: $p not found — not a graft IVF index?")
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    text.split("\n").filter(_.nonEmpty).map(_.split(",").map(_.toDouble))
+  }
+
+  /** Append new vectors to an existing [[writeIvfIndex]] layout: each is
+    * assigned against the index's own FROZEN centroids (read back from the
+    * artifact — the caller cannot accidentally append under a different
+    * quantizer) and written into the existing cell partitioning, so an
+    * index built in batches is file-layout-compatible and RESULT-IDENTICAL
+    * to one built in a single shot (assignment is per-row and
+    * batch-independent; pinned by spec and by the `ann_indexed_append`
+    * oracle row).
+    *
+    * Maintenance contract: appending under frozen centroids keeps probes
+    * correct but lets cells drift as the data distribution does — monitor
+    * [[ivfIndexCellStats]] and RE-CLUSTER (retrain centroids, rewrite the
+    * index) when the largest cell exceeds ~8× the median, or when any
+    * cell outgrows what one probe task should scan (the `maxBucket`
+    * doctrine): past that point probe cost is no longer
+    * ~nProbe/k of the corpus and a rebuild pays for itself. Rebuild, not
+    * in-place splitting — cell splits would change assignment semantics
+    * and break result-identity with [[ivfTopK]] on the same centroids.
+    */
+  def appendToIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val cents = readIvfCentroids(emb.sparkSession, path)
+    emb.withColumn("cell", bestCentroidCol(asDouble(col(vecCol)), cents))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** Per-cell row counts of an IVF index plus the rebuild signal:
+    * `(cell, n, frac_of_median)` — the metadata-sized health scan behind
+    * [[appendToIvfIndex]]'s re-cluster trigger.
+    */
+  def ivfIndexCellStats(index: DataFrame): DataFrame = {
+    val counts = index.groupBy("cell").agg(count(lit(1)).as("n"))
+    val med = counts.agg(expr("median(n)").as("_med"))
+    counts.crossJoin(broadcast(med))
+      .withColumn("frac_of_median", round(col("n") / col("_med"), 6))
+      .drop("_med")
+  }
 
   /** Probed exact-re-rank top-k over a [[writeIvfIndex]] layout —
     * result-identical to [[ivfTopK]] on the same centroids (same probe
@@ -375,6 +475,17 @@ object Similarity {
     * per-bucket occupancy (and thus candidate volume per vector)
     * constant; the cap then only fires on genuine degenerate cliques.
     */
+  /** No-config [[cosineDup]]: granularity derived from the ACTUAL corpus
+    * size (= [[cosineDupAuto]]). The DEFAULT on purpose — fixed `bits`
+    * behind the obvious name is the measured n² candidate trap (BENCH_SF1:
+    * 46.6M candidates vs auto's 23.8M at sf1, at equal-or-better recall),
+    * and deriving the config costs one aggregation job. Use the
+    * explicit-planes overload below to reproduce a pinned configuration.
+    */
+  def cosineDup(emb: DataFrame, idCol: String, vecCol: String,
+                threshold: Double): DataFrame =
+    cosineDupAuto(emb, idCol, vecCol, threshold)
+
   def cosineDup(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
                 planes: Array[Array[Double]], bits: Int, numTables: Int,
                 scope: graft.core.CacheScope = graft.core.CacheScope.session,

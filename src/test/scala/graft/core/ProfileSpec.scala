@@ -53,4 +53,26 @@ class ProfileSpec extends SparkSpec {
     val df = Seq((1, "z")).toDF("zz", "aa")
     assert(Profile.profile(df).collect().map(_.getString(0)).toSeq === Seq("aa", "zz"))
   }
+
+  test("TIMESTAMP_NTZ bounds are naive-as-UTC micros, session-zone-independent") {
+    import org.apache.spark.sql.functions._
+    // 2024-01-15 12:00:00 naive → 1705320000000000 µs when read as UTC
+    val naiveUs = 1705320000000000L
+    val df = spark.range(1)
+      .select(to_timestamp_ntz(lit("2024-01-15 12:00:00")).as("tn"))
+    def minNum(): Double =
+      Profile.profile(df).collect().head.getAs[Double]("min_num")
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "UTC")
+      assert(minNum() === naiveUs.toDouble)
+      // the round-10 defect: under a non-UTC session zone, the plain
+      // NTZ→timestamp cast shifted the bound by the zone offset
+      spark.conf.set(tzKey, "America/New_York")
+      assert(minNum() === naiveUs.toDouble)
+      spark.conf.set(tzKey, "Asia/Kolkata") // non-whole-hour offset
+      assert(minNum() === naiveUs.toDouble)
+    } finally spark.conf.set(tzKey, saved)
+  }
 }

@@ -106,4 +106,25 @@ class SaltingSpec extends SparkSpec {
     assert(partials.count() === 8) // all 8 salt buckets hit
     assert(partials.agg(max("count")).head().getLong(0) < 1000)
   }
+
+  test("reserved working-column names FAIL instead of silently changing results") {
+    val withSalt = Seq((1L, 0)).toDF("k", "_salt")
+    val plain = Seq((1L, 2L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Salting.skewJoin(withSalt, plain, Seq("k"), Seq(col("k")), 4)
+    }
+    intercept[IllegalArgumentException] {
+      Salting.skewJoin(plain, withSalt, Seq("k"), Seq(col("k")), 4)
+    }
+    intercept[IllegalArgumentException] {
+      Salting.saltedAggregate(withSalt, Seq("k"), col("k"), 4,
+        Seq(count(lit(1)).as("_c")), Seq(sum(col("_c")).as("n")))
+    }
+    intercept[IllegalArgumentException] {
+      TopK.perKey(Seq((1L, 2L, 3L)).toDF("k", "_rn", "v"), Seq("k"), Seq(col("v")), 2)
+    }
+    intercept[IllegalArgumentException] { // an existing `rank` would be overwritten
+      TopK.perKey(Seq((1L, 2L, 3L)).toDF("k", "rank", "v"), Seq("k"), Seq(col("v")), 2)
+    }
+  }
 }

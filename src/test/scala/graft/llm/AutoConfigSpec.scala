@@ -128,7 +128,8 @@ class AutoConfigSpec extends SparkSpec {
     val cfg = Dedup.minhashAutoConfig(200L, 0.6, 0.83)
     val auto = Dedup.minhashLshAuto(autoDocs, "doc_id", "text", 5, 0.6, targetRecall = 0.83)
       .orderBy("id_a", "id_b").collect()
-    val explicit = Dedup.minhashLsh(autoDocs, "doc_id", "text", 5, cfg.numHashes, cfg.bands, 0.6)
+    val explicit = Dedup.minhashLsh(autoDocs, "doc_id", "text", 5, cfg.numHashes, cfg.bands, 0.6,
+      graft.core.CacheScope.session)
       .orderBy("id_a", "id_b").collect()
     assert(auto.toSeq === explicit.toSeq)
     assert(auto.nonEmpty)
@@ -181,5 +182,70 @@ class AutoConfigSpec extends SparkSpec {
     // so observed recall should clear the floor with margin
     assert(recall >= floor - 0.05,
       s"recall $recall below configured floor $floor (truth=${truth.size}, got=${got.size})")
+  }
+
+  // ----- the no-config entry points ARE the auto path (round-11 doctrine:
+  // the obvious API name must not be the fixed-granularity scale trap) -----
+
+  /** A second, larger corpus at which the derived banding DIFFERS from the
+    * small-corpus one — so equality below pins auto-scaling behavior, not
+    * a coincidence of one fixed config.
+    */
+  private lazy val autoDocsBig = {
+    val texts = (0 until 400).flatMap { i =>
+      val base = s"the quick brown fox $i jumps over the lazy dog near river $i bank today"
+      Seq((2L * i, base), (2L * i + 1, base + " x"))
+    } ++ (0 until 1200).map(j =>
+      (2000L + j, s"completely unrelated filler document number $j with its own words ${j * 7}"))
+    texts.toDF("doc_id", "text")
+  }
+
+  test("no-config minhashLsh equals minhashLshAuto at two corpus sizes") {
+    val smallCfg = Dedup.minhashAutoConfig(160L, 0.6)
+    val bigCfg = Dedup.minhashAutoConfig(2000L, 0.6)
+    assert((bigCfg.bands, bigCfg.rowsPerBand) != (smallCfg.bands, smallCfg.rowsPerBand),
+      "fixture too small: both sizes derive the same banding, the pin would be vacuous")
+    for (docs <- Seq(autoDocs, autoDocsBig)) {
+      val noConfig = Dedup.minhashLsh(docs, "doc_id", "text")
+        .orderBy("id_a", "id_b").collect()
+      val auto = Dedup.minhashLshAuto(docs, "doc_id", "text")
+        .orderBy("id_a", "id_b").collect()
+      assert(noConfig.toSeq === auto.toSeq)
+      assert(noConfig.nonEmpty)
+    }
+  }
+
+  test("no-config cosineDup equals cosineDupAuto at two corpus sizes") {
+    val embBig = {
+      val centers = Seq.fill(4)(Array.fill(Dim)(rng.nextGaussian()))
+      (0 until 2000).map { i =>
+        val c = centers(i % 4)
+        (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.08).toFloat).toSeq)
+      }.toDF("vec_id", "embedding")
+    }
+    assert(Similarity.lshAutoConfig(2000L, 0.8).bits !=
+      Similarity.lshAutoConfig(200L, 0.8).bits,
+      "fixture too small: both sizes derive the same bits, the pin would be vacuous")
+    for (df <- Seq(emb, embBig)) {
+      val noConfig = Similarity.cosineDup(df, "vec_id", "embedding", 0.8)
+        .orderBy("id_a", "id_b").collect()
+      val auto = Similarity.cosineDupAuto(df, "vec_id", "embedding", 0.8)
+        .orderBy("id_a", "id_b").collect()
+      assert(noConfig.toSeq === auto.toSeq)
+      assert(noConfig.nonEmpty)
+    }
+  }
+
+  test("no-config lshTopK equals the explicit form at the derived config") {
+    val queries = Seq(0L, 7L)
+    val stats = Seq(200L)
+    val cfg = Similarity.lshAutoConfig(stats.head, Similarity.LshSearchThreshold)
+    val noConfig = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5)
+      .orderBy("q_id", "rank").collect()
+    val explicit = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5,
+        Similarity.hyperplanes(cfg.numPlanes, Dim), cfg.bits, cfg.tables)
+      .orderBy("q_id", "rank").collect()
+    assert(noConfig.toSeq === explicit.toSeq)
+    assert(noConfig.nonEmpty)
   }
 }

@@ -37,11 +37,11 @@ object DedupProbeMain {
     t("signatures") { sigs.count() }
     val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", 8, 4)
     t("candidate pairs") { println("  n=" + pairs.count()) }
-    val full = Dedup.minhashLsh(docs, "doc_id", "text", 5, 8, 4, 0.6)
+    val full = Dedup.minhashLsh(docs, "doc_id", "text", 5, 8, 4, 0.6, graft.core.CacheScope.session)
     t("full minhashLsh") { println("  n=" + full.count()) }
     spark.catalog.clearCache()
     t("full minhashLsh (cold)") {
-      println("  n=" + Dedup.minhashLsh(docs, "doc_id", "text", 5, 8, 4, 0.6).count())
+      println("  n=" + Dedup.minhashLsh(docs, "doc_id", "text", 5, 8, 4, 0.6, graft.core.CacheScope.session).count())
     }
 
     // jaccard stages

@@ -44,8 +44,8 @@ class DedupSpec extends SparkSpec {
       (4L, "completely different content about spark distributed query planning"),
       (5L, "nothing like any other document in this tiny corpus whatsoever"),
     ).toDF("doc_id", "text")
-    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", shingleLen = 4,
-        numHashes = 16, bands = 8, threshold = 0.5)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 4, 16, 8, 0.5,
+        graft.core.CacheScope.session)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((3L, 4L)))

@@ -241,6 +241,44 @@ class SimilaritySpec extends SparkSpec {
       "the storage-side probe must answer identically to the compute-side operator")
   }
 
+  test("appendToIvfIndex: two-batch build == one-shot index, centroids round-trip") {
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 4, iters = 3)
+    val oneShot = java.nio.file.Files.createTempDirectory("graft_ivf_one").toString
+    val twoStep = java.nio.file.Files.createTempDirectory("graft_ivf_two").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, oneShot)
+    Similarity.writeIvfIndex(emb.filter($"vec_id" % 3 === 0), "vec_id", "embedding",
+      cents, twoStep)
+    Similarity.appendToIvfIndex(emb.filter($"vec_id" % 3 =!= 0), "vec_id", "embedding",
+      twoStep)
+    // the frozen quantizer is part of the artifact and round-trips exactly
+    val back = Similarity.readIvfCentroids(spark, twoStep)
+    assert(back.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
+    // identical (id, cell) assignment — layout compatibility is per-row
+    def rows(p: String) = spark.read.parquet(p)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    assert(rows(twoStep) === rows(oneShot))
+    // and identical answers through the probe
+    val queries = Seq(0L, 1L, 2L)
+    def ans(p: String) = Similarity.ivfIndexTopK(spark.read.parquet(p),
+        emb.filter($"vec_id".isin(queries: _*)), "vec_id", "embedding", 3, cents, nProbe = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(ans(twoStep) === ans(oneShot))
+    // appending under a missing/foreign directory fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(emb, "vec_id", "embedding",
+        java.nio.file.Files.createTempDirectory("graft_not_an_index").toString)
+    }
+  }
+
+  test("ivfIndexCellStats reports counts and skew vs the median cell") {
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 4, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_stats").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, path)
+    val stats = Similarity.ivfIndexCellStats(spark.read.parquet(path)).collect()
+    assert(stats.map(_.getAs[Long]("n")).sum === emb.count())
+    assert(stats.forall(_.getAs[Double]("frac_of_median") > 0.0))
+  }
+
   test("pqCodebooks are deterministic and partition-invariant") {
     val a = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, ksub = 4, iters = 2)
     val b = Similarity.pqCodebooks(emb.repartition(7), "vec_id", "embedding", m = 4, ksub = 4, iters = 2)
