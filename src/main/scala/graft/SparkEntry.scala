@@ -975,6 +975,62 @@ object SparkEntry {
        |FROM fin ORDER BY event_type""".stripMargin
   }
 
+  /** DuckDB twin of the count-min sketch build + probe — shared by
+    * `sketch_cms` (whole-corpus weighted build) and `sketch_cms_merge`
+    * (disjoint-half counters merged by sum, == the whole build by
+    * construction): d count arms over events union into the counter
+    * table; the probe re-addresses each row's counter and takes the
+    * least — all exact integer arithmetic on md5-prefix hashes.
+    */
+  private def cmsSketchSql: String = {
+    def pos(keyExpr: String, j: Int) =
+      s"(CAST(concat('0x', substr(md5(concat(CAST($keyExpr AS VARCHAR), '#$j')), 1, 8)) AS BIGINT) % $CmsWidth)"
+    val arms = (0 until CmsDepth).map(j =>
+      s"SELECT $j AS row, ${pos("user_id", j)} AS col FROM events").mkString("\n  UNION ALL\n  ")
+    val joins = (0 until CmsDepth).map(j =>
+      s"LEFT JOIN cnt b$j ON b$j.row = $j AND ${pos("u.user_id", j)} = b$j.col").mkString("\n")
+    val est = (0 until CmsDepth).map(j => s"coalesce(b$j.cnt, 0)").mkString("least(", ", ", ")")
+    s"""WITH inst AS (
+       |  $arms
+       |), cnt AS (
+       |  SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM inst GROUP BY row, col
+       |), u AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_true FROM events GROUP BY user_id
+       |)
+       |SELECT u.user_id, u.n_true, CAST($est AS BIGINT) AS est
+       |FROM u
+       |$joins
+       |ORDER BY u.user_id""".stripMargin
+  }
+
+  /** DuckDB twin of the Bloom word table + k probe arms — shared by
+    * `sketch_bloom` (whole build) and `sketch_bloom_union` (disjoint-half
+    * word tables merged by bit_or, == the whole build): every operation
+    * is exact integer arithmetic on md5-prefix hashes.
+    */
+  private def bloomSketchSql: String = {
+    def pos(keyExpr: String, i: Int) =
+      s"(CAST(concat('0x', substr(md5(concat(CAST($keyExpr AS VARCHAR), ':$i')), 1, 8)) AS BIGINT) % $BloomBits)"
+    val buildArms = (0 until BloomK).map(i => pos("o_custkey", i)).mkString(", ")
+    val joins = (0 until BloomK).map(i =>
+      s"LEFT JOIN w b$i ON ${pos("c.c_custkey", i)} // 32 = b$i.word_idx").mkString("\n")
+    val hits = (0 until BloomK).map { i =>
+      val m = s"(CAST(1 AS BIGINT) << CAST(${pos("c.c_custkey", i)} % 32 AS INTEGER))"
+      s"(b$i.bits IS NOT NULL AND (b$i.bits & $m) = $m)"
+    }.mkString("\n       AND ")
+    s"""WITH bp AS (
+       |  SELECT unnest([$buildArms]) AS p FROM orders
+       |), w AS (
+       |  SELECT p // 32 AS word_idx,
+       |         CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS BIGINT) AS bits
+       |  FROM bp GROUP BY p // 32
+       |)
+       |SELECT c.c_custkey, $hits AS may_contain
+       |FROM customer c
+       |$joins
+       |ORDER BY c.c_custkey""".stripMargin
+  }
+
   /** One UNION ALL branch per profiled column — the DuckDB twin of
     * [[Profile.profile]]'s unpivoted single-pass aggregation (numeric
     * bounds as rounded doubles, timestamps as epoch micros, string
@@ -2318,6 +2374,43 @@ object SparkEntry {
         .orderBy("c_custkey")
     },
 
+    // -- Sketch MERGE paths (row 58, the incremental/multi-tenant story) --
+    // Each sketch is built on two DISJOINT halves of the data and merged
+    // in sketch space (HLL registers by max, Bloom words by bit_or, CMS
+    // counters by sum); the oracle is the WHOLE-corpus re-derivation, so
+    // a hash match proves merge == union — the property that lets
+    // per-partition/per-day sketches combine without touching raw data.
+    "sketch_hll_merge" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val halves = Seq(ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 =!= 0))
+        .map(h => Sketches.hllRegisters(h, Seq("event_type"), col("user_id"), HllP))
+      Sketches.hllEstimate(
+          Sketches.hllMergeRegisters(halves, Seq("event_type")), Seq("event_type"), HllP)
+        .orderBy("event_type")
+    },
+
+    "sketch_cms_merge" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val halves = Seq(ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 =!= 0))
+        .map(h => Sketches.cmsCounters(h, col("user_id"), CmsWidth, CmsDepth))
+      val users = ev.groupBy("user_id").agg(count(lit(1)).as("n_true"))
+      Sketches.cmsEstimate(users, col("user_id"), "est",
+          Sketches.cmsMerge(halves), CmsWidth, CmsDepth)
+        .orderBy("user_id")
+    },
+
+    "sketch_bloom_union" -> { (s, dir) =>
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val halves = Seq(o.filter(col("o_orderkey") % 2 === 0),
+        o.filter(col("o_orderkey") % 2 =!= 0))
+        .map(h => Sketches.bloomWords(h, col("o_custkey"), BloomBits, BloomK))
+      Sketches.bloomProbe(s.read.parquet(s"$dir/customer.parquet").select("c_custkey"),
+          col("c_custkey"), "may_contain", Sketches.bloomMerge(halves), BloomBits, BloomK)
+        .orderBy("c_custkey")
+    },
+
     // -- Schema-dynamic table profiling (row 59) --
     "profile_table" -> { (s, dir) =>
       Profile.profile(s.read.parquet(s"$dir/lineitem.parquet"))
@@ -3241,54 +3334,19 @@ object SparkEntry {
          |FROM q ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
 
-    "sketch_cms" -> {
-      // d count arms over events union into the counter table; the probe
-      // re-addresses each row's counter and takes the least — all exact
-      // integer arithmetic on md5-prefix hashes
-      def pos(keyExpr: String, j: Int) =
-        s"(CAST(concat('0x', substr(md5(concat(CAST($keyExpr AS VARCHAR), '#$j')), 1, 8)) AS BIGINT) % $CmsWidth)"
-      val arms = (0 until CmsDepth).map(j =>
-        s"SELECT $j AS row, ${pos("user_id", j)} AS col FROM events").mkString("\n  UNION ALL\n  ")
-      val joins = (0 until CmsDepth).map(j =>
-        s"LEFT JOIN cnt b$j ON b$j.row = $j AND ${pos("u.user_id", j)} = b$j.col").mkString("\n")
-      val est = (0 until CmsDepth).map(j => s"coalesce(b$j.cnt, 0)").mkString("least(", ", ", ")")
-      s"""WITH inst AS (
-         |  $arms
-         |), cnt AS (
-         |  SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM inst GROUP BY row, col
-         |), u AS (
-         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_true FROM events GROUP BY user_id
-         |)
-         |SELECT u.user_id, u.n_true, CAST($est AS BIGINT) AS est
-         |FROM u
-         |$joins
-         |ORDER BY u.user_id""".stripMargin
-    },
+    "sketch_cms" -> cmsSketchSql,
 
-    "sketch_bloom" -> {
-      // rebuilds the word table and the k probe arms verbatim — every
-      // operation is exact integer arithmetic on md5-prefix hashes
-      def pos(keyExpr: String, i: Int) =
-        s"(CAST(concat('0x', substr(md5(concat(CAST($keyExpr AS VARCHAR), ':$i')), 1, 8)) AS BIGINT) % $BloomBits)"
-      val buildArms = (0 until BloomK).map(i => pos("o_custkey", i)).mkString(", ")
-      val joins = (0 until BloomK).map(i =>
-        s"LEFT JOIN w b$i ON ${pos("c.c_custkey", i)} // 32 = b$i.word_idx").mkString("\n")
-      val hits = (0 until BloomK).map { i =>
-        val m = s"(CAST(1 AS BIGINT) << CAST(${pos("c.c_custkey", i)} % 32 AS INTEGER))"
-        s"(b$i.bits IS NOT NULL AND (b$i.bits & $m) = $m)"
-      }.mkString("\n       AND ")
-      s"""WITH bp AS (
-         |  SELECT unnest([$buildArms]) AS p FROM orders
-         |), w AS (
-         |  SELECT p // 32 AS word_idx,
-         |         CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS BIGINT) AS bits
-         |  FROM bp GROUP BY p // 32
-         |)
-         |SELECT c.c_custkey, $hits AS may_contain
-         |FROM customer c
-         |$joins
-         |ORDER BY c.c_custkey""".stripMargin
-    },
+    // merged disjoint-half counters grade against the identical
+    // whole-corpus derivation: merge-by-sum == union by construction
+    "sketch_cms_merge" -> cmsSketchSql,
+
+    "sketch_bloom" -> bloomSketchSql,
+
+    // bit_or-merged disjoint-half word tables == the whole-build filter
+    "sketch_bloom_union" -> bloomSketchSql,
+
+    // max-merged disjoint-half registers == the whole-corpus registers
+    "sketch_hll_merge" -> hllSql,
 
     "profile_table" -> profileSql,
 

@@ -173,6 +173,17 @@ object Sketches {
       .groupBy("word_idx").agg(expr("bit_or(_w)").as("bits"))
   }
 
+  /** Merge word tables built by [[bloomWords]] with the same geometry:
+    * `bit_or` per word — the incremental path (per-partition/per-day
+    * filters union in word space; a key present in ANY input filter is
+    * present in the merge, so zero false negatives survive merging).
+    */
+  def bloomMerge(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "bloomMerge: no word tables")
+    tables.reduce(_ unionByName _)
+      .groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
+  }
+
   // ----- deterministic count-min sketch (frequency estimation) -----------
 
   /** Position of `key` in row `j` of a width-`w` count-min sketch — the

@@ -128,6 +128,16 @@ class SketchesSpec extends SparkSpec {
     assert(merged.collect().toSet === direct.collect().toSet)
   }
 
+  test("bloom word tables merge by bit_or: merged == filter of the union") {
+    val a = (1 to 60).map(i => Tuple1(s"x$i")).toDF("k")
+    val b = (40 to 100).map(i => Tuple1(s"x$i")).toDF("k") // overlapping halves
+    val merged = Sketches.bloomMerge(Seq(
+      Sketches.bloomWords(a, col("k"), 640, 3),
+      Sketches.bloomWords(b, col("k"), 640, 3)))
+    val direct = Sketches.bloomWords(a.unionAll(b), col("k"), 640, 3)
+    assert(merged.collect().toSet === direct.collect().toSet)
+  }
+
   test("bloom probe plan: broadcast lookups only, no shuffle on the probe side") {
     val build = (1 to 100).map(i => Tuple1(s"x$i")).toDF("k")
     val words = Sketches.bloomWords(build, col("k"), 3200, 4)
