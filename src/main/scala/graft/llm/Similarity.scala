@@ -491,22 +491,36 @@ object Similarity {
                 scope: graft.core.CacheScope = graft.core.CacheScope.session,
                 maxBucket: Int = 8192): DataFrame = {
     val base = withNorm(emb, idCol, vecCol)
-    // cache: both sides of the bucket self-join AND the cap census share
-    // this table; release via `scope` after consuming (see
-    // [[graft.core.CacheScope]])
-    val buckets0 = scope.cache(hyperplaneBuckets(emb, idCol, vecCol, planes, bits, numTables))
+    // ONE cached table: bucket rows WITH their vectors. Both sides of the
+    // in-bucket scoring join and the cap census share it; release via
+    // `scope` after consuming (see [[graft.core.CacheScope]]).
+    //
+    // SHUFFLE SHAPE (round 11): the cosine is computed BUCKET-LOCALLY and
+    // the threshold filter runs BEFORE any pair-level shuffle. The former
+    // shape (distinct id pairs first, then re-attach vectors by id)
+    // shuffled ~candidates × |vec| bytes through the second attach join —
+    // measured >70 GB of shuffle/spill at 200k vectors (sf10), i.e. disk
+    // exhaustion, for an operator whose CANDIDATE volume is linear. This
+    // shape shuffles n × tables × |vec| once (the bucket co-location),
+    // scores pairs inside the bucket partition, and the only pair-level
+    // rows that ever move are the ≥-threshold SURVIVORS entering the
+    // final distinct — output-sized by definition. A pair colliding in
+    // multiple tables is scored once per collision (bounded by `tables`);
+    // cos is a pure function of the two vectors, so the distinct on
+    // (id_a, id_b, cos) collapses duplicates exactly.
+    val withVec = scope.cache(
+      hyperplaneBuckets(emb, idCol, vecCol, planes, bits, numTables)
+        .join(base, idCol))
     val buckets = graft.core.Salting.dropOverCap(
-      buckets0, Seq("tbl", "key"), maxBucket, s"cosineDup(maxBucket=$maxBucket)")
-    val l = buckets.select(col("tbl"), col("key"), col(idCol).as("id_a"))
-    val r = buckets.select(col("tbl"), col("key"), col(idCol).as("id_b"))
-    val cand = l.join(r, Seq("tbl", "key")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val a = base.select(col(idCol).as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
-    val b = base.select(col(idCol).as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"))
-    cand.join(a, "id_a").join(b, "id_b")
+      withVec, Seq("tbl", "key"), maxBucket, s"cosineDup(maxBucket=$maxBucket)")
+    val l = buckets.select(col("tbl"), col("key"), col(idCol).as("id_a"),
+      col("_v").as("_va"), col("_n").as("_na"))
+    val r = buckets.select(col("tbl"), col("key"), col(idCol).as("id_b"),
+      col("_v").as("_vb"), col("_n").as("_nb"))
+    l.join(r, Seq("tbl", "key")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+      .select("id_a", "id_b", "cos").distinct()
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023:
