@@ -306,28 +306,28 @@ object Dedup {
       distinctNgramHashes(col(textCol), shingleLen).as("sh"),
     ))
     val sigs = minhashSignature(base, "sh", numHashes).drop("sh")
-    // SHUFFLE SHAPE (round 11, the cosineDup lesson): the exact-Jaccard
-    // re-rank runs BUCKET-LOCALLY — shingle sets ride the banded bucket
-    // rows (n × bands co-location, the only data-sized shuffle) and the
-    // ≥-threshold filter fires before any pair-level exchange, so the
-    // final distinct sees output-sized survivors only. The former shape
-    // (distinct candidate id pairs, then re-attach both shingle sets by
-    // id) shuffled ~candidates × |sh| bytes through the attach joins —
-    // the measured 32 GB spill at sf1 on the fixed config. A pair
-    // colliding in multiple bands is scored once per collision (bounded
-    // by `bands`); jaccard is a pure function of the two sets, so the
-    // distinct on (id_a, id_b, jaccard) collapses duplicates exactly.
-    val banded = scope.cache(bandedKeys(sigs, idCol, numHashes, bands))
-    val capped = graft.core.Salting.dropOverCap(
-      banded, Seq("bucket"), 8192, s"minhashLsh(maxBucket=8192)")
-    val withSet = scope.cache(capped.join(base, idCol))
-    val l = withSet.select(col("bucket"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val r = withSet.select(col("bucket"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    // SHUFFLE SHAPE: distinct candidate pairs FIRST, then attach both
+    // shingle sets by id and score each pair exactly ONCE. This is the
+    // opposite choice from [[graft.llm.Similarity.cosineDup]]'s
+    // bucket-local scoring, and the payload size is why (measured at
+    // sf1, round 11): a shingle set is DOCUMENT-sized (KBs), so scoring
+    // per band-collision materializes collision-multiplicity × two fat
+    // arrays per joined row — the bucket-local form ran 6.6× SLOWER
+    // (193 s vs 29 s) despite saving the attach-join shuffle. With a
+    // fixed ~0.5 KB vector the same rewrite wins 13×; with sets, the
+    // pair-id distinct (16 bytes/pair) plus one attach per side is the
+    // cheaper plan even counting its shuffle. The attach joins carry
+    // candidates × |sh| bytes — that volume is governed by the banding
+    // (auto-banding holds candidates linear in n; see minhashAutoConfig).
+    val pairs = lshCandidatePairs(sigs, idCol, numHashes, bands, scope)
+    val sets = base.select(col(idCol).as("_id"), col("sh"))
     val (inter, uni) = overlapCols($"sh_a", $"sh_b")
-    l.join(r, Seq("bucket")).filter($"id_a" < $"id_b")
+    pairs
+      .join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", round(inter / uni, 6))
       .filter($"jaccard" >= threshold)
-      .select($"id_a", $"id_b", $"jaccard").distinct()
+      .select($"id_a", $"id_b", $"jaccard")
   }
 
   /** md5-based 32-bit hashes of the distinct character n-grams of `text`. */
