@@ -12,7 +12,8 @@ class SparkEntrySpec extends SparkSpec {
   // in this JVM, each of these may or may not carry an oracle here
   private val RowsOnlyUntilRun = Set(
     "instants_fit", "instants_predict", "instants_scores", "ann_ivf",
-    "ann_indexed", "ann_pq", "tube_fit", "pca_circle", "dedup_semantic")
+    "ann_indexed", "ann_indexed_append", "ann_pq", "tube_fit", "pca_circle",
+    "dedup_semantic")
 
   test("every oracleSql key has a matching queries entry") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
