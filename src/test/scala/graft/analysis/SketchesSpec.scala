@@ -26,6 +26,16 @@ class SketchesSpec extends SparkSpec {
     assert(regs === expected)
   }
 
+  test("hllRegisters ignores NULL keys (advisor fix, round 11)") {
+    val df = Seq(("g", Option("a")), ("g", Option("b")), ("g", Option.empty[String]))
+      .toDF("g", "k")
+    val withNull = Sketches.hllRegisters(df, Seq("g"), col("k"), p = 9).collect()
+    val without = Sketches.hllRegisters(df.filter(col("k").isNotNull),
+      Seq("g"), col("k"), p = 9).collect()
+    assert(withNull.toSet === without.toSet, "a null key must not mint a register row")
+    assert(withNull.forall(!_.anyNull))
+  }
+
   test("estimate lands within the published error band on 20k distinct keys") {
     val df = (1 to 20000).map(i => ("g", s"key-$i")).toDF("g", "k")
     val est = Sketches.hll(df, Seq("g"), col("k"), 9)

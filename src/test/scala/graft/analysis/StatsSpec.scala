@@ -32,6 +32,19 @@ class StatsSpec extends SparkSpec {
     assert(out === Array(5.0, 5.0))
   }
 
+  test("quantiles: NULL values are dropped before ranking (advisor fix, round 11)") {
+    val df = Seq(("g", Option(1.0)), ("g", Option(2.0)), ("g", Option(3.0)),
+      ("g", Option.empty[Double]), ("h", Option.empty[Double])).toDF("k", "v")
+    val out = Stats.quantiles(df, Seq("k"), col("v"), Seq(0.0, 0.5, 1.0))
+      .orderBy("k", "p").collect()
+    // g: the null neither ranks first (Spark window default) nor counts
+    // into n — quantiles are over the 3 non-null values exactly
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq ===
+      Seq(("g", 0.0, 1.0), ("g", 0.5, 2.0), ("g", 1.0, 3.0)))
+    // h: all-null group vanishes rather than emitting null quantiles
+    assert(!out.exists(_.getString(0) == "h"))
+  }
+
   test("quantiles plan: one exchange — candidate filter and final agg reuse the group hash") {
     val df = Seq(("g", 1.0)).toDF("k", "v")
     val plan = Stats.quantiles(df, Seq("k"), col("v"), Seq(0.5))
