@@ -118,6 +118,23 @@ class SimilaritySpec extends SparkSpec {
     assert(dflt.contains((1L, 2L)) && dflt.contains((101L, 102L)))
   }
 
+  test("cosineDup plan: ONE pair join, threshold filter below the distinct (round-11 shape)") {
+    val planes = Similarity.hyperplanes(12, Dim)
+    val plan = Similarity.cosineDup(emb, "vec_id", "embedding", 0.95, planes, 3, 4)
+      .queryExecution.optimizedPlan.toString
+    // the old shape had THREE logical joins (bucket pairing + two
+    // attach-by-id); bucket-local scoring has exactly the bucket
+    // self-join — the candidates x |vec| attach shuffle (the sf10 disk
+    // killer) is gone. (The cached withVec subtree shows its own build
+    // join as BroadcastHashJoin lines; the logical surface has ONE.)
+    val pairJoins = "Join Inner".r.findAllIn(plan).toSeq
+    assert(pairJoins.length === 1, s"plan:\n$plan")
+    // and Catalyst fuses the >= threshold INTO that join's condition —
+    // the filter provably runs before any pair-level exchange
+    val joinLine = plan.linesIterator.find(_.contains("Join Inner")).get
+    assert(joinLine.contains(">= 0.95"), s"threshold not fused into the pair join:\n$plan")
+  }
+
   test("simhash of identical docs is identical; hamming-far for disjoint docs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
