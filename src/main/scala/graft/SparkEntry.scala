@@ -3411,14 +3411,21 @@ object SparkEntry {
          |  FROM cand JOIN nrm a ON a.vec_id = cand.id_a JOIN nrm b ON b.vec_id = cand.id_b
          |) WHERE cos >= $CosDupThreshold ORDER BY id_a, id_b""".stripMargin,
 
+    // Same filter-first shape as the round-11 Spark plan: vectors ride
+    // the bucket rows and the >= threshold fires before the DISTINCT, so
+    // only output-sized survivors are deduplicated. The old
+    // distinct-then-attach form spilled >79 GB of DuckDB temp at sf10
+    // (200k vectors) and died on disk — identical result, infeasible
+    // plan, in BOTH engines.
     "dedup_cosine_auto" ->
-      s"""WITH $EmbCte, ${autoCfgCte}, cand AS (
-         |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-         |  FROM abkt l JOIN abkt r ON l.tbl = r.tbl AND l.bkey = r.bkey AND l.vec_id < r.vec_id
+      s"""WITH $EmbCte, ${autoCfgCte}, bkv AS (
+         |  SELECT a.vec_id, a.tbl, a.bkey, n.v, n.n
+         |  FROM abkt a JOIN nrm n ON n.vec_id = a.vec_id
          |)
-         |SELECT id_a, id_b, cos FROM (
-         |  SELECT id_a, id_b, round(${dotSql("a.v", "b.v")} / (a.n * b.n), 6) AS cos
-         |  FROM cand JOIN nrm a ON a.vec_id = cand.id_a JOIN nrm b ON b.vec_id = cand.id_b
+         |SELECT DISTINCT id_a, id_b, cos FROM (
+         |  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         |         round(${dotSql("l.v", "r.v")} / (l.n * r.n), 6) AS cos
+         |  FROM bkv l JOIN bkv r ON l.tbl = r.tbl AND l.bkey = r.bkey AND l.vec_id < r.vec_id
          |) WHERE cos >= $CosDupThreshold ORDER BY id_a, id_b""".stripMargin,
 
     "ann_topk" ->
