@@ -1424,12 +1424,12 @@ object SparkEntry {
     * [[Similarity.hyperplanes]] — dyadic-exact doubles, so bucket signs
     * agree bit-for-bit.
     */
-  private def autoCfgCte: String = {
+  private def autoCfgCte(recall: Double = AutoRecall): String = {
     val tablesCase = "CASE bits " + (1 to AutoMaxBits).map(b =>
-      s"WHEN $b THEN ${math.min(Similarity.requiredTables(b, CosDupThreshold, AutoRecall), AutoMaxTables)}")
+      s"WHEN $b THEN ${math.min(Similarity.requiredTables(b, CosDupThreshold, recall), AutoMaxTables)}")
       .mkString(" ") + " END"
     val bitsRecall = (1 to AutoMaxBits)
-      .filter(b => Similarity.requiredTables(b, CosDupThreshold, AutoRecall) <= AutoMaxTables)
+      .filter(b => Similarity.requiredTables(b, CosDupThreshold, recall) <= AutoMaxTables)
       .lastOption.getOrElse(1)
     s"""cfg0 AS (
        |  SELECT COALESCE(MIN(b), $AutoMaxBits) AS bits_occ
@@ -2461,6 +2461,17 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     },
 
+    // The NO-CONFIG lshTopK — granularity derived from count(*) at the
+    // library defaults (LshSearchThreshold, recall 0.9). Graded by the
+    // same dynamic oracle machinery as dedup_cosine_auto, re-derived at
+    // recall 0.9, so the round-11 "the obvious name is the auto path"
+    // doctrine carries an oracle row of its own.
+    "ann_lsh_auto" -> { (s, dir) =>
+      Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          AnnQueryIds, AnnK)
+        .orderBy("q_id", "rank")
+    },
+
     "ann_ivf" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
@@ -3418,7 +3429,7 @@ object SparkEntry {
     // (200k vectors) and died on disk — identical result, infeasible
     // plan, in BOTH engines.
     "dedup_cosine_auto" ->
-      s"""WITH $EmbCte, ${autoCfgCte}, bkv AS (
+      s"""WITH $EmbCte, ${autoCfgCte()}, bkv AS (
          |  SELECT a.vec_id, a.tbl, a.bkey, n.v, n.n
          |  FROM abkt a JOIN nrm n ON n.vec_id = a.vec_id
          |)
@@ -3427,6 +3438,29 @@ object SparkEntry {
          |         round(${dotSql("l.v", "r.v")} / (l.n * r.n), 6) AS cos
          |  FROM bkv l JOIN bkv r ON l.tbl = r.tbl AND l.bkey = r.bkey AND l.vec_id < r.vec_id
          |) WHERE cos >= $CosDupThreshold ORDER BY id_a, id_b""".stripMargin,
+
+    // no-config lshTopK: the auto-derived buckets (abkt at recall 0.9,
+    // the lshAutoConfig default) replayed through the ann_lsh probe shape
+    "ann_lsh_auto" ->
+      s"""WITH $EmbCte, ${autoCfgCte(0.9)}, qb AS (
+         |  SELECT vec_id AS q_id, tbl, bkey FROM abkt
+         |  WHERE vec_id IN (${AnnQueryIds.mkString(", ")})
+         |), cand AS (
+         |  SELECT DISTINCT qb.q_id, b.vec_id
+         |  FROM abkt b JOIN qb ON b.tbl = qb.tbl AND b.bkey = qb.bkey
+         |  WHERE b.vec_id <> qb.q_id
+         |), q AS (
+         |  SELECT vec_id AS q_id, v AS qv, n AS qn FROM nrm
+         |  WHERE vec_id IN (${AnnQueryIds.mkString(", ")})
+         |), scored AS (
+         |  SELECT c.q_id, c.vec_id,
+         |         round(${dotSql("nrm.v", "q.qv")} / (nrm.n * q.qn), 6) AS cos
+         |  FROM cand c JOIN nrm ON nrm.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id
+         |)
+         |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored
+         |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin,
 
     "ann_topk" ->
       s"""WITH $EmbCte, q AS (
