@@ -423,7 +423,18 @@ object SparkEntry {
            |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rank FROM (
            |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
            |  FROM scored
-           |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin).toMap
+           |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin).toMap ++
+      // the streamed cell-partitioned landing grades against the SAME
+      // frozen-centroid assignment, projected to (vec_id, cell)
+      Map("stream_ivf_assign" ->
+        s"""WITH $EmbCte, csc AS (
+           |  $arms
+           |)
+           |SELECT vec_id, CAST(i AS BIGINT) AS cell FROM (
+           |  SELECT vec_id, i,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i ASC) AS rn
+           |  FROM csc
+           |) WHERE rn = 1 ORDER BY vec_id""".stripMargin)
   }
 
   /** The ann_pq oracle over the frozen PQ codebooks, mirroring
@@ -2515,6 +2526,33 @@ object SparkEntry {
           emb.filter(col("vec_id").isin(AnnQueryIds: _*)),
           "vec_id", "embedding", AnnK, cents, IvfProbe)
         .orderBy("q_id", "rank")
+    },
+
+    // -- Streaming IVF ingest (rows 33+39): vectors replayed as a bounded
+    // stream are assigned to their frozen coarse cells and land
+    // CELL-PARTITIONED — the streaming half of index maintenance. The
+    // landed (vec_id, cell) table grades against the frozen-centroid
+    // assignment re-derived in SQL (the ann_ivf asg CTE).
+    "stream_ivf_assign" -> { (s, dir) =>
+      val path = s"$dir/embeddings.parquet"
+      val schema = s.read.parquet(path).schema
+      val emb = s.read.parquet(path)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
+      ivfCentsExport = Some(cents)
+      val outPath = java.nio.file.Files.createTempDirectory("graft-stream-ivf")
+      deleteAtExit(outPath)
+      val out = outPath.toString
+      val in = java.nio.file.Files.createDirectory(java.nio.file.Paths.get(out, "in"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        in.resolve("embeddings.parquet"))
+      val stream = s.readStream.schema(schema).parquet(in.toString)
+      graft.streaming.StreamOps.streamingIvfAssign(
+        stream, "embedding", cents, s"$out/rows", s"$out/ckpt").awaitTermination()
+      deleteTree(in)
+      deleteTree(java.nio.file.Paths.get(out, "ckpt"))
+      s.read.parquet(s"$out/rows")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy("vec_id")
     },
 
     // -- LLM: product-quantization ADC search (row 33, compressed path) --

@@ -256,6 +256,36 @@ object StreamOps {
     * `Trigger.AvailableNow` drains the backlog and stops — the
     * batch-refresh pattern of a large-scale ingest job).
     */
+  /** Continuous IVF index ingest — the STREAMING half of the index
+    * maintenance story ([[graft.llm.Similarity.appendToIvfIndex]] is the
+    * batch half): each arriving vector is assigned to its frozen coarse
+    * cell by the SAME `bestCentroidCol` expression the batch index and
+    * every probe use, and lands CELL-PARTITIONED, so
+    * [[graft.llm.Similarity.ivfIndexTopK]]'s plan-time partition pruning
+    * holds over a continuously growing index. Stateless by construction
+    * (assignment is a pure projection against centroid literals): no
+    * watermark, no state store, exactly-once into the directory via the
+    * file-sink commit log. The cell-skew rebuild signal
+    * ([[graft.llm.Similarity.ivfIndexCellStats]]) applies unchanged.
+    */
+  def streamingIvfAssign(vectors: DataFrame, vecCol: String,
+                         cents: Array[Array[Double]],
+                         path: String, checkpoint: String,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.withColumn("cell",
+        graft.llm.Similarity.bestCentroidCol(
+          graft.llm.Similarity.asDouble(col(vecCol)), cents))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cell")
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .start()
+
   def writeOpsetStore(df: DataFrame, path: String, checkpoint: String,
                       trigger: org.apache.spark.sql.streaming.Trigger =
                         org.apache.spark.sql.streaming.Trigger.AvailableNow())
