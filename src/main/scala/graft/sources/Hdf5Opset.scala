@@ -115,4 +115,60 @@ object Hdf5Opset {
     else df
     out.write.mode("overwrite").parquet(parquetPath)
   }
+
+  /** FLEET migration: decode many stores in parallel, ONE TASK PER FILE,
+    * on the executors — the shape that turns "a directory of tabata .h5
+    * stores" into one long-format DataFrame in a single distributed job.
+    * Each store is still decoded whole in its task (the format is
+    * unsplittable), but a thousand stores migrate with a thousand-way
+    * parallelism instead of a driver loop.
+    *
+    * `signalCols` pins the unified schema up front (schema inference
+    * would force a driver-side pre-pass over every file — the exact
+    * serialization this operator exists to avoid); a store carrying a
+    * column outside the list FAILS its task loudly unless
+    * `ignoreExtraColumns`. Records from different stores can share
+    * names, so the output is keyed `(store, record)` — `store` is the
+    * file's base name without extension.
+    */
+  def loadMany(spark: SparkSession, paths: Seq[String], signalCols: Seq[String],
+               ignoreExtraColumns: Boolean = false): DataFrame = {
+    require(paths.nonEmpty, "Hdf5Opset.loadMany: no paths")
+    val schema = StructType(
+      StructField("store", StringType, nullable = false) +:
+        StructField("record", StringType, nullable = false) +:
+        StructField("t", LongType, nullable = false) +:
+        StructField("index", DoubleType, nullable = false) +:
+        signalCols.map(c => StructField(c, DoubleType, nullable = true)))
+    val cols = signalCols // avoid capturing `this`-adjacent state in the closure
+    val strict = !ignoreExtraColumns
+    import spark.implicits._
+    val rows = spark.createDataset(paths)
+      .repartition(paths.size) // one task per store — the parallelism unit
+      .flatMap { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(hp)
+        val bytes = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 1 << 20, false)
+          buf.toByteArray
+        } finally in.close()
+        val store = hp.getName.stripSuffix(".h5")
+        decode(Hdf5.read(bytes)).iterator.flatMap { case (record, axis0, index, colVals) =>
+          if (strict) {
+            val extra = axis0.filter(colVals.contains).filterNot(cols.contains)
+            require(extra.isEmpty,
+              s"Hdf5Opset.loadMany: store '$store' record '$record' carries " +
+                s"column(s) ${extra.mkString(", ")} outside signalCols — pass " +
+                "ignoreExtraColumns=true to drop them")
+          }
+          (0 until index.length).iterator.map { r =>
+            Row.fromSeq(store +: record +: (r + 1).toLong +: index(r) +:
+              cols.map(c => colVals.get(c).map(v => v(r): java.lang.Double).orNull))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+    rows.toDF()
+  }
 }

@@ -104,6 +104,31 @@ class Hdf5Spec extends SparkSpec {
     assert(b2.isNullAt(4), "recB has no SPD — must be null, not dropped or zero")
   }
 
+  test("Hdf5Opset.loadMany: one task per store, unified schema, loud on extra columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_h5m")
+    val p1 = dir.resolve("storeA.h5").toString
+    val p2 = dir.resolve("storeB.h5").toString
+    Hdf5.writeFile(p1, fixtureStore)
+    Hdf5.writeFile(p2, fixtureStore)
+    val df = Hdf5Opset.loadMany(spark, Seq(p1, p2), Seq("ALT [ft]", "SPD [kt]"))
+    assert(df.columns.toSeq === Seq("store", "record", "t", "index", "ALT [ft]", "SPD [kt]"))
+    assert(df.count() === 10) // 5 rows per store
+    assert(df.select("store").distinct().collect().map(_.getString(0)).sorted
+      === Array("storeA", "storeB"))
+    // same-named records stay distinguishable via the store key
+    assert(df.filter(df("record") === "recA").select("store").distinct().count() === 2)
+    // a store with a column outside signalCols fails loudly...
+    val narrow = intercept[org.apache.spark.SparkException] {
+      Hdf5Opset.loadMany(spark, Seq(p1), Seq("ALT [ft]")).count()
+    }
+    assert(narrow.getMessage.contains("outside signalCols") ||
+      Option(narrow.getCause).exists(_.getMessage.contains("outside signalCols")))
+    // ...unless the caller opts into dropping it
+    val dropped = Hdf5Opset.loadMany(spark, Seq(p1), Seq("ALT [ft]"),
+      ignoreExtraColumns = true)
+    assert(dropped.count() === 5 && dropped.columns.length === 5)
+  }
+
   test("Hdf5Opset.convert lands parquet that graft operators read back") {
     val dir = java.nio.file.Files.createTempDirectory("graft_h5c")
     val h5 = dir.resolve("store.h5").toString
