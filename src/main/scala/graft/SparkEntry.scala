@@ -3450,14 +3450,16 @@ object SparkEntry {
          |  FROM cand JOIN g x ON x.doc_id = cand.id_a JOIN g y ON y.doc_id = cand.id_b
          |) WHERE jaccard >= $JacThreshold ORDER BY id_a, id_b""".stripMargin,
 
+    // filter-first like the round-11 Spark plan (see dedup_cosine_auto)
     "dedup_cosine" ->
-      s"""WITH $EmbCte, ${bktCte}, cand AS (
-         |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-         |  FROM bkt l JOIN bkt r ON l.tbl = r.tbl AND l.bkey = r.bkey AND l.vec_id < r.vec_id
+      s"""WITH $EmbCte, ${bktCte}, bkv AS (
+         |  SELECT a.vec_id, a.tbl, a.bkey, n.v, n.n
+         |  FROM bkt a JOIN nrm n ON n.vec_id = a.vec_id
          |)
-         |SELECT id_a, id_b, cos FROM (
-         |  SELECT id_a, id_b, round(${dotSql("a.v", "b.v")} / (a.n * b.n), 6) AS cos
-         |  FROM cand JOIN nrm a ON a.vec_id = cand.id_a JOIN nrm b ON b.vec_id = cand.id_b
+         |SELECT DISTINCT id_a, id_b, cos FROM (
+         |  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         |         round(${dotSql("l.v", "r.v")} / (l.n * r.n), 6) AS cos
+         |  FROM bkv l JOIN bkv r ON l.tbl = r.tbl AND l.bkey = r.bkey AND l.vec_id < r.vec_id
          |) WHERE cos >= $CosDupThreshold ORDER BY id_a, id_b""".stripMargin,
 
     // Same filter-first shape as the round-11 Spark plan: vectors ride
