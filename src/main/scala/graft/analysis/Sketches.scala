@@ -294,4 +294,68 @@ object Sketches {
       .drop("_k")
       .drop((0 until k).flatMap(i => Seq(s"_p$i", s"_wi$i", s"_b$i", s"_hit$i")): _*)
   }
+
+  // --- KMV bottom-k sample (mergeable quantile sketch) -------------------
+
+  /** Deterministic KMV sketch: the `k` rows per group with the SMALLEST
+    * `(md5(id|seed), id)` — a uniform without-replacement row sample that
+    * is a pure function of the ids, so it is reproducible across engines,
+    * partitionings, and re-runs, and it MERGES EXACTLY: because the
+    * sample is "bottom k under a total order", the bottom-k of a union is
+    * the bottom-k of the per-part bottom-k's — `kmvMerge` of disjoint
+    * slices is bit-identical to sketching the whole (the same algebra
+    * that makes KMV distinct-count sketches mergeable; here the sampled
+    * PAYLOAD rides along, so one k-row state answers quantiles, means,
+    * or any other sample statistic per group).
+    *
+    * Output: `(groupCols…, kmv_h, kmv_id, kmv_v)` with ≤ k rows per
+    * group. `kmv_id` stays in the sketch — it is the merge tie-break
+    * (32-bit hashes WILL collide at the boundary on big groups).
+    * Rows with NULL `valueCol` are dropped first (the sample exists to
+    * estimate value statistics; standard quantile semantics ignore
+    * nulls).
+    *
+    * Plan: [[graft.core.TopK.perKey]]'s two-phase shape — per-partition
+    * bottom-k (≤ k rows survive per (group, partition)) then per-group
+    * bottom-k, so a small group count never concentrates raw data into
+    * few window tasks and the shuffle carries ≤ k × partitions rows per
+    * group, never the data.
+    */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], idCol: Column,
+                valueCol: Column, k: Int, seed: Long): DataFrame = {
+    require(k >= 1, "kmvSketch: k must be >= 1")
+    val gs = groupCols.map(col)
+    val h = graft.llm.Dedup.md5Hash32(concat_ws("|", idCol, lit(seed)))
+    val rows = df.filter(valueCol.isNotNull)
+      .select(gs ++ Seq(h.as("kmv_h"), idCol.cast("long").as("kmv_id"),
+        valueCol.cast("double").as("kmv_v")): _*)
+    graft.core.TopK.perKey(rows, groupCols,
+        Seq(col("kmv_h").asc, col("kmv_id").asc), k, outRank = "_kmv_rank")
+      .drop("_kmv_rank")
+  }
+
+  /** Merge sketches built by [[kmvSketch]] with the same `k` and `seed`:
+    * union → re-truncate to the bottom `k` per group. Over a disjoint
+    * partition of the data this equals the whole-data sketch EXACTLY
+    * (bottom-k under a total order composes); over overlapping inputs
+    * duplicate ids must be deduplicated by the caller first.
+    */
+  def kmvMerge(tables: Seq[DataFrame], groupCols: Seq[String], k: Int): DataFrame = {
+    require(tables.nonEmpty, "kmvMerge: no sketches")
+    graft.core.TopK.perKey(tables.reduce(_ unionByName _), groupCols,
+        Seq(col("kmv_h").asc, col("kmv_id").asc), k, outRank = "_kmv_rank")
+      .drop("_kmv_rank")
+  }
+
+  /** Quantile estimates from a KMV sketch: the EXACT pinned-formula
+    * quantiles ([[graft.analysis.Stats.quantiles]], type-7) of the
+    * sampled values — a uniform-sample estimator of the population
+    * quantile with error O(1/√k) in rank space. Deterministic end to
+    * end, so two engines agree bit-for-bit on the ESTIMATE even though
+    * it approximates the population — which is what lets an
+    * approximation be hash-graded at all.
+    */
+  def kmvQuantiles(sketch: DataFrame, groupCols: Seq[String],
+                   ps: Seq[Double]): DataFrame =
+    Stats.quantiles(sketch, groupCols, col("kmv_v"), ps)
 }

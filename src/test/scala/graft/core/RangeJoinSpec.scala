@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points =
+    Seq((1L, 5L), (2L, 10L), (3L, 15L), (4L, 99L), (5L, 100L), (6L, 101L),
+      (7L, 250L), (8L, -7L), (9L, 0L)).toDF("pid", "t")
+
+  private def intervals =
+    Seq((10L, 0L, 20L), (11L, 10L, 10L), (12L, 95L, 105L), (13L, 240L, 260L),
+      (14L, -10L, -1L), (15L, 400L, 410L)).toDF("iid", "s", "e")
+
+  private def naive = points.join(intervals,
+      col("t") >= col("s") && col("t") <= col("e"))
+    .select("pid", "iid").as[(Long, Long)].collect().toSet
+
+  test("pointInInterval equals the naive theta-join at several bin widths") {
+    for (w <- Seq(1L, 3L, 10L, 1000L)) {
+      val got = RangeJoin.pointInInterval(points, intervals,
+          col("t"), col("s"), col("e"), binWidth = w)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      assert(got.toSet === naive, s"binWidth=$w")
+      // a point meets each interval in exactly one bin: no duplicates
+      assert(got.length === got.toSet.size, s"binWidth=$w produced duplicate pairs")
+    }
+  }
+
+  test("auto bin width (the default) reproduces the same result") {
+    val got = RangeJoin.pointInInterval(points, intervals, col("t"), col("s"), col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect()
+    assert(got.toSet === naive)
+    assert(got.length === got.toSet.size)
+  }
+
+  test("negative epochs bin correctly (floorDiv, not truncate-toward-zero)") {
+    val got = RangeJoin.pointInInterval(points, intervals,
+        col("t"), col("s"), col("e"), binWidth = 4L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got.contains((8L, 14L))) // pid 8 (t=-7) in iid 14 [-10,-1]
+  }
+
+  test("plan is an equi-join on the bin key, not a nested-loop join") {
+    val plan = RangeJoin.pointInInterval(points, intervals,
+        col("t"), col("s"), col("e"), binWidth = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested-loop plan:\n$plan")
+  }
+
+  test("an interval spanning more than maxBinsPerInterval bins fails loudly") {
+    val wide = Seq((20L, 0L, 10000L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, wide, col("t"), col("s"), col("e"),
+        binWidth = 1L, maxBinsPerInterval = 100).count()
+    }
+    assert(ex.getMessage.contains("maxBinsPerInterval") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxBinsPerInterval")))
+  }
+
+  test("reserved working column and overlapping names are rejected") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points.withColumnRenamed("pid", "iid"), intervals,
+        col("t"), col("s"), col("e"), binWidth = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points.withColumn("_bin", lit(1)), intervals,
+        col("t"), col("s"), col("e"), binWidth = 1L)
+    }
+  }
+}
