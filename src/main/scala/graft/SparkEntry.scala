@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.analysis.{Pca, Sketches, Stats}
-import graft.core.{ColumnMeta, Opset, Profile}
+import graft.core.{ColumnMeta, Opset, Profile, RangeJoin}
+import graft.llm.MinhashIndex
 import graft.dsp.SignalOps
 import graft.instants.{Indicators, Selector, Splits}
 import graft.instants.Indicators.IndicatorCode
@@ -986,6 +987,45 @@ object SparkEntry {
        |FROM fin ORDER BY event_type""".stripMargin
   }
 
+  /** DuckDB twin of the KMV sample-sketch quantiles — shared by
+    * `sketch_kmv` (whole-corpus sketch) and `sketch_kmv_merge` (disjoint
+    * halves merged in sketch space, == the whole sketch because bottom-k
+    * under the total (hash, id) order composes): the k smallest
+    * (md5(id|seed), id) rows per group, then the stats_quantiles pinned
+    * type-7 formula over the sampled values.
+    */
+  private def kmvSketchSql: String = {
+    val psList = QuantilePs.mkString("[", ", ", "]")
+    s"""WITH v AS (
+       |  SELECT event_type AS g, event_id AS id, value AS x,
+       |         CAST(concat('0x', substr(md5(concat_ws('|',
+       |           CAST(event_id AS VARCHAR), '$KmvSeed')), 1, 8)) AS BIGINT) AS h
+       |  FROM events WHERE value IS NOT NULL
+       |), sk AS (
+       |  SELECT g, x FROM (
+       |    SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY h, id) AS rn FROM v
+       |  ) WHERE rn <= $KmvK
+       |), s AS (
+       |  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) - 1 AS i FROM sk
+       |), n AS (
+       |  SELECT g, count(*) AS n FROM sk GROUP BY g
+       |), ps AS (
+       |  SELECT unnest($psList) AS p
+       |), c AS (
+       |  SELECT s.g, ps.p, s.x, s.i,
+       |         floor(ps.p * (n.n - 1)) AS lo,
+       |         ps.p * (n.n - 1) - floor(ps.p * (n.n - 1)) AS frac
+       |  FROM s JOIN n USING (g) CROSS JOIN ps
+       |  WHERE s.i = floor(ps.p * (n.n - 1)) OR s.i = floor(ps.p * (n.n - 1)) + 1
+       |)
+       |SELECT g AS event_type, p,
+       |       round(min(CASE WHEN i = lo THEN x END) +
+       |             (coalesce(min(CASE WHEN i = lo + 1 THEN x END),
+       |                       min(CASE WHEN i = lo THEN x END))
+       |              - min(CASE WHEN i = lo THEN x END)) * min(frac), 6) AS q
+       |FROM c GROUP BY g, p ORDER BY event_type, p""".stripMargin
+  }
+
   /** DuckDB twin of the count-min sketch build + probe — shared by
     * `sketch_cms` (whole-corpus weighted build) and `sketch_cms_merge`
     * (disjoint-half counters merged by sum, == the whole build by
@@ -1329,6 +1369,15 @@ object SparkEntry {
 
   // Quantile probes shared by the stats_quantiles query/oracle.
   private val QuantilePs = Seq(0.5, 0.9, 0.99)
+
+  // KMV sample sketch parameters shared by the sketch_kmv* query/oracles.
+  private val KmvK = 512
+  private val KmvSeed = 42L
+
+  // Incident-window length shared by the join_range query/oracle: 10 min
+  // windows anchored at every 'error' event, so window density (and with
+  // it the per-window point count) scales with SF on both sides.
+  private val RangeWinUs = 600000000L
 
   // Collocation parameters shared by the text_collocations query/oracle:
   // the ~30-word test vocabulary repeats pairs heavily, so minCount=5
@@ -1845,6 +1894,24 @@ object SparkEntry {
           MhShingle, MhThreshold, targetRecall = MinAutoRecall, s0 = MinAutoS0,
           candPerBand = MinAutoCandPerBand, minRows = MinAutoMinRows,
           maxRows = MinAutoMaxRows, maxBands = MinAutoMaxBands)
+        .orderBy("id_a", "id_b")
+    },
+
+    // -- Persistent MinHash index: incremental near-dedup (row 28) --
+    // The production path: 90% of the corpus (doc_id % 10 != 0) is
+    // indexed once (bands + shingle sets + frozen config persisted), the
+    // 10% "new batch" dedups against the artifact WITHOUT re-shingling
+    // the corpus. Exactness contract: equals the whole-corpus
+    // dedup_minhash_pairs run restricted to batch-touching pairs — which
+    // is literally what the oracle SQL says.
+    "dedup_minhash_incr" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index_${math.abs(dir.hashCode)}"
+      MinhashIndex.write(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        path, MinhashIndex.Config(MhShingle, MhHashes, MhBands, MhThreshold),
+        graft.core.CacheScope.session)
+      MinhashIndex.dedupAgainst(docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", path)
         .orderBy("id_a", "id_b")
     },
 
@@ -2420,6 +2487,56 @@ object SparkEntry {
       Sketches.bloomProbe(s.read.parquet(s"$dir/customer.parquet").select("c_custkey"),
           col("c_custkey"), "may_contain", Sketches.bloomMerge(halves), BloomBits, BloomK)
         .orderBy("c_custkey")
+    },
+
+    // -- KMV bottom-k sample sketch: quantile estimates (row 58) --
+    // A deterministic uniform row sample (k smallest (md5, id) per group)
+    // whose quantiles estimate the population's — the mergeable/streaming
+    // form of stats_quantiles, graded bit-for-bit because the sample and
+    // the type-7 formula are both pure functions of the ids and values.
+    "sketch_kmv" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      Sketches.kmvQuantiles(
+          Sketches.kmvSketch(ev, Seq("event_type"), col("event_id"), col("value"),
+            KmvK, KmvSeed),
+          Seq("event_type"), QuantilePs)
+        .orderBy("event_type", "p")
+    },
+
+    // Merge path: halves sketched independently, merged in sketch space —
+    // bit-identical to the whole-corpus sketch (bottom-k under a total
+    // order composes), so the SAME oracle grades it.
+    "sketch_kmv_merge" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val halves = Seq(ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 =!= 0))
+        .map(h => Sketches.kmvSketch(h, Seq("event_type"), col("event_id"),
+          col("value"), KmvK, KmvSeed))
+      Sketches.kmvQuantiles(Sketches.kmvMerge(halves, Seq("event_type"), KmvK),
+          Seq("event_type"), QuantilePs)
+        .orderBy("event_type", "p")
+    },
+
+    // -- Bin-bucketed range join (row 69) --
+    // Incident attribution: every event joined to the 10-minute windows
+    // anchored at 'error' events, aggregated per window. The BETWEEN
+    // predicate becomes a shuffle equi-join on the auto-width bin key
+    // (Spark's native plan for the theta-join is a nested loop);
+    // DuckDB's IEJoin answers the same SQL — an engine-vs-engine read of
+    // inequality-join machinery. Integer micros end to end; value sums
+    // in 1e-6 ticks.
+    "join_range" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tus = EventOps.eventMicros(ev, "ts")
+      val pts = ev.select(tus.as("p_us"), col("value").as("p_value"))
+      val win = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("window_id"), tus.as("w_start"),
+          (tus + lit(RangeWinUs)).as("w_end"))
+      RangeJoin.pointInInterval(pts, win, col("p_us"), col("w_start"), col("w_end"))
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(floor(p_value * 1000000.0 + 0.5) AS BIGINT)")).as("value_ticks"))
+        .orderBy("window_id")
     },
 
     // -- Schema-dynamic table profiling (row 59) --
@@ -3068,6 +3185,15 @@ object SparkEntry {
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, jaccard FROM mhp ORDER BY id_a, id_b""".stripMargin,
 
+    // the incremental index path's exactness contract, stated as SQL:
+    // the whole-corpus pairs restricted to pairs touching >= 1 batch
+    // (doc_id % 10 = 0) document
+    "dedup_minhash_incr" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b, jaccard FROM mhp
+         |WHERE id_a % 10 = 0 OR id_b % 10 = 0
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_minhash_auto" ->
       s"""WITH $ShingleCte, $minhashAutoCtes
          |SELECT id_a, id_b, jaccard FROM (
@@ -3396,6 +3522,28 @@ object SparkEntry {
 
     // max-merged disjoint-half registers == the whole-corpus registers
     "sketch_hll_merge" -> hllSql,
+
+    "sketch_kmv" -> kmvSketchSql,
+
+    // bottom-k re-truncation of disjoint-half samples == the whole-corpus
+    // sample (total (hash, id) order), so the same SQL grades the merge
+    "sketch_kmv_merge" -> kmvSketchSql,
+
+    // DuckDB answers the BETWEEN join with its IEJoin; graft's bin-bucket
+    // rewrite must reproduce it exactly (inclusive bounds, integer micros)
+    "join_range" ->
+      s"""WITH p AS (
+         |  SELECT epoch_us(ts) AS p_us, value AS p_value FROM events
+         |), w AS (
+         |  SELECT event_id AS window_id, epoch_us(ts) AS w_start,
+         |         epoch_us(ts) + $RangeWinUs AS w_end
+         |  FROM events WHERE event_type = 'error'
+         |)
+         |SELECT w.window_id, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(CAST(floor(p.p_value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_ticks
+         |FROM p JOIN w ON p.p_us BETWEEN w.w_start AND w.w_end
+         |GROUP BY w.window_id
+         |ORDER BY window_id""".stripMargin,
 
     "profile_table" -> profileSql,
 
