@@ -1379,6 +1379,16 @@ object SparkEntry {
   // it the per-window point count) scales with SF on both sides.
   private val RangeWinUs = 600000000L
 
+  // join_interval: purchase attribution windows reach 5 min BACK from
+  // each purchase; overlap with the 10-min error windows above asks
+  // "which purchases were decided while an incident was live".
+  private val AttrWinUs = 300000000L
+
+  // join_asof: a click enriches with the user's latest purchase at most
+  // 6 h old — long enough for real matches at sf0.001's event density,
+  // short enough that staleness gating actually fires.
+  private val AsofTolUs = 21600000000L
+
   // Collocation parameters shared by the text_collocations query/oracle:
   // the ~30-word test vocabulary repeats pairs heavily, so minCount=5
   // actually filters and k=50 cuts a real boundary.
@@ -2539,6 +2549,56 @@ object SparkEntry {
         .orderBy("window_id")
     },
 
+    // Interval-overlap twin (row 69): which purchases were decided while
+    // an incident was live — 10-min error windows × 5-min purchase
+    // attribution windows, canonical-bin dedup-free equi-join rewrite,
+    // integer micros and 1e-6 value ticks end to end.
+    "join_interval" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tus = EventOps.eventMicros(ev, "ts")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("window_id"), tus.as("w_start"),
+          (tus + lit(RangeWinUs)).as("w_end"))
+      val att = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          (tus - lit(AttrWinUs)).as("a_start"), tus.as("a_end"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("p_ticks"))
+      RangeJoin.intervalOverlap(err, att,
+          col("w_start"), col("w_end"), col("a_start"), col("a_end"))
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("p_ticks")).as("value_ticks"),
+          sum(least(col("w_end"), col("a_end")) -
+            greatest(col("w_start"), col("a_start"))).as("overlap_us"))
+        .orderBy("window_id")
+    },
+
+    // Generic backward as-of enrichment: each click carries the user's
+    // latest purchase ticks at most AsofTolUs old. The union-window plan
+    // (NO join — one exchange on user_id) grades against DuckDB's NATIVE
+    // ASOF LEFT JOIN, two independent formulations of the semantics.
+    "join_asof" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tus = EventOps.eventMicros(ev, "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), tus.as("tus"))
+      // contract: one right sample per (key, time) — equal-time purchases
+      // collapse to the max-event_id winner (struct max, id leads)
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), tus.as("p_us"),
+          col("event_id").as("p_eid"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("ticks"))
+        .groupBy("p_user", "p_us")
+        .agg(max(struct(col("p_eid"), col("ticks"))).as("_m"))
+        .select(col("p_user").as("user_id"), col("p_us"),
+          col("_m.ticks").as("ticks"))
+      EventOps.asofJoin(clicks, pur, Seq("user_id"), col("tus"), col("p_us"),
+          Seq("ticks"), AsofTolUs)
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("ticks_ref"), (col("tus") - col("t_ref")).as("age_us"))
+        .orderBy("event_id")
+    },
+
     // -- Schema-dynamic table profiling (row 59) --
     "profile_table" -> { (s, dir) =>
       Profile.profile(s.read.parquet(s"$dir/lineitem.parquet"))
@@ -3544,6 +3604,49 @@ object SparkEntry {
          |FROM p JOIN w ON p.p_us BETWEEN w.w_start AND w.w_end
          |GROUP BY w.window_id
          |ORDER BY window_id""".stripMargin,
+
+    "join_interval" ->
+      s"""WITH w AS (
+         |  SELECT event_id AS window_id, epoch_us(ts) AS w_start,
+         |         epoch_us(ts) + $RangeWinUs AS w_end
+         |  FROM events WHERE event_type = 'error'
+         |), a AS (
+         |  SELECT event_id AS purchase_id, epoch_us(ts) - $AttrWinUs AS a_start,
+         |         epoch_us(ts) AS a_end,
+         |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS p_ticks
+         |  FROM events WHERE event_type = 'purchase'
+         |)
+         |SELECT w.window_id, CAST(count(*) AS BIGINT) AS n_purchases,
+         |       CAST(sum(a.p_ticks) AS BIGINT) AS value_ticks,
+         |       CAST(sum(least(w.w_end, a.a_end) - greatest(w.w_start, a.a_start)) AS BIGINT) AS overlap_us
+         |FROM w JOIN a ON w.w_start <= a.a_end AND a.a_start <= w.w_end
+         |GROUP BY w.window_id
+         |ORDER BY window_id""".stripMargin,
+
+    // DuckDB's NATIVE ASOF LEFT JOIN vs graft's union-window plan — the
+    // tolerance gate applied identically after the latest-match pick
+    // (any earlier sample is older still, so gating after == gating
+    // inside)
+    "join_asof" ->
+      s"""WITH l AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tus
+         |  FROM events WHERE event_type = 'click'
+         |), p0 AS (
+         |  SELECT user_id, epoch_us(ts) AS p_us,
+         |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS ticks,
+         |         row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+         |                            ORDER BY event_id DESC) AS rn
+         |  FROM events WHERE event_type = 'purchase'
+         |), p AS (
+         |  SELECT user_id, p_us, ticks FROM p0 WHERE rn = 1
+         |)
+         |SELECT l.event_id, l.user_id, l.tus,
+         |       CASE WHEN p.p_us IS NOT NULL AND l.tus - p.p_us <= $AsofTolUs
+         |            THEN p.ticks END AS ticks_ref,
+         |       CASE WHEN p.p_us IS NOT NULL AND l.tus - p.p_us <= $AsofTolUs
+         |            THEN l.tus - p.p_us END AS age_us
+         |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.tus >= p.p_us
+         |ORDER BY l.event_id""".stripMargin,
 
     "profile_table" -> profileSql,
 

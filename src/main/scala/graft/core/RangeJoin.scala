@@ -91,4 +91,65 @@ object RangeJoin {
     val pt = points.withColumn("_bin", binOf(p))
     pt.join(iv, pt("_bin") === iv("_bin") && p >= s && p <= e).drop("_bin")
   }
+
+  /** All (left row × right row) combinations whose intervals OVERLAP —
+    * `ls <= re AND rs <= le`, all bounds inclusive — as the
+    * concatenation of both sides' columns. Column names must be
+    * disjoint; `_bin` is reserved; bounds must be integral.
+    *
+    * Same bin-bucketed equi-join rewrite as [[pointInInterval]], with
+    * the duplicate-elimination trick adapted to two exploded sides: both
+    * intervals explode to every bin they cover, so a qualifying pair
+    * would meet once per SHARED bin — instead of a post-join distinct
+    * (a full extra shuffle of the output), the join keeps a pair only in
+    * its CANONICAL bin, the bin containing `greatest(ls, rs)` (the
+    * overlap start). That point lies inside both intervals whenever they
+    * overlap — `greatest(ls,rs) <= le` and `<= re` are exactly the two
+    * halves of the overlap predicate — so the canonical bin is always
+    * among the shared bins, and it is unique by construction: each pair
+    * survives exactly once, no distinct needed. The exact overlap
+    * predicate still rides the join (canonical-bin equality alone is
+    * bin-granular: `rs > le` inside one bin would slip through).
+    *
+    * `binWidth <= 0` derives the width from the data as the LARGER of
+    * the two sides' median interval lengths — that bounds the
+    * typically-longer side's fan-out near 2 while the shorter side's
+    * fan-out stays ≤ 2 by construction (an interval shorter than the bin
+    * covers at most 2 bins). Fan-out cost and skew behavior are
+    * otherwise identical to [[pointInInterval]]: hot bins are pure
+    * equi-join skew, AQE splits them, result is bin-width independent.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStartCol: Column, lEndCol: Column,
+                      rStartCol: Column, rEndCol: Column,
+                      binWidth: Long = 0L,
+                      maxBinsPerInterval: Int = 4096): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"RangeJoin.intervalOverlap: column names must be disjoint, both sides have ${overlap.mkString(", ")}")
+    Salting.requireFreeColumns(left, Seq("_bin"), "intervalOverlap(left)")
+    Salting.requireFreeColumns(right, Seq("_bin"), "intervalOverlap(right)")
+    val w =
+      if (binWidth > 0) binWidth
+      else math.max(autoBinWidth(left, lStartCol, lEndCol),
+        autoBinWidth(right, rStartCol, rEndCol))
+    val (ls, le) = (lStartCol.cast("long"), lEndCol.cast("long"))
+    val (rs, re) = (rStartCol.cast("long"), rEndCol.cast("long"))
+    def binOf(c: Column): Column = floor(c.cast("double") / lit(w.toDouble)).cast("long")
+    def explodeBins(df: DataFrame, s: Column, e: Column, side: String): DataFrame = {
+      val nBins = binOf(e) - binOf(s) + lit(1L)
+      df.withColumn("_bin",
+        explode(when(nBins > lit(maxBinsPerInterval.toLong), raise_error(concat(
+            lit(s"intervalOverlap($side): interval spans more than $maxBinsPerInterval bins of width $w ("),
+            nBins, lit(" — raise maxBinsPerInterval or binWidth)"))))
+          .otherwise(sequence(binOf(s), binOf(e)))))
+    }
+    val lv = explodeBins(left, ls, le, "left")
+    val rv = explodeBins(right, rs, re, "right")
+    // canonical-bin equality picks the ONE shared bin that keeps an
+    // overlapping pair; the exact predicate decides overlap itself
+    lv.join(rv, lv("_bin") === rv("_bin") &&
+        binOf(greatest(ls, rs)) === lv("_bin") && ls <= re && rs <= le)
+      .drop("_bin")
+  }
 }

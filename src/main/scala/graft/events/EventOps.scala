@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
+import graft.core.Salting
+
 /** Batch event-log analytics over the long `events` table: gap-based
   * sessionization and ordered-step funnel analysis — the two classic
   * user-activity operators every telemetry/clickstream pipeline runs
@@ -151,6 +153,82 @@ object EventOps {
     * user partition where this plan's partial aggregation eats the
     * volume map-side — measured 4× faster at 10M events.
     */
+  /** Generic backward as-of join: every left row picks up the LATEST
+    * right sample per `keyCols` with `right time <= left time` (equal
+    * times match — ≤, not <), optionally only when the match is at most
+    * `toleranceUs` micros old. Returns all left columns plus each
+    * requested right column as `<name><suffix>` and the matched right
+    * time as `t<suffix>` — all suffixed columns NULL when no
+    * (in-tolerance) sample precedes the row.
+    *
+    * Plan shape: NO join at all. Both sides union under a source marker
+    * and ONE window partitioned on the keys fills every requested column
+    * with `last(_, ignoreNulls)` — one shuffle of the projected columns,
+    * parallelism = key count, identical cost at any right/left size
+    * ratio. This is the scalable shape for the classic time-series
+    * enrichment (quotes→trades, sensor→event): a range/inequality join
+    * here would plan as BroadcastNestedLoopJoin, and even the
+    * bin-bucketed rewrite (RangeJoin) shuffles interval copies — the
+    * union-window form moves each row exactly once. (Opset.asof at
+    * core/Opset.scala:141 is the per-record signal-table instance of the
+    * same construction; this is the keyed event-table generalization
+    * with tolerance.)
+    *
+    * Contract (same as Opset.asof): the right side must have at most one
+    * sample per (keys, time) — pre-aggregate ties upstream (e.g. a
+    * struct-max winner) or the fill is order-dependent — and its value
+    * columns must be NON-NULL (a null right value would hold the
+    * previous non-null value forward instead of aligning the null;
+    * encode missingness as an absent row or a struct field). Right rows
+    * with a NULL time are dropped. `_t` and `_src` are reserved.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftMicros: Column, rightMicros: Column,
+               valueCols: Seq[String], toleranceUs: Long = Long.MaxValue,
+               suffix: String = "_ref"): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoin: at least one key column")
+    require(valueCols.nonEmpty, "asofJoin: no right columns requested")
+    require(toleranceUs >= 0, "asofJoin: negative tolerance")
+    val outCols = valueCols.map(c => s"$c$suffix")
+    val tRef = s"t$suffix"
+    val leftCols = left.columns.toSeq
+    val clash = leftCols.toSet.intersect((outCols :+ tRef).toSet)
+    require(clash.isEmpty,
+      s"asofJoin: suffixed column(s) ${clash.toSeq.sorted.mkString(", ")} collide with left schema")
+    Salting.requireFreeColumns(left, Seq("_t", "_src"), "asofJoin(left)")
+    Salting.requireFreeColumns(right, Seq("_t", "_src"), "asofJoin(right)")
+    val keySet = keyCols.toSet
+    val r = right.filter(rightMicros.isNotNull)
+      .select(keyCols.map(col) ++ Seq(rightMicros.cast("long").as("_t")) ++
+        valueCols.map(col): _*)
+    // aligned union: right rows sort BEFORE left rows at equal _t
+    // (src 0 < 1), so an equal-time right sample is already visible
+    val lAligned = left.select(
+      leftCols.map(col) ++ Seq(leftMicros.cast("long").as("_t"), lit(1).as("_src")) ++
+        valueCols.zip(outCols).map { case (v, o) =>
+          lit(null).cast(r.schema(v).dataType).as(o) } :+
+        lit(null).cast("long").as(tRef): _*)
+    val rAligned = r.select(
+      keyCols.map(col) ++
+        leftCols.filterNot(keySet).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("_t"), lit(0).as("_src")) ++
+        valueCols.zip(outCols).map { case (v, o) => col(v).as(o) } :+
+        col("_t").as(tRef): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t"), col("_src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = (outCols :+ tRef).foldLeft(lAligned.unionByName(rAligned)) {
+      (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    // tolerance: age = _t - t_ref is non-negative by construction, so the
+    // comparison never overflows even at the MaxValue default
+    val keep = col(tRef).isNotNull && (col("_t") - col(tRef)) <= lit(toleranceUs)
+    val gated = (outCols :+ tRef).foldLeft(filled) { (d, c) =>
+      d.withColumn(c, when(keep, col(c))) }
+    gated.filter(col("_src") === 1).drop("_t", "_src")
+  }
+
   def retention(events: DataFrame, userCol: String, microsCol: Column): DataFrame = {
     val days = events
       .select(col(userCol), microsCol.as("_tus"))

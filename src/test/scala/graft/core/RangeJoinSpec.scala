@@ -71,4 +71,76 @@ class RangeJoinSpec extends SparkSpec {
         col("t"), col("s"), col("e"), binWidth = 1L)
     }
   }
+
+  // --- intervalOverlap ---
+
+  private def lIv =
+    Seq((1L, 0L, 20L), (2L, 10L, 10L), (3L, 95L, 105L), (4L, 240L, 260L),
+      (5L, -10L, -1L), (6L, 400L, 410L), (7L, 30L, 35L)).toDF("aid", "as", "ae")
+
+  private def rIv =
+    Seq((10L, 5L, 12L), (11L, 20L, 29L), (12L, 100L, 100L), (13L, 250L, 480L),
+      (14L, -20L, -15L), (15L, 36L, 40L), (16L, -5L, 2L)).toDF("bid", "bs", "be")
+
+  private def naiveOverlap = lIv.join(rIv,
+      col("as") <= col("be") && col("bs") <= col("ae"))
+    .select("aid", "bid").as[(Long, Long)].collect().toSet
+
+  test("intervalOverlap equals the naive theta-join at several bin widths, duplicate-free") {
+    assert(naiveOverlap.nonEmpty)
+    for (w <- Seq(1L, 3L, 10L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(lIv, rIv,
+          col("as"), col("ae"), col("bs"), col("be"), binWidth = w)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      assert(got.toSet === naiveOverlap, s"binWidth=$w")
+      // the canonical-bin rule keeps each pair exactly once: no distinct needed
+      assert(got.length === got.toSet.size, s"binWidth=$w produced duplicate pairs")
+    }
+  }
+
+  test("intervalOverlap auto bin width (the default) reproduces the same result") {
+    val got = RangeJoin.intervalOverlap(lIv, rIv,
+        col("as"), col("ae"), col("bs"), col("be"))
+      .select("aid", "bid").as[(Long, Long)].collect()
+    assert(got.toSet === naiveOverlap)
+    assert(got.length === got.toSet.size)
+  }
+
+  test("touching endpoints overlap (inclusive bounds) and same-bin non-overlaps are excluded") {
+    // as=30..35 touches nothing in rIv except via exact bounds checks:
+    // bid 15 [36,40] does NOT overlap [30,35] even inside one wide bin
+    val got = RangeJoin.intervalOverlap(lIv, rIv,
+        col("as"), col("ae"), col("bs"), col("be"), binWidth = 1000L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(!got.contains((7L, 15L)),
+      "bin-granular false positive: [30,35] vs [36,40] do not overlap")
+    // bid 11 [20,29] touches aid 1 [0,20] exactly at 20 — inclusive
+    assert(got.contains((1L, 11L)))
+  }
+
+  test("intervalOverlap plans as an equi-join, not a nested-loop join") {
+    val plan = RangeJoin.intervalOverlap(lIv, rIv,
+        col("as"), col("ae"), col("bs"), col("be"), binWidth = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval overlap fell back to a nested-loop plan:\n$plan")
+  }
+
+  test("intervalOverlap rejects over-wide intervals, reserved and shared names") {
+    val ex = intercept[Exception] {
+      RangeJoin.intervalOverlap(lIv, Seq((9L, 0L, 100000L)).toDF("bid", "bs", "be"),
+        col("as"), col("ae"), col("bs"), col("be"),
+        binWidth = 1L, maxBinsPerInterval = 100).count()
+    }
+    assert(ex.getMessage.contains("maxBinsPerInterval") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxBinsPerInterval")))
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(lIv.withColumnRenamed("aid", "bid"), rIv,
+        col("as"), col("ae"), col("bs"), col("be"), binWidth = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(lIv.withColumn("_bin", lit(1)), rIv,
+        col("as"), col("ae"), col("bs"), col("be"), binWidth = 1L)
+    }
+  }
 }

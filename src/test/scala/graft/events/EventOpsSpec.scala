@@ -136,4 +136,77 @@ class EventOpsSpec extends SparkSpec {
     // eats the event volume before the only data-sized exchange)
     assert("HashAggregate".r.findAllIn(plan).length >= 4, s"plan:\n$plan")
   }
+
+  // --- asofJoin ---
+
+  private def trades = Seq(
+    (1L, 10L, 100L), (1L, 11L, 150L), (1L, 12L, 199L), (1L, 13L, 300L),
+    (2L, 20L, 50L),
+    (3L, 30L, 10L)
+  ).toDF("user_id", "trade_id", "tus")
+
+  private def quotes = Seq(
+    (1L, 100L, 7L), (1L, 150L, 8L), (1L, 200L, 9L),
+    (2L, 60L, 5L)
+    // user 3: no quotes at all
+  ).toDF("user_id", "qus", "px")
+
+  test("asofJoin: latest sample at or before each row; equal times match; no-sample rows null") {
+    val out = EventOps.asofJoin(trades, quotes, Seq("user_id"),
+        col("tus"), col("qus"), Seq("px"))
+      .orderBy("trade_id")
+      .select("trade_id", "px_ref", "t_ref")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(out === Array(
+      (10L, Some(7L), Some(100L)),   // equal time matches (≤, not <)
+      (11L, Some(8L), Some(150L)),
+      (12L, Some(8L), Some(150L)),   // 199 < 200: the later quote not visible
+      (13L, Some(9L), Some(200L)),
+      (20L, None, None),             // user 2's quote is in the future
+      (30L, None, None)))            // user 3 has no quotes
+  }
+
+  test("asofJoin tolerance nulls out stale matches") {
+    val out = EventOps.asofJoin(trades, quotes, Seq("user_id"),
+        col("tus"), col("qus"), Seq("px"), toleranceUs = 60L)
+      .orderBy("trade_id")
+      .select("trade_id", "px_ref")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    // trade 13 at 300 matched quote at 200: age 100 > 60 → null
+    assert(out.toMap === Map(10L -> Some(7L), 11L -> Some(8L), 12L -> Some(8L),
+      13L -> None, 20L -> None, 30L -> None))
+  }
+
+  test("asofJoin is partitioning-independent and join-free (one exchange)") {
+    val a = EventOps.asofJoin(trades, quotes, Seq("user_id"),
+        col("tus"), col("qus"), Seq("px")).collect().toSet
+    val b = EventOps.asofJoin(trades.repartition(7), quotes.repartition(5),
+        Seq("user_id"), col("tus"), col("qus"), Seq("px")).collect().toSet
+    assert(a === b)
+    val plan = EventOps.asofJoin(trades, quotes, Seq("user_id"),
+        col("tus"), col("qus"), Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asofJoin must not plan a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"expected ONE exchange (the key window):\n$plan")
+  }
+
+  test("asofJoin drops null right times and rejects colliding/reserved names") {
+    val qn = Seq((1L, Option.empty[Long], 99L), (1L, Some(100L), 7L))
+      .toDF("user_id", "qus", "px")
+    val out = EventOps.asofJoin(trades.filter(col("trade_id") === 10L), qn,
+        Seq("user_id"), col("tus"), col("qus"), Seq("px"))
+      .select("px_ref").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(7L))
+    intercept[IllegalArgumentException] {
+      EventOps.asofJoin(trades.withColumn("px_ref", lit(1)), quotes,
+        Seq("user_id"), col("tus"), col("qus"), Seq("px"))
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.asofJoin(trades.withColumn("_src", lit(1)), quotes,
+        Seq("user_id"), col("tus"), col("qus"), Seq("px"))
+    }
+  }
 }
