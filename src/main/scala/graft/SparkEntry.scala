@@ -1389,6 +1389,11 @@ object SparkEntry {
   // short enough that staleness gating actually fires.
   private val AsofTolUs = 21600000000L
 
+  // graph_triangles: per-order co-purchase fan-out cap — keeping only
+  // l_linenumber <= 3 bounds edges at 3 per order AT THE SCAN (pushed
+  // filter, no sampling job) so the edge count stays linear in SF.
+  private val TriMaxLine = 3
+
   // Collocation parameters shared by the text_collocations query/oracle:
   // the ~30-word test vocabulary repeats pairs heavily, so minCount=5
   // actually filters and k=50 cuts a real boundary.
@@ -2152,6 +2157,37 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // -- Structured Streaming KMV sketch maintenance (rows 39 + 58) --
+    // The corpus replays as a 4-file stream (maxFilesPerTrigger=1 → 4
+    // disjoint micro-batches); each batch lands its OWN bottom-k slice,
+    // and the read-back kmvMerge re-truncates to the global bottom-k —
+    // EXACT vs the whole-corpus sketch because bottom-k under the total
+    // (md5, id) order composes over disjoint slices (the oracle-proven
+    // sketch_kmv_merge property; the batches are disjoint by id since
+    // each event lands once). Zero state store: ≤ k rows per (group,
+    // batch) of landed artifact IS the state. Oracle = sketch_kmv's.
+    "stream_kmv" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("event_id"), col("value"))
+      val outPath = java.nio.file.Files.createTempDirectory("graft-stream-kmv")
+      deleteAtExit(outPath)
+      val out = outPath.toString
+      val in = s"$out/in"
+      ev.repartition(4).write.parquet(in)
+      graft.streaming.StreamOps.streamingKmv(
+        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+          .parquet(in),
+        Seq("event_type"), col("event_id"), col("value"), KmvK, KmvSeed,
+        s"$out/rows", s"$out/ckpt").awaitTermination()
+      deleteTree(java.nio.file.Paths.get(in))
+      deleteTree(java.nio.file.Paths.get(out, "ckpt"))
+      Sketches.kmvQuantiles(
+          Sketches.kmvMerge(Seq(s.read.parquet(s"$out/rows")),
+            Seq("event_type"), KmvK),
+          Seq("event_type"), QuantilePs)
+        .orderBy("event_type", "p")
+    },
+
     // -- Structured Streaming CDC compaction (row 39) --
     // The streaming twin of events_latest: the SAME struct-max
     // aggregation runs as a stateful streaming query whose state is ONE
@@ -2399,6 +2435,25 @@ object SparkEntry {
         concat(lit("t:"), col("event_type")).as("dst"))
       val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       graft.graph.Graph.pagerank(edges, "src", "dst", PrIters)
+        .orderBy("node")
+    },
+
+    // -- Exact triangle counting, degree-oriented (row 65) --
+    // Co-purchase graph: parts sharing an order (l_linenumber <= 3 caps
+    // the per-order fan-out DETERMINISTICALLY at the scan, so the edge
+    // count stays linear in SF and the filter pushes into parquet).
+    // Orientation bounds wedge candidates by out-degree <= O(sqrt(m)) —
+    // the shape that survives a hub vertex where the naive wedge join
+    // is quadratic.
+    "graph_triangles" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") <= TriMaxLine)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("p1"))
+        .join(li.select(col("ok").as("ok2"), col("pk").as("p2")),
+          col("ok") === col("ok2") && col("p1") < col("p2"))
+        .select("p1", "p2")
+      graft.graph.Graph.triangles(edges, "p1", "p2")
         .orderBy("node")
     },
 
@@ -3505,6 +3560,36 @@ object SparkEntry {
         |GROUP BY ROLLUP (event_type, epoch_us(ts) // 86400000000)
         |ORDER BY gid, event_type, day""".stripMargin,
 
+    "graph_triangles" ->
+      // the identical degree-orientation construction in SQL: canonical
+      // undirected edges, (degree, id)-tuple orientation, out-wedge join,
+      // closing-edge check against the canonical set, 3-corner credit
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |  WHERE l_linenumber <= $TriMaxLine
+         |), e0 AS (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |), deg AS (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0
+         |  ) GROUP BY n
+         |), dir AS (
+         |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+         |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+         |  FROM e0 e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+         |), tri AS (
+         |  SELECT d1.a, d1.b, d2.b AS c
+         |  FROM dir d1 JOIN dir d2 ON d1.a = d2.a AND d1.b < d2.b
+         |  JOIN e0 ON e0.u = d1.b AND e0.v = d2.b
+         |)
+         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |  SELECT a AS node FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri
+         |) GROUP BY node
+         |ORDER BY node""".stripMargin,
+
     "graph_pagerank" -> {
       // the k rounds re-derived as chained CTEs — pure BIGINT arithmetic
       val rounds = (1 to PrIters).map { i =>
@@ -3584,6 +3669,8 @@ object SparkEntry {
     "sketch_hll_merge" -> hllSql,
 
     "sketch_kmv" -> kmvSketchSql,
+    // the streamed landing folds to the identical whole-corpus sketch
+    "stream_kmv" -> kmvSketchSql,
 
     // bottom-k re-truncation of disjoint-half samples == the whole-corpus
     // sample (total (hash, id) order), so the same SQL grades the merge

@@ -78,4 +78,59 @@ object Graph {
       prevCkptDir.foreach(spark.sparkContext.setCheckpointDir)
     }
   }
+
+  /** Exact per-vertex triangle counts via DEGREE ORIENTATION — the
+    * MapReduce-era answer to the wedge explosion (Suri & Vassilvitskii
+    * 2011, "Counting Triangles and the Curse of the Last Reducer";
+    * Chiba-Nishizeki orientation): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher, generate wedges only
+    * from each vertex's OUT-edges, and close them against the canonical
+    * edge set. Out-degree after orientation is O(√m) on ANY graph (a
+    * vertex keeps an out-edge only toward same-or-higher-degree
+    * neighbors), so wedge candidates are O(m^1.5) worst case and ~m·d̄/2
+    * on flat-degree graphs — vs the unoriented Σd² that a hub vertex
+    * turns quadratic. The naive wedge join dies at the first
+    * million-degree hub; this shape is the one that survives a web-scale
+    * edge list.
+    *
+    * Every triangle is counted exactly once: its minimum-(degree, id)
+    * vertex is the unique apex whose two out-edges form the wedge, so no
+    * post-join distinct is needed. All three stages are plain equi-joins
+    * / aggregations on vertex keys — hash-partitionable, map-side
+    * combined, nothing driver-sized.
+    *
+    * Input edges are canonicalized first (undirected: (min,max) id
+    * order, self-loops dropped, parallel edges collapsed). Returns
+    * `(node, n_tri)` — each triangle credits all three corners (the
+    * clustering-coefficient numerator); vertices in no triangle are
+    * absent (count 0).
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e0.select(col("u").as("n")).unionAll(e0.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): lower endpoint keeps the out-edge
+    val dir = e0
+      .join(deg.select(col("n").as("u"), col("d").as("_du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("_dv")), "v")
+      .select(
+        when(struct(col("_du"), col("u")) < struct(col("_dv"), col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("_e"))
+      .select(col("_e.a").as("a"), col("_e.b").as("b"))
+    // wedges from out-edges of the shared apex; (b, c) kept in id order so
+    // the closing lookup hits e0's canonical (min, max) form directly
+    val d2 = dir.select(col("a"), col("b").as("c"))
+    val wedges = dir.join(d2, Seq("a")).filter(col("b") < col("c"))
+    val tris = wedges.join(e0,
+      wedges("b") === e0("u") && wedges("c") === e0("v"))
+      .select(col("a"), col("b"), col("c"))
+    tris.select(col("a").as("node"))
+      .unionAll(tris.select(col("b").as("node")))
+      .unionAll(tris.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

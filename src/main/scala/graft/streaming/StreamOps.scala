@@ -286,6 +286,38 @@ object StreamOps {
       .trigger(trigger)
       .start()
 
+  /** Streaming KMV quantile-sketch maintenance — the third streaming
+    * sketch beside the HLL fold and the IVF ingest. Each micro-batch
+    * lands its OWN bottom-k slice ([[graft.analysis.Sketches.kmvSketch]]
+    * over just that batch) via `foreachBatch`; the global sketch at read
+    * time is [[graft.analysis.Sketches.kmvMerge]] over the landed
+    * slices. Exact by the composition property the batch merge row
+    * proves (`sketch_kmv_merge`): bottom-k under the total (md5, id)
+    * order composes over a disjoint partition of the rows, and a
+    * replayed file stream partitions the rows disjointly by batch. NO
+    * state store at all — the sketch property moved the state into the
+    * landed artifact, ≤ k rows per (group, batch), and the read-time
+    * fold re-truncates to k per group. Same caveat as kmvMerge: ids
+    * must not repeat across batches (an id that re-arrives occupies two
+    * sample slots); streams with replayed keys dedup upstream.
+    */
+  def streamingKmv(rows: DataFrame, groupCols: Seq[String],
+                   idCol: org.apache.spark.sql.Column,
+                   valueCol: org.apache.spark.sql.Column,
+                   k: Int, seed: Long, path: String, checkpoint: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.analysis.Sketches.kmvSketch(batch, groupCols, idCol, valueCol, k, seed)
+          .write.mode("append").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .start()
+
   def writeOpsetStore(df: DataFrame, path: String, checkpoint: String,
                       trigger: org.apache.spark.sql.streaming.Trigger =
                         org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -46,4 +46,55 @@ class GraphSpec extends SparkSpec {
     assert(r("b") === (150000000L + (85L * (2 * third)) / 100) / 1e9)
     assert(r("c") === (150000000L + (85L * third) / 100) / 1e9)
   }
+
+  // --- triangles ---
+
+  test("triangles: K4 has C(4,3)=4 triangles, 3 per vertex; a path has none") {
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("s", "d")
+    val r = Graph.triangles(k4, "s", "d")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    assert(Graph.triangles(path, "s", "d").count() === 0L)
+  }
+
+  test("triangles: direction, duplicates and self-loops don't change the count") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    val noisy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (1L, 1L), (3L, 3L))
+      .toDF("s", "d")
+    assert(Graph.triangles(tri, "s", "d").collect().toSet ===
+      Graph.triangles(noisy, "s", "d").collect().toSet)
+  }
+
+  test("triangles matches a brute-force reference on a random graph, any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val raw = Seq.fill(250)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val edges = raw.toDF("s", "d")
+    // reference: enumerate all id-ordered node triples over the canonical set
+    val es = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 != p._2).toSet
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val expect = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } { expect(a) += 1; expect(b) += 1; expect(c) += 1 }
+    val got = Graph.triangles(edges, "s", "d")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got === expect.toMap)
+    val gotRep = Graph.triangles(edges.repartition(7), "s", "d")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(gotRep === expect.toMap)
+  }
+
+  test("triangles: a hub star stays wedge-free (orientation bounds the apex fan-out)") {
+    // star: hub-leafN plus one leaf-leaf edge — exactly 1 triangle; the
+    // hub's high degree must not make it the wedge apex for all pairs
+    val star = ((1 to 50).map(i => (0L, i.toLong)) :+ (1L, 2L)).toDF("s", "d")
+    val r = Graph.triangles(star, "s", "d")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
 }

@@ -235,4 +235,33 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows === Set((1L, 10L), (1L, 11L), (2L, 12L)))
     } finally q.stop()
   }
+
+  test("streamingKmv: landed per-batch slices merge to the exact whole-corpus sketch") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-kmv").toString
+    val q = StreamOps.streamingKmv(in.toDF().toDF("g", "id", "v"),
+      Seq("g"), col("id"), col("v"), k = 16, seed = 7L,
+      s"$dir/rows", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      val all = (1 to 200).map(i => (s"g${i % 2}", i.toLong, i * 1.5))
+      in.addData(all.take(90): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(90): _*) // disjoint ids: the kmvMerge contract
+      q.processAllAvailable()
+    } finally q.stop()
+    val slices = spark.read.parquet(s"$dir/rows")
+    // at least two landed slices, each truncated to <= k rows per group
+    assert(slices.count() > 16 * 2)
+    val merged = graft.analysis.Sketches.kmvMerge(Seq(slices), Seq("g"), 16)
+    val whole = graft.analysis.Sketches.kmvSketch(
+      (1 to 200).map(i => (s"g${i % 2}", i.toLong, i * 1.5)).toDF("g", "id", "v"),
+      Seq("g"), col("id"), col("v"), 16, 7L)
+    assert(merged.collect().toSet === whole.collect().toSet)
+    // and the quantile surface folds identically
+    val qm = graft.analysis.Sketches.kmvQuantiles(merged, Seq("g"), Seq(0.5, 0.9))
+    val qw = graft.analysis.Sketches.kmvQuantiles(whole, Seq("g"), Seq(0.5, 0.9))
+    assert(qm.collect().toSet === qw.collect().toSet)
+  }
 }
