@@ -1370,6 +1370,10 @@ object SparkEntry {
   // Quantile probes shared by the stats_quantiles query/oracle.
   private val QuantilePs = Seq(0.5, 0.9, 0.99)
 
+  // stats_histogram bucket count: interior boundaries at i/8 are exact
+  // binary fractions, so the two engines' p·(n−1) ranks agree bit-for-bit.
+  private val HistBuckets = 8
+
   // KMV sample sketch parameters shared by the sketch_kmv* query/oracles.
   private val KmvK = 512
   private val KmvSeed = 42L
@@ -2379,6 +2383,16 @@ object SparkEntry {
       Stats.quantiles(s.read.parquet(s"$dir/events.parquet"),
           Seq("event_type"), col("value"), QuantilePs)
         .orderBy("event_type", "p")
+    },
+
+    // -- Equi-depth histogram / quantile binning (row 61) --
+    // Pinned interior boundaries (i/8 — exact binary fractions), pinned
+    // up-on-tie bucket rule, broadcast boundary assignment: the corpus
+    // shuffles only for the final (group, bucket) count.
+    "stats_histogram" -> { (s, dir) =>
+      Stats.equiDepthHistogram(s.read.parquet(s"$dir/events.parquet"),
+          Seq("event_type"), col("value"), HistBuckets)
+        .orderBy("event_type", "bucket")
     },
 
     // -- Deterministic HLL distinct-count sketch (row 58) --
@@ -3530,6 +3544,46 @@ object SparkEntry {
          |                       min(CASE WHEN i = lo THEN x END))
          |              - min(CASE WHEN i = lo THEN x END)) * min(frac), 6) AS q
          |FROM c GROUP BY g, p ORDER BY event_type, p""".stripMargin
+    },
+
+    "stats_histogram" -> {
+      // interior boundaries re-derived with the identical pinned formula,
+      // then the pinned up-on-tie bucket rule: bucket = #{q_j : x >= q_j}
+      val psList = (1 until HistBuckets).map(_.toDouble / HistBuckets)
+        .mkString("[", ", ", "]")
+      s"""WITH v AS (
+         |  SELECT event_type AS g, value AS x FROM events WHERE value IS NOT NULL
+         |), s AS (
+         |  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) - 1 AS i FROM v
+         |), n AS (
+         |  SELECT g, count(*) AS n FROM v GROUP BY g
+         |), ps AS (
+         |  SELECT unnest($psList) AS p
+         |), c AS (
+         |  SELECT s.g, ps.p, s.x, s.i,
+         |         floor(ps.p * (n.n - 1)) AS lo,
+         |         ps.p * (n.n - 1) - floor(ps.p * (n.n - 1)) AS frac
+         |  FROM s JOIN n USING (g) CROSS JOIN ps
+         |  WHERE s.i = floor(ps.p * (n.n - 1)) OR s.i = floor(ps.p * (n.n - 1)) + 1
+         |), bounds AS (
+         |  SELECT g, p,
+         |         round(min(CASE WHEN i = lo THEN x END) +
+         |               (coalesce(min(CASE WHEN i = lo + 1 THEN x END),
+         |                         min(CASE WHEN i = lo THEN x END))
+         |                - min(CASE WHEN i = lo THEN x END)) * min(frac), 6) AS q
+         |  FROM c GROUP BY g, p
+         |), vals AS (
+         |  SELECT g, x, count(*) AS cnt FROM v GROUP BY g, x
+         |), asg AS (
+         |  SELECT vals.g, vals.x, vals.cnt, count(b.q) AS bucket
+         |  FROM vals LEFT JOIN bounds b ON b.g = vals.g AND vals.x >= b.q
+         |  GROUP BY vals.g, vals.x, vals.cnt
+         |)
+         |SELECT g AS event_type, CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(sum(cnt) AS BIGINT) AS n,
+         |       round(min(x), 6) AS lo, round(max(x), 6) AS hi
+         |FROM asg GROUP BY g, bucket
+         |ORDER BY event_type, bucket""".stripMargin
     },
 
     "sketch_hll" -> hllSql,

@@ -66,4 +66,45 @@ object Stats {
         round(col("_a") + (coalesce(col("_b"), col("_a")) - col("_a")) * col("_frac"), 6))
       .select(gs ++ Seq(col("p"), col("q")): _*)
   }
+
+  /** Equi-depth histogram of `valueCol` per group: `nBuckets` buckets
+    * bounded by the PINNED interior quantiles (p = i/nBuckets), one row
+    * per non-empty `(groupCols…, bucket)` with the bucket's row count
+    * and observed `[lo, hi]` (rounded 6). The bucket rule is pinned too:
+    * a value equal to a boundary goes UP (`bucket = #{q_j : v ≥ q_j}`),
+    * so ties at a boundary land identically in any engine. Heavy ties
+    * make buckets uneven by nature (an equi-depth histogram cannot split
+    * a tie group); NULL values are dropped like [[quantiles]].
+    *
+    * This is the feature-discretization / data-profiling primitive
+    * (quantile binning): the boundary table is metadata-sized
+    * (groups × (nBuckets−1)) and BROADCAST into one assignment scan —
+    * the corpus never shuffles for the assignment, only for the
+    * final (group, bucket) count, which map-side combines. The exact
+    * boundary computation pays [[quantiles]]'s one in-partition sort;
+    * corpus-sized groups that tolerate approximation swap in
+    * `approx_percentile` boundaries upstream.
+    */
+  def equiDepthHistogram(df: DataFrame, groupCols: Seq[String],
+                         valueCol: Column, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 4096,
+      "equiDepthHistogram: nBuckets must be in [2, 4096]")
+    val reserved = Seq("_v", "_qs", "bucket", "n", "lo", "hi")
+    val clash = groupCols.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"equiDepthHistogram: group column(s) ${clash.mkString(", ")} collide with output/working names")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val gs = groupCols.map(col)
+    val bounds = quantiles(df, groupCols, valueCol, ps)
+      .groupBy(gs: _*).agg(sort_array(collect_list(col("q"))).as("_qs"))
+    df.select(gs :+ valueCol.cast("double").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+      .join(broadcast(bounds), groupCols)
+      .withColumn("bucket",
+        size(filter(col("_qs"), b => col("_v") >= b)).cast("long"))
+      .groupBy(gs :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        round(min(col("_v")), 6).as("lo"),
+        round(max(col("_v")), 6).as("hi"))
+  }
 }

@@ -51,4 +51,44 @@ class StatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, s"plan:\n$plan")
   }
+
+  // --- equiDepthHistogram ---
+
+  test("equiDepthHistogram: 1..100 into 4 buckets is a perfect 25/25/25/25") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val h = Stats.equiDepthHistogram(df, Seq("k"), col("v"), 4)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(h === Array(
+      (0L, 25L, 1.0, 25.0), (1L, 25L, 26.0, 50.0),
+      (2L, 25L, 51.0, 75.0), (3L, 25L, 76.0, 100.0)))
+  }
+
+  test("equiDepthHistogram: boundary-equal values go UP; counts always total n") {
+    // 8 values, 2 buckets: median boundary = 4.5 interpolated... use ties:
+    // all-equal values collapse into the TOP bucket (v >= q for every row)
+    val ties = Seq.fill(10)(("g", 7.0)).toDF("k", "v")
+    val ht = Stats.equiDepthHistogram(ties, Seq("k"), col("v"), 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ht === Array((1L, 10L)))
+    val mixed = (1 to 37).map(i => ("g", (i % 5).toDouble)).toDF("k", "v")
+    val total = Stats.equiDepthHistogram(mixed, Seq("k"), col("v"), 3)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total === 37L)
+  }
+
+  test("equiDepthHistogram drops NULLs, is partitioning-independent, assignment broadcasts") {
+    val df = ((1 to 60).map(i => ("a", Some(i.toDouble))) ++
+      Seq(("a", Option.empty[Double])) ++
+      (1 to 30).map(i => ("b", Some(i * 2.0)))).toDF("k", "v")
+    val h1 = Stats.equiDepthHistogram(df, Seq("k"), col("v"), 5).collect().toSet
+    val h2 = Stats.equiDepthHistogram(df.repartition(7), Seq("k"), col("v"), 5)
+      .collect().toSet
+    assert(h1 === h2)
+    assert(h1.toSeq.map(r => r.getLong(2)).sum === 90L) // the null never counts
+    val plan = Stats.equiDepthHistogram(df, Seq("k"), col("v"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boundary assignment must broadcast, not shuffle the corpus:\n$plan")
+  }
 }
