@@ -467,4 +467,33 @@ class PlanAuditSpec extends SparkSpec {
       case s: org.apache.spark.sql.execution.SortExec if s.global => s
     }.isEmpty, s"a global SortExec defeats the per-partition k-heap:\n$p")
   }
+
+  test("range/overlap/asof joins and triangles never plan a nested-loop join") {
+    for (q <- Seq("join_range", "join_interval", "join_asof", "graph_triangles")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(collectAll(p) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }.isEmpty, s"$q planned a BroadcastNestedLoopJoin:\n$p")
+      assert(collectAll(p) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"$q planned a CartesianProduct:\n$p")
+    }
+  }
+
+  test("graph_triangles: the l_linenumber cap reaches the parquet scan as a pushed filter") {
+    val p = plan(SparkEntry.queries("graph_triangles")(spark, dir))
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata
+    }
+    assert(scans.nonEmpty && scans.forall(
+      _.get("PushedFilters").exists(_.contains("LessThanOrEqual(l_linenumber,3)"))),
+      s"the fan-out cap must prune at the scan:\n$p")
+  }
+
+  test("stats_histogram: boundary assignment broadcasts — the corpus shuffles once, for the count") {
+    val p = plan(SparkEntry.queries("stats_histogram")(spark, dir))
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"boundary table must broadcast:\n$p")
+  }
 }
