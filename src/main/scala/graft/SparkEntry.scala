@@ -2840,6 +2840,24 @@ object SparkEntry {
       Multimodal.imageFeatures(bin).toDF().orderBy("doc_id")
     },
 
+    // Video frame sampling (row 34): synthetic GFTV containers whose
+    // frame colors are closed forms of (doc_id, frame_idx) travel the
+    // container codec end to end; every 2nd frame explodes to one row.
+    // The oracle re-derives the sampled-frame features analytically.
+    "mm_frames" -> { (s, dir) =>
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+      val bin = ids.mapPartitions(_.map { id =>
+        val n = (id % 6 + 1).toInt
+        (id, Multimodal.syntheticVideo((id % 4 + 1).toInt, (id % 3 + 1).toInt,
+          (0 until n).map(f => (((id + 11 * f) % 256).toInt,
+            ((id * 3 + 17 * f) % 256).toInt, ((id * 7 + 23 * f) % 256).toInt))))
+      }).toDF("doc_id", "payload")
+      Multimodal.frameSample(bin, everyK = 2).toDF()
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // -- LLM: text analysis (rows 35-38) --
     "text_tokens" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -3957,6 +3975,20 @@ object SparkEntry {
         |       CAST((doc_id % 7 + 1) * (doc_id % 5 + 1) * (doc_id * 3 % 256) AS BIGINT) AS sum_g,
         |       CAST((doc_id % 7 + 1) * (doc_id % 5 + 1) * (doc_id * 7 % 256) AS BIGINT) AS sum_b
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(range(0, CAST(doc_id % 6 AS BIGINT) + 1)) AS f
+        |  FROM documents
+        |)
+        |SELECT doc_id, f AS frame_idx,
+        |       CAST(doc_id % 4 + 1 AS BIGINT) AS width,
+        |       CAST(doc_id % 3 + 1 AS BIGINT) AS height,
+        |       CAST((doc_id % 4 + 1) * (doc_id % 3 + 1) * ((doc_id + 11 * f) % 256) AS BIGINT) AS sum_r,
+        |       CAST((doc_id % 4 + 1) * (doc_id % 3 + 1) * ((doc_id * 3 + 17 * f) % 256) AS BIGINT) AS sum_g,
+        |       CAST((doc_id % 4 + 1) * (doc_id % 3 + 1) * ((doc_id * 7 + 23 * f) % 256) AS BIGINT) AS sum_b
+        |FROM fr WHERE f % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "text_tokens" ->
       s"""SELECT doc_id,

@@ -144,6 +144,85 @@ object Multimodal {
       }
   }
 
+  // --- video frame sampling ---
+  //
+  // No video codec library ships offline, so the DECODE here is the
+  // brief's sanctioned deterministic fake: a tiny explicit container
+  // ("GFTV": magic, u16 w, u16 h, u32 nFrames, then 3 bytes (r,g,b) per
+  // SOLID frame). Everything around the fake codec — the binary payload
+  // column, the per-partition batch decode, the one-row-per-sampled-
+  // frame explosion, corrupt-row degradation, the typed output schema —
+  // is the real Spark plumbing a real codec would slot into (swap
+  // decodeVideo for the jcodec/ffmpeg call and nothing else changes).
+
+  /** Per-sampled-frame features — all-integer (solid frames make channel
+    * sums exact closed forms), so a SQL oracle reproduces them.
+    */
+  final case class FrameFeatures(doc_id: Long, frame_idx: Long, width: Long,
+                                 height: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  private val VideoMagic = Array[Byte]('G', 'F', 'T', 'V')
+
+  /** Encode the synthetic container: solid frames with the given colors.
+    * Content is a pure function of the arguments — the generator half of
+    * the fake codec.
+    */
+  def syntheticVideo(w: Int, h: Int, frames: Seq[(Int, Int, Int)]): Array[Byte] = {
+    require(w > 0 && w <= 0xffff && h > 0 && h <= 0xffff, "syntheticVideo: bad dims")
+    val out = java.nio.ByteBuffer.allocate(12 + 3 * frames.size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(VideoMagic).putShort(w.toShort).putShort(h.toShort).putInt(frames.size)
+    frames.foreach { case (r, g, b) =>
+      out.put((r & 0xff).toByte).put((g & 0xff).toByte).put((b & 0xff).toByte) }
+    out.array()
+  }
+
+  /** Decode the synthetic container. None on anything malformed (bad
+    * magic, truncated frames) — corrupt media must not kill the scan.
+    */
+  def decodeVideo(payload: Array[Byte]): Option[(Int, Int, Array[(Int, Int, Int)])] =
+    if (payload == null || payload.length < 12 ||
+        !payload.take(4).sameElements(VideoMagic)) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(4)
+      val w = bb.getShort & 0xffff
+      val h = bb.getShort & 0xffff
+      val n = bb.getInt
+      if (n < 0 || payload.length != 12 + 3L * n || w == 0 || h == 0) None
+      else Some((w, h, Array.tabulate(n) { _ =>
+        (bb.get() & 0xff, bb.get() & 0xff, bb.get() & 0xff) }))
+    }
+
+  /** Frame sampling: every `everyK`-th frame (0, k, 2k, …) of each video
+    * becomes one output row with its decode features. Per-partition
+    * batch decode (the mapInPandas shape), undecodable payloads DROP.
+    * The row explosion is bounded by frames/everyK per video — the knob
+    * that keeps a billion-hour corpus's sampled-frame table sized to the
+    * training budget rather than the footage.
+    */
+  def frameSample(bin: DataFrame, everyK: Int,
+                  idCol: String = "doc_id"): Dataset[FrameFeatures] = {
+    require(everyK >= 1, "frameSample: everyK must be >= 1")
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeVideo(payload).iterator.flatMap { case (w, h, frames) =>
+            frames.iterator.zipWithIndex
+              .filter(_._2 % everyK == 0)
+              .map { case ((r, g, b), f) =>
+                val px = w.toLong * h
+                FrameFeatures(id, f.toLong, w.toLong, h.toLong,
+                  px * r, px * g, px * b)
+              }
+          }
+        }
+      }
+  }
+
   /** Distributed thumbnailing: decode, area-preserving nearest-neighbor
     * resize to `tw × th`, re-encode PNG. Undecodable rows drop (a media
     * pipeline filters, it doesn't crash). Output: (idCol, payload).

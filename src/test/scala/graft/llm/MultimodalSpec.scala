@@ -42,4 +42,31 @@ class MultimodalSpec extends SparkSpec {
     val bad = Seq((8L, Array[Byte](9, 9))).toDF("doc_id", "payload")
     assert(Multimodal.thumbnails(bad, 2, 2).count() === 0L)
   }
+
+  test("video container round-trips; corrupt and truncated payloads decode to None") {
+    val v = Multimodal.syntheticVideo(3, 2, Seq((10, 20, 30), (40, 50, 60)))
+    val Some((w, h, fs)) = Multimodal.decodeVideo(v)
+    assert((w, h) === ((3, 2)))
+    assert(fs.toSeq === Seq((10, 20, 30), (40, 50, 60)))
+    assert(Multimodal.decodeVideo(null) === None)
+    assert(Multimodal.decodeVideo("PNG?".getBytes) === None)
+    assert(Multimodal.decodeVideo(v.dropRight(1)) === None) // truncated frame
+    assert(Multimodal.decodeVideo(v.take(11)) === None)     // truncated header
+  }
+
+  test("frameSample keeps every k-th frame with exact solid-frame sums; corrupt rows drop") {
+    val frames = Seq((1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12), (13, 14, 15))
+    val bin = Seq(
+      (1L, Multimodal.syntheticVideo(4, 3, frames)),
+      (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val out = Multimodal.frameSample(bin, everyK = 2).collect()
+      .map(f => (f.frame_idx, f.width, f.height, f.sum_r, f.sum_g, f.sum_b)).sorted
+    // frames 0, 2, 4; sums = 12 pixels x channel value
+    assert(out === Array(
+      (0L, 4L, 3L, 12L, 24L, 36L),
+      (2L, 4L, 3L, 84L, 96L, 108L),
+      (4L, 4L, 3L, 156L, 168L, 180L)))
+    // everyK = 1 keeps all frames
+    assert(Multimodal.frameSample(bin, 1).count() === 5L)
+  }
 }
