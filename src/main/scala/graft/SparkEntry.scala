@@ -2471,6 +2471,20 @@ object SparkEntry {
         .orderBy("node")
     },
 
+    // Local clustering coefficient over the same graph, in exact 1e-6
+    // ticks — every vertex gets a row (triangle-free ones at 0).
+    "graph_clustering" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") <= TriMaxLine)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("p1"))
+        .join(li.select(col("ok").as("ok2"), col("pk").as("p2")),
+          col("ok") === col("ok2") && col("p1") < col("p2"))
+        .select("p1", "p2")
+      graft.graph.Graph.clustering(edges, "p1", "p2")
+        .orderBy("node")
+    },
+
     // -- JSONL corpus source round-trip (row 64) --
     // documents egress as JSON lines, re-ingest under the ENFORCED
     // schema with two corrupt lines injected (malformed JSON + a
@@ -3661,6 +3675,42 @@ object SparkEntry {
          |  UNION ALL SELECT c FROM tri
          |) GROUP BY node
          |ORDER BY node""".stripMargin,
+
+    "graph_clustering" ->
+      // the triangles construction + degrees + the identical integer-tick
+      // coefficient arithmetic (2e6·tri // d·(d−1); degree-1 → 0)
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |  WHERE l_linenumber <= $TriMaxLine
+         |), e0 AS (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |), deg AS (
+         |  SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0
+         |  ) GROUP BY n
+         |), dir AS (
+         |  SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.u ELSE e.v END AS a,
+         |         CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.v ELSE e.u END AS b
+         |  FROM e0 e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+         |), tri AS (
+         |  SELECT d1.a, d1.b, d2.b AS c
+         |  FROM dir d1 JOIN dir d2 ON d1.a = d2.a AND d1.b < d2.b
+         |  JOIN e0 ON e0.u = d1.b AND e0.v = d2.b
+         |), tcnt AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT a AS node FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri
+         |  ) GROUP BY node
+         |)
+         |SELECT deg.node, deg.degree,
+         |       CAST(coalesce(tcnt.n_tri, 0) AS BIGINT) AS n_tri,
+         |       CAST(CASE WHEN deg.degree >= 2
+         |            THEN (2000000 * coalesce(tcnt.n_tri, 0)) // (deg.degree * (deg.degree - 1))
+         |            ELSE 0 END AS BIGINT) AS coeff_ticks
+         |FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+         |ORDER BY deg.node""".stripMargin,
 
     "graph_pagerank" -> {
       // the k rounds re-derived as chained CTEs — pure BIGINT arithmetic

