@@ -1398,6 +1398,13 @@ object SparkEntry {
   // filter, no sampling job) so the edge count stays linear in SF.
   private val TriMaxLine = 3
 
+  // graph_kcore: k chosen so the peel is non-trivial but non-empty on
+  // the co-purchase graph (k=12 keeps ~90% of vertices after peeling);
+  // 8 pinned rounds ≥ the measured convergence depth at every graded SF
+  // (6 at sf0.1), so the fixed-round contract IS the k-core there.
+  private val KcoreK = 12
+  private val KcoreRounds = 8
+
   // Collocation parameters shared by the text_collocations query/oracle:
   // the ~30-word test vocabulary repeats pairs heavily, so minCount=5
   // actually filters and k=50 cuts a real boundary.
@@ -2482,6 +2489,20 @@ object SparkEntry {
           col("ok") === col("ok2") && col("p1") < col("p2"))
         .select("p1", "p2")
       graft.graph.Graph.clustering(edges, "p1", "p2")
+        .orderBy("node")
+    },
+
+    // Fixed-round k-core peel over the same graph (8 rounds ≥ measured
+    // convergence at every graded SF, so the answer IS the 12-core).
+    "graph_kcore" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") <= TriMaxLine)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("p1"))
+        .join(li.select(col("ok").as("ok2"), col("pk").as("p2")),
+          col("ok") === col("ok2") && col("p1") < col("p2"))
+        .select("p1", "p2")
+      graft.graph.Graph.kcore(edges, "p1", "p2", KcoreK, KcoreRounds)
         .orderBy("node")
     },
 
@@ -3711,6 +3732,39 @@ object SparkEntry {
          |            ELSE 0 END AS BIGINT) AS coeff_ticks
          |FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
          |ORDER BY deg.node""".stripMargin,
+
+    "graph_kcore" -> {
+      // the peel unrolled as chained CTEs, one (degree, keep, edge) round
+      // each — the pagerank oracle pattern, with every edge CTE
+      // MATERIALIZED: each round references its predecessor 3×, so
+      // DuckDB's default inlining would expand e0 3^rounds times
+      // (measured: fd exhaustion re-opening the parquet thousands of
+      // times); materialization makes the unrolled chain linear like the
+      // Spark loop it mirrors
+      val rounds = (1 to KcoreRounds).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT n, count(*) AS c FROM (
+           |    SELECT u AS n FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}
+           |  ) GROUP BY n
+           |), k$i AS MATERIALIZED (
+           |  SELECT n FROM d$i WHERE c >= $KcoreK
+           |), e$i AS MATERIALIZED (
+           |  SELECT e${i - 1}.u, e${i - 1}.v FROM e${i - 1}
+           |  JOIN k$i a ON a.n = e${i - 1}.u JOIN k$i b ON b.n = e${i - 1}.v
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |  WHERE l_linenumber <= $TriMaxLine
+         |), e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |), $rounds
+         |SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |  SELECT u AS n FROM e$KcoreRounds UNION ALL SELECT v FROM e$KcoreRounds
+         |) GROUP BY n
+         |ORDER BY node""".stripMargin
+    },
 
     "graph_pagerank" -> {
       // the k rounds re-derived as chained CTEs — pure BIGINT arithmetic

