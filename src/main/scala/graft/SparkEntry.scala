@@ -2199,6 +2199,31 @@ object SparkEntry {
         .orderBy("event_type", "p")
     },
 
+    // -- Structured Streaming exact top-k per key (rows 39 + 67) --
+    // The continuous leaderboard: events_topk's exact semantics running
+    // as a stream — per-batch ≤ k-per-key slices land, the read-back
+    // TopK fold IS the global top-k (top-k under a total order composes
+    // over disjoint batches). Same oracle family as events_topk.
+    "stream_topk" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("value"))
+      val outPath = java.nio.file.Files.createTempDirectory("graft-stream-topk")
+      deleteAtExit(outPath)
+      val out = outPath.toString
+      val in = s"$out/in"
+      ev.repartition(4).write.parquet(in)
+      graft.streaming.StreamOps.streamingTopK(
+        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+          .parquet(in),
+        Seq("user_id"), Seq(col("value").desc, col("event_id")), 3,
+        s"$out/rows", s"$out/ckpt").awaitTermination()
+      deleteTree(java.nio.file.Paths.get(in))
+      deleteTree(java.nio.file.Paths.get(out, "ckpt"))
+      graft.core.TopK.perKey(s.read.parquet(s"$out/rows"),
+          Seq("user_id"), Seq(col("value").desc, col("event_id")), 3)
+        .orderBy("user_id", "rank")
+    },
+
     // -- Structured Streaming CDC compaction (row 39) --
     // The streaming twin of events_latest: the SAME struct-max
     // aggregation runs as a stateful streaming query whose state is ONE
@@ -3557,6 +3582,17 @@ object SparkEntry {
     "events_topk" ->
       // the single-window form IS the semantics; the Spark side's
       // two-phase plan must reproduce it row-for-row
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id) AS rank
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+
+    // the streamed per-batch slices fold to the identical global top-k
+    "stream_topk" ->
       """WITH r AS (
         |  SELECT user_id, event_id, value,
         |         row_number() OVER (PARTITION BY user_id

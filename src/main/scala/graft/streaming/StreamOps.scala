@@ -318,6 +318,33 @@ object StreamOps {
       .trigger(trigger)
       .start()
 
+  /** Streaming exact top-k per key — the continuous-leaderboard twin of
+    * [[graft.core.TopK.perKey]], by the same composition property as
+    * [[streamingKmv]]: top-k under a TOTAL order composes over a
+    * disjoint partition of the rows, so each micro-batch lands its OWN
+    * ≤ k-per-key slice (rank dropped — a within-batch rank is
+    * meaningless) and the read-time `TopK.perKey` fold over the landed
+    * slices IS the global leaderboard, rank and all. ZERO state store;
+    * landed state ≤ k rows per (key, batch). `ordering` must be a total
+    * order (unique tiebreak) and ids must not repeat across batches —
+    * the kmv caveat verbatim.
+    */
+  def streamingTopK(rows: DataFrame, keyCols: Seq[String],
+                    ordering: Seq[org.apache.spark.sql.Column], k: Int,
+                    path: String, checkpoint: String,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.core.TopK.perKey(batch, keyCols, ordering, k).drop("rank")
+          .write.mode("append").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .start()
+
   def writeOpsetStore(df: DataFrame, path: String, checkpoint: String,
                       trigger: org.apache.spark.sql.streaming.Trigger =
                         org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -264,4 +264,28 @@ class StreamOpsSpec extends SparkSpec {
     val qw = graft.analysis.Sketches.kmvQuantiles(whole, Seq("g"), Seq(0.5, 0.9))
     assert(qm.collect().toSet === qw.collect().toSet)
   }
+
+  test("streamingTopK: landed per-batch slices fold to the exact global leaderboard") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-topk").toString
+    val ord = Seq(col("v").desc, col("id").asc)
+    val q = StreamOps.streamingTopK(in.toDF().toDF("k", "id", "v"),
+      Seq("k"), ord, k = 3, s"$dir/rows", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      val all = (1 to 120).map(i => ((i % 4).toLong, i.toLong, (i * 37 % 101).toDouble))
+      in.addData(all.take(50): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(50): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val folded = graft.core.TopK.perKey(
+      spark.read.parquet(s"$dir/rows"), Seq("k"), ord, 3)
+    val whole = graft.core.TopK.perKey(
+      (1 to 120).map(i => ((i % 4).toLong, i.toLong, (i * 37 % 101).toDouble))
+        .toDF("k", "id", "v"), Seq("k"), ord, 3)
+    assert(folded.collect().toSet === whole.collect().toSet)
+    assert(folded.count() === 12L) // 4 keys x top-3, ranks intact
+  }
 }
