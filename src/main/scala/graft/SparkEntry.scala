@@ -2728,6 +2728,30 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // The FORWARD twin: each click enriches with the user's NEXT purchase
+    // within the tolerance — conversion attribution. Same join-free plan
+    // on negated times; DuckDB's native ASOF with l.t <= r.t is the
+    // independent formulation.
+    "join_asof_fwd" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tus = EventOps.eventMicros(ev, "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), tus.as("tus"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), tus.as("p_us"),
+          col("event_id").as("p_eid"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("ticks"))
+        .groupBy("p_user", "p_us")
+        .agg(max(struct(col("p_eid"), col("ticks"))).as("_m"))
+        .select(col("p_user").as("user_id"), col("p_us"),
+          col("_m.ticks").as("ticks"))
+      EventOps.asofJoin(clicks, pur, Seq("user_id"), col("tus"), col("p_us"),
+          Seq("ticks"), AsofTolUs, direction = "forward")
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("ticks_ref"), (col("t_ref") - col("tus")).as("lead_us"))
+        .orderBy("event_id")
+    },
+
     // -- Schema-dynamic table profiling (row 59) --
     "profile_table" -> { (s, dir) =>
       Profile.profile(s.read.parquet(s"$dir/lineitem.parquet"))
@@ -3945,6 +3969,27 @@ object SparkEntry {
          |       CASE WHEN p.p_us IS NOT NULL AND l.tus - p.p_us <= $AsofTolUs
          |            THEN l.tus - p.p_us END AS age_us
          |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.tus >= p.p_us
+         |ORDER BY l.event_id""".stripMargin,
+
+    "join_asof_fwd" ->
+      s"""WITH l AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tus
+         |  FROM events WHERE event_type = 'click'
+         |), p0 AS (
+         |  SELECT user_id, epoch_us(ts) AS p_us,
+         |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS ticks,
+         |         row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+         |                            ORDER BY event_id DESC) AS rn
+         |  FROM events WHERE event_type = 'purchase'
+         |), p AS (
+         |  SELECT user_id, p_us, ticks FROM p0 WHERE rn = 1
+         |)
+         |SELECT l.event_id, l.user_id, l.tus,
+         |       CASE WHEN p.p_us IS NOT NULL AND p.p_us - l.tus <= $AsofTolUs
+         |            THEN p.ticks END AS ticks_ref,
+         |       CASE WHEN p.p_us IS NOT NULL AND p.p_us - l.tus <= $AsofTolUs
+         |            THEN p.p_us - l.tus END AS lead_us
+         |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.tus <= p.p_us
          |ORDER BY l.event_id""".stripMargin,
 
     "profile_table" -> profileSql,

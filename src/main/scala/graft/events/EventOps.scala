@@ -185,10 +185,17 @@ object EventOps {
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftMicros: Column, rightMicros: Column,
                valueCols: Seq[String], toleranceUs: Long = Long.MaxValue,
-               suffix: String = "_ref"): DataFrame = {
+               suffix: String = "_ref",
+               direction: String = "backward"): DataFrame = {
     require(keyCols.nonEmpty, "asofJoin: at least one key column")
     require(valueCols.nonEmpty, "asofJoin: no right columns requested")
     require(toleranceUs >= 0, "asofJoin: negative tolerance")
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward or forward, got $direction")
+    // forward ("earliest right sample AT OR AFTER each left row") is the
+    // backward algorithm on NEGATED times — same window, same equal-time
+    // inclusivity; only the fill ordering and the age sign flip
+    val sign = if (direction == "forward") -1L else 1L
     val outCols = valueCols.map(c => s"$c$suffix")
     val tRef = s"t$suffix"
     val leftCols = left.columns.toSeq
@@ -199,12 +206,14 @@ object EventOps {
     Salting.requireFreeColumns(right, Seq("_t", "_src"), "asofJoin(right)")
     val keySet = keyCols.toSet
     val r = right.filter(rightMicros.isNotNull)
-      .select(keyCols.map(col) ++ Seq(rightMicros.cast("long").as("_t")) ++
+      .select(keyCols.map(col) ++
+        Seq((rightMicros.cast("long") * lit(sign)).as("_t")) ++
         valueCols.map(col): _*)
     // aligned union: right rows sort BEFORE left rows at equal _t
     // (src 0 < 1), so an equal-time right sample is already visible
     val lAligned = left.select(
-      leftCols.map(col) ++ Seq(leftMicros.cast("long").as("_t"), lit(1).as("_src")) ++
+      leftCols.map(col) ++
+        Seq((leftMicros.cast("long") * lit(sign)).as("_t"), lit(1).as("_src")) ++
         valueCols.zip(outCols).map { case (v, o) =>
           lit(null).cast(r.schema(v).dataType).as(o) } :+
         lit(null).cast("long").as(tRef): _*)
@@ -214,16 +223,19 @@ object EventOps {
           lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col("_t"), lit(0).as("_src")) ++
         valueCols.zip(outCols).map { case (v, o) => col(v).as(o) } :+
-        col("_t").as(tRef): _*)
+        (col("_t") * lit(sign)).as(tRef): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_t"), col("_src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = (outCols :+ tRef).foldLeft(lAligned.unionByName(rAligned)) {
       (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    // tolerance: age = _t - t_ref is non-negative by construction, so the
-    // comparison never overflows even at the MaxValue default
-    val keep = col(tRef).isNotNull && (col("_t") - col(tRef)) <= lit(toleranceUs)
+    // tolerance: age = signed-time difference, non-negative by
+    // construction in BOTH directions (t_ref carries the TRUE right time
+    // while _t is the signed sort key: lt = sign*_t), so the comparison
+    // never overflows even at the MaxValue default
+    val keep = col(tRef).isNotNull &&
+      (col("_t") - lit(sign) * col(tRef)) <= lit(toleranceUs)
     val gated = (outCols :+ tRef).foldLeft(filled) { (d, c) =>
       d.withColumn(c, when(keep, col(c))) }
     gated.filter(col("_src") === 1).drop("_t", "_src")

@@ -193,6 +193,30 @@ class EventOpsSpec extends SparkSpec {
       s"expected ONE exchange (the key window):\n$plan")
   }
 
+  test("asofJoin forward: earliest sample at or after each row; tolerance gates") {
+    val out = EventOps.asofJoin(trades, quotes, Seq("user_id"),
+        col("tus"), col("qus"), Seq("px"), direction = "forward")
+      .orderBy("trade_id")
+      .select("trade_id", "px_ref", "t_ref")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(out === Array(
+      (10L, Some(7L), Some(100L)),   // equal time matches forward too
+      (11L, Some(8L), Some(150L)),
+      (12L, Some(9L), Some(200L)),   // the NEXT quote, 1 us ahead
+      (13L, None, None),             // nothing after 300
+      (20L, Some(5L), Some(60L)),    // forward finds user 2's future quote
+      (30L, None, None)))
+    val tol = EventOps.asofJoin(trades, quotes, Seq("user_id"),
+        col("tus"), col("qus"), Seq("px"), toleranceUs = 5L, direction = "forward")
+      .orderBy("trade_id").select("trade_id", "px_ref")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    // user 2's match is 10 us ahead: over the 5 us tolerance
+    assert(tol.toMap === Map(10L -> Some(7L), 11L -> Some(8L), 12L -> Some(9L),
+      13L -> None, 20L -> None, 30L -> None))
+  }
+
   test("asofJoin drops null right times and rejects colliding/reserved names") {
     val qn = Seq((1L, Option.empty[Long], 99L), (1L, Some(100L), 7L))
       .toDF("user_id", "qus", "px")
