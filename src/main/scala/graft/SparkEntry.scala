@@ -1733,6 +1733,14 @@ object SparkEntry {
         .orderBy("record", "t")
     },
 
+    // -- Per-record cross-correlation at integer lags (row 17 sibling) --
+    // Autocorrelation fixture (A == B): lag structure of each record's
+    // signal, exact 1e-12-unit integer sums carried as strings.
+    "sg_xcorr" -> { (s, dir) =>
+      SignalOps.crossCorr(opset(s, dir).df, "value", "value", "record", "t", 3)
+        .orderBy("record", "lag")
+    },
+
     // -- Signal resampling (row 17 sibling: the downsampling pass) --
     "sg_resample" -> { (s, dir) =>
       SignalOps.resample(opset(s, dir).df, "value", "record", "t", 20)
@@ -3298,6 +3306,23 @@ object SparkEntry {
     },
 
     "sg_outliers" -> outliersSql,
+
+    // autocorrelation re-derived as a self-join on (record, t + lag);
+    // HUGEINT sum surfaces as VARCHAR to match the Spark DECIMAL string
+    "sg_xcorr" ->
+      s"""WITH $OpsetCte, q AS (
+         |  SELECT record, t, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS a
+         |  FROM opset
+         |), lg AS (
+         |  SELECT unnest(range(-3, 4)) AS lag
+         |)
+         |SELECT q.record, lg.lag, CAST(count(p.a) AS BIGINT) AS n_pairs,
+         |       CAST(sum(CAST(q.a AS HUGEINT) * p.a) AS VARCHAR) AS xcorr
+         |FROM q CROSS JOIN lg
+         |LEFT JOIN q p ON p.record = q.record AND p.t = q.t + lg.lag
+         |GROUP BY q.record, lg.lag
+         |HAVING count(p.a) > 0
+         |ORDER BY q.record, lg.lag""".stripMargin,
 
     // the stream-static enrichment lands the SAME flag set
     "stream_outliers" -> outliersSql,

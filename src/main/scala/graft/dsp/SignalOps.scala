@@ -409,4 +409,48 @@ object SignalOps {
       .select(col(recordCol), col(tCol), col(valueCol),
         round((col("_tk") - col("_mu")) / col("_sd"), 6).as("z"))
   }
+
+  /** Per-record cross-correlation at integer lags — the multi-channel
+    * alignment primitive (which lag of B best matches A; A == B gives
+    * the autocorrelation/periodicity read). Returns one row per
+    * `(record, lag)` for lag ∈ [−maxLag, maxLag]:
+    * `n_pairs` (valid aligned samples) and `xcorr` = Σ a_t·b_{t+lag}
+    * as a STRING of the exact integer sum in 1e-12 units (both inputs
+    * quantize to 1e-6 ticks, products accumulate in DECIMAL(38,0) — the
+    * sg_outliers exact-moment idiom; a string survives any engine's
+    * wide-integer type). Normalization (÷ √(Σa²·Σb²)) is left to the
+    * caller — it divides two exact sums.
+    *
+    * Plan shape: ONE record-hash exchange. All 2·maxLag+1 shifted
+    * columns share the same window spec, so Spark evaluates them in a
+    * single WindowExec pass; the per-(record, lag) sums ride the same
+    * partitioning (subset rule) and the lag unpivot is a row-local
+    * stack. `maxLag` is a handful by nature (an alignment search radius,
+    * not a data size).
+    */
+  def crossCorr(df: DataFrame, colA: String, colB: String,
+                recordCol: String, tCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 1000, "crossCorr: maxLag must be in [0, 1000]")
+    val w = Window.partitionBy(recordCol).orderBy(tCol)
+    val lags = -maxLag to maxLag
+    def pcol(l: Int) = s"_p${l + maxLag}"
+    val tk = df
+      .withColumn("_a", floor(col(colA) * 1e6 + 0.5).cast("long"))
+      .withColumn("_b", floor(col(colB) * 1e6 + 0.5).cast("long"))
+    val paired = lags.foldLeft(tk) { (d, l) =>
+      val shifted = if (l >= 0) lead(col("_b"), l).over(w)
+                    else lag(col("_b"), -l).over(w)
+      d.withColumn(pcol(l),
+        (col("_a").cast("decimal(38,0)") * shifted).cast("decimal(38,0)"))
+    }
+    val agg = paired.groupBy(col(recordCol)).agg(
+      sum(col(pcol(lags.head))).as(s"s${lags.head + maxLag}"),
+      (lags.tail.flatMap(l => Seq(sum(col(pcol(l))).as(s"s${l + maxLag}"))) ++
+        lags.map(l => count(col(pcol(l))).as(s"n${l + maxLag}"))): _*)
+    val stackArgs = lags.map(l =>
+      s"${l}L, n${l + maxLag}, CAST(s${l + maxLag} AS STRING)").mkString(", ")
+    agg.selectExpr(recordCol,
+      s"stack(${lags.size}, $stackArgs) AS (lag, n_pairs, xcorr)")
+      .filter(col("n_pairs") > 0)
+  }
 }

@@ -101,4 +101,38 @@ class SignalOpsSpec extends SparkSpec {
     val b = SignalOps.outliers(df.repartition(11), "value", "record", "t", 1.5).collect().toSet
     assert(a === b)
   }
+
+  test("crossCorr: a signal against its 2-delayed copy peaks at lag +2; n_pairs shrink with |lag|") {
+    // a = impulse train, b_t = a_{t-2}
+    val a = Seq(0.0, 0.0, 5.0, 0.0, 0.0, 3.0, 0.0, 0.0, 0.0, 0.0)
+    val rows = a.indices.map(i =>
+      ("r", (i + 1).toLong, a(i), if (i >= 2) a(i - 2) else 0.0))
+    val df = rows.toDF("record", "t", "va", "vb")
+    val out = SignalOps.crossCorr(df, "va", "vb", "record", "t", 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), BigInt(r.getString(3)))).toMap
+    // at the true delay (lag 2): 5*5 + 3*3 = 34 (in 1e-12 units); the
+    // impulses also cross-hit once at lag -1 (a_5 * b_4 = 3*5 = 15) —
+    // the peak still identifies the delay
+    assert(out(2L)._2 === BigInt("34000000000000"))
+    assert(out(-1L)._2 === BigInt("15000000000000"))
+    assert(out.filter(kv => kv._1 != 2L && kv._1 != -1L)
+      .forall(_._2._2 === BigInt(0)))
+    assert(out.values.map(_._2).max === out(2L)._2)
+    // pair counts: 10-|lag| valid alignments
+    assert((-3L to 3L).forall(l => out(l)._1 === 10L - math.abs(l)))
+  }
+
+  test("crossCorr is partitioning-independent and windows share one exchange") {
+    val rnd = new scala.util.Random(3)
+    val df = (for (r <- Seq("x", "y"); t <- 1 to 40)
+      yield (r, t.toLong, rnd.nextDouble() * 10 - 5, rnd.nextDouble() * 4)).toDF("record", "t", "va", "vb")
+    val a = SignalOps.crossCorr(df, "va", "vb", "record", "t", 2).collect().toSet
+    val b = SignalOps.crossCorr(df.repartition(9), "va", "vb", "record", "t", 2)
+      .collect().toSet
+    assert(a === b && a.size === 10)
+    val plan = SignalOps.crossCorr(df, "va", "vb", "record", "t", 2)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"all lag windows and the record agg must share ONE exchange:\n$plan")
+  }
 }
