@@ -180,7 +180,10 @@ object EventOps {
     * columns must be NON-NULL (a null right value would hold the
     * previous non-null value forward instead of aligning the null;
     * encode missingness as an absent row or a struct field). Right rows
-    * with a NULL time are dropped. `_t` and `_src` are reserved.
+    * with a NULL time are dropped; a LEFT row with a NULL time sorts
+    * before every sample (nulls-first window order) and comes back with
+    * null refs — it is kept, not dropped, because the left side is the
+    * caller's table. `_t` and `_src` are reserved.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftMicros: Column, rightMicros: Column,
