@@ -2804,6 +2804,17 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     },
 
+    // kNN label prediction (row 32 sibling): majority label of the k
+    // nearest, labels derived as vec_id % 5 so the oracle re-derives
+    // them; vote ties break by the smaller label (pinned).
+    "ann_knn" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val labels = emb.select(col("vec_id"), (col("vec_id") % 5).as("lbl"))
+      Similarity.knnPredict(emb, "vec_id", "embedding",
+          labels, "vec_id", "lbl", AnnQueryIds, AnnK)
+        .orderBy("q_id")
+    },
+
     "ann_lsh" -> { (s, dir) =>
       Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
           AnnQueryIds, AnnK, Planes, LshBits, LshTables)
@@ -2993,6 +3004,15 @@ object SparkEntry {
           "doc_id", "lang", PipeFractions, PipeDefaultFrac, PipeSeed)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
+    },
+
+    // Exact-k twin (row 42): exactly 25 docs per language in hash order —
+    // the count-contract sample (holdouts/probe sets/labeling budgets).
+    "pipe_sample_k" -> { (s, dir) =>
+      Pipeline.sampleExactK(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "lang", 25, PipeSeed)
+        .select("doc_id", "lang", "source", "sample_rank")
+        .orderBy("lang", "sample_rank")
     },
 
     // -- LLM: DSIR importance weighting + Gumbel-top-k selection (row 52) --
@@ -4137,6 +4157,33 @@ object SparkEntry {
          |  FROM scored
          |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin,
 
+    "ann_knn" ->
+      // ann_topk's neighbor set + the majority vote, ties to the smaller
+      // label — each window materialized in its own CTE (the DuckDB rule)
+      s"""WITH $EmbCte, q AS (
+         |  SELECT vec_id AS q_id, v AS qv, n AS qn FROM nrm
+         |  WHERE vec_id IN (${AnnQueryIds.mkString(", ")})
+         |), scored AS (
+         |  SELECT q.q_id, nrm.vec_id,
+         |         round(${dotSql("nrm.v", "q.qv")} / (nrm.n * q.qn), 6) AS cos
+         |  FROM nrm CROSS JOIN q
+         |  WHERE nrm.vec_id <> q.q_id
+         |), nn AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |    FROM scored
+         |  ) WHERE rn <= $AnnK
+         |), votes AS (
+         |  SELECT q_id, vec_id % 5 AS label, CAST(count(*) AS BIGINT) AS n_votes
+         |  FROM nn GROUP BY q_id, vec_id % 5
+         |), ranked AS (
+         |  SELECT q_id, label, n_votes,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS vr
+         |  FROM votes
+         |)
+         |SELECT q_id, label, n_votes FROM ranked WHERE vr = 1
+         |ORDER BY q_id""".stripMargin,
+
     "ann_lsh" ->
       s"""WITH $EmbCte, ${bktCte}, qb AS (
          |  SELECT vec_id AS q_id, tbl, bkey FROM bkt
@@ -4231,6 +4278,20 @@ object SparkEntry {
          |      < CASE lang $cases ELSE ${math.round(PipeDefaultFrac * denom)} END
          |ORDER BY doc_id""".stripMargin
     },
+
+    "pipe_sample_k" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source,
+         |         CAST(concat('0x', substr(md5(concat_ws('|', doc_id, '$PipeSeed')), 1, 8)) AS BIGINT) AS smp
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, lang, source,
+         |         row_number() OVER (PARTITION BY lang ORDER BY smp, doc_id) AS sample_rank
+         |  FROM h
+         |)
+         |SELECT doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
+         |FROM r WHERE sample_rank <= 25
+         |ORDER BY lang, sample_rank""".stripMargin,
 
     "pipe_clean" -> pipeCleanOracle,
 

@@ -40,6 +40,34 @@ object Pipeline {
     docs.filter(bucket < threshold)
   }
 
+  /** Exact-k stratified sample: the k documents per stratum with the
+    * smallest `(md5(id|seed), id)` — the deterministic twin of
+    * [[sampleStratified]] for when the contract is a COUNT, not a rate
+    * (eval holdouts, per-language probe sets, labeling budgets). A
+    * fraction-based sample's size is binomial around n·f; this one is
+    * exactly `min(k, |stratum|)` rows, reproducible across re-runs and
+    * partitionings, and (like the KMV sketch, which is this construction
+    * as a sketch) it composes: the exact-k sample of a union is the
+    * exact-k fold of per-slice samples.
+    *
+    * Rides [[graft.core.TopK.perKey]], so a corpus dominated by ONE
+    * stratum never funnels into one window task. Output keeps
+    * `sample_rank` (1..k in hash order — a stable sub-sampling key:
+    * rank ≤ j is the exact-j sample).
+    */
+  def sampleExactK(docs: DataFrame, idCol: String, strataCol: String,
+                   k: Int, seed: Long): DataFrame = {
+    require(k >= 1, "sampleExactK: k must be >= 1")
+    graft.core.Salting.requireFreeColumns(docs, Seq("_smp", "sample_rank"),
+      "sampleExactK")
+    graft.core.TopK.perKey(
+        docs.withColumn("_smp",
+          Dedup.md5Hash32(concat_ws("|", col(idCol), lit(seed)))),
+        Seq(strataCol), Seq(col("_smp").asc, col(idCol).asc), k,
+        outRank = "sample_rank")
+      .drop("_smp")
+  }
+
   /** Deterministic corpus shuffle: assign every document a
     * pseudorandom shard and a position within it — the
     * shard-and-shuffle step a training data loader consumes (global

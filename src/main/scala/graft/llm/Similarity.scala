@@ -198,6 +198,42 @@ object Similarity {
       .select(col("q_id"), col(idCol), col("cos"), col("_rn").cast("long").as("rank"))
   }
 
+  /** kNN label prediction: each query takes the MAJORITY label of its k
+    * exact-cosine nearest neighbors (ties on the vote count break by the
+    * smaller label — pinned, so two engines agree). Returns
+    * `(q_id, label, n_votes)` — the similarity-based labeling /
+    * weak-supervision primitive (propagate a small labeled set onto new
+    * points by embedding proximity).
+    *
+    * Plan shape: the neighbor table is k×|queries| rows (metadata-sized
+    * by construction), so it BROADCASTS into the labels join — the
+    * corpus-sized label table never shuffles — and the vote is an
+    * aggregation over k×|queries| rows. Swap [[topK]] for [[lshTopK]] /
+    * [[ivfIndexTopK]] upstream when the corpus outgrows the brute-force
+    * scan; the vote works on any `(q_id, <id>)` neighbor table via
+    * [[knnVote]].
+    */
+  def knnPredict(emb: DataFrame, idCol: String, vecCol: String,
+                 labels: DataFrame, labelIdCol: String, labelCol: String,
+                 queryIds: Seq[Long], k: Int): DataFrame =
+    knnVote(topK(emb, idCol, vecCol, queryIds, k), idCol,
+      labels, labelIdCol, labelCol)
+
+  /** The vote half of [[knnPredict]]: majority label over an arbitrary
+    * `(q_id, <neighbor id>)` table (ties → smaller label).
+    */
+  def knnVote(neighbors: DataFrame, idCol: String,
+              labels: DataFrame, labelIdCol: String, labelCol: String): DataFrame = {
+    val votes = labels
+      .select(col(labelIdCol).as(idCol), col(labelCol).as("label"))
+      .join(broadcast(neighbors.select(col("q_id"), col(idCol))), idCol)
+      .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("q_id"), col("label"), col("n_votes"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates are vectors sharing a
     * bucket with the query in ANY of the hash tables (OR-amplification),
     * re-ranked by exact cosine. Same output shape as [[topK]]; recall vs

@@ -320,4 +320,24 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(a === b, "partitioning must not change the sample")
   }
+
+  test("sampleExactK: exactly min(k, |stratum|) per stratum; ranks nest; partitioning-independent") {
+    val docs = ((1 to 40).map(i => (i.toLong, "en")) ++
+      (41 to 45).map(i => (i.toLong, "es"))).toDF("doc_id", "lang")
+    val s10 = Pipeline.sampleExactK(docs, "doc_id", "lang", 10, seed = 3L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(s10.count(_._1 == "en") === 10)
+    assert(s10.count(_._1 == "es") === 5)           // whole small stratum
+    // rank <= j IS the exact-j sample (stable sub-sampling)
+    val s4 = Pipeline.sampleExactK(docs, "doc_id", "lang", 4, seed = 3L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(s4 === s10.filter(_._3 <= 4).map(t => (t._1, t._2)).toSet)
+    // deterministic across partitionings; different seed -> different draw
+    val rep = Pipeline.sampleExactK(docs.repartition(7), "doc_id", "lang", 10, 3L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(rep.toSet === s10.toSet)
+    val other = Pipeline.sampleExactK(docs, "doc_id", "lang", 10, seed = 4L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(other.toSet !== s10.toSet)
+  }
 }

@@ -330,4 +330,32 @@ class SimilaritySpec extends SparkSpec {
       assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted.toSeq)
     }
   }
+
+  test("knnPredict: majority label of the exact neighbors; vote ties break to the smaller label") {
+    // query 0 at the origin-ish; neighbors engineered so labels split 2/1
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)),            // query
+      (1L, Array(0.99f, 0.1f)),           // close, label 1
+      (2L, Array(0.98f, 0.15f)),          // close, label 2
+      (3L, Array(0.97f, 0.2f)),           // close, label 0
+      (4L, Array(-1.0f, 0.0f)))           // far
+      .toDF("vec_id", "embedding")
+    val lbl = Seq((1L, 7L), (2L, 7L), (3L, 9L), (4L, 9L), (0L, 0L))
+      .toDF("id", "lbl")
+    val out = Similarity.knnPredict(vs, "vec_id", "embedding",
+        lbl, "id", "lbl", Seq(0L), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array((0L, 7L, 2L))) // labels {7,7,9} -> 7 with 2 votes
+    // tie: k=2 gives {7,7}... use k=4? neighbors 1,2,3 + 4 -> {7,7,9,9}: tie -> smaller label
+    val tie = Similarity.knnPredict(vs, "vec_id", "embedding",
+        lbl, "id", "lbl", Seq(0L), 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(tie === Array((7L, 2L)))
+    // the metadata-sized neighbor table broadcasts into the label join
+    val plan = Similarity.knnPredict(vs, "vec_id", "embedding",
+        lbl, "id", "lbl", Seq(0L), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the neighbor set must broadcast — the label table never shuffles for the join:\n$plan")
+  }
 }
