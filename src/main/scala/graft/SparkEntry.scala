@@ -2201,7 +2201,7 @@ object SparkEntry {
       deleteTree(java.nio.file.Paths.get(in))
       deleteTree(java.nio.file.Paths.get(out, "ckpt"))
       Sketches.kmvQuantiles(
-          Sketches.kmvMerge(Seq(s.read.parquet(s"$out/rows")),
+          Sketches.kmvMerge(Seq(graft.streaming.StreamOps.readSlices(s, s"$out/rows")),
             Seq("event_type"), KmvK),
           Seq("event_type"), QuantilePs)
         .orderBy("event_type", "p")
@@ -2227,7 +2227,7 @@ object SparkEntry {
         s"$out/rows", s"$out/ckpt").awaitTermination()
       deleteTree(java.nio.file.Paths.get(in))
       deleteTree(java.nio.file.Paths.get(out, "ckpt"))
-      graft.core.TopK.perKey(s.read.parquet(s"$out/rows"),
+      graft.core.TopK.perKey(graft.streaming.StreamOps.readSlices(s, s"$out/rows"),
           Seq("user_id"), Seq(col("value").desc, col("event_id")), 3)
         .orderBy("user_id", "rank")
     },

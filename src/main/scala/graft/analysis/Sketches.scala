@@ -326,8 +326,18 @@ object Sketches {
     require(k >= 1, "kmvSketch: k must be >= 1")
     val gs = groupCols.map(col)
     val h = graft.llm.Dedup.md5Hash32(concat_ws("|", idCol, lit(seed)))
+    // the tie-break at 32-bit hash collisions is (kmv_h, kmv_id): a
+    // non-numeric id would CAST to null here and make the tie-break
+    // order-dependent, silently breaking the bit-identical-merge
+    // contract — fail loudly instead (string-keyed corpora pass a
+    // numeric surrogate, e.g. a precomputed xxhash64 of the key)
+    val idLong = when(idCol.isNotNull && idCol.cast("long").isNull,
+        raise_error(concat(lit("kmvSketch: idCol value '"), idCol.cast("string"),
+          lit("' does not cast to BIGINT — the merge tie-break needs a numeric id")))
+          .cast("long"))
+      .otherwise(idCol.cast("long"))
     val rows = df.filter(valueCol.isNotNull)
-      .select(gs ++ Seq(h.as("kmv_h"), idCol.cast("long").as("kmv_id"),
+      .select(gs ++ Seq(h.as("kmv_h"), idLong.as("kmv_id"),
         valueCol.cast("double").as("kmv_v")): _*)
     graft.core.TopK.perKey(rows, groupCols,
         Seq(col("kmv_h").asc, col("kmv_id").asc), k, outRank = "_kmv_rank")

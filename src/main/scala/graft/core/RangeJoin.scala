@@ -83,10 +83,16 @@ object RangeJoin {
     // over double is exact here because bins (≤ 2^52) fit a double.
     def binOf(c: Column): Column = floor(c.cast("double") / lit(w.toDouble)).cast("long")
     val nBins = binOf(e) - binOf(s) + lit(1L)
+    // nBins < 1 = inverted interval (end < start, swapped columns or
+    // corrupt rows): it can never match, but `sequence(start, stop)` with
+    // start > stop generates a DESCENDING bin list of unbounded length —
+    // exactly the fan-out this guard exists to catch — so it fails loudly
+    // too instead of silently ballooning the plan
     val iv = intervals.withColumn("_bin",
-      explode(when(nBins > lit(maxBinsPerInterval.toLong), raise_error(concat(
-          lit(s"pointInInterval: interval spans more than $maxBinsPerInterval bins of width $w ("),
-          nBins, lit(" — raise maxBinsPerInterval or binWidth)"))))
+      explode(when(nBins > lit(maxBinsPerInterval.toLong) || nBins < lit(1L),
+          raise_error(concat(
+            lit(s"pointInInterval: interval spans an invalid bin count ("), nBins,
+            lit(s" bins of width $w — inverted end < start, or wider than maxBinsPerInterval=$maxBinsPerInterval)"))))
         .otherwise(sequence(binOf(s), binOf(e)))))
     val pt = points.withColumn("_bin", binOf(p))
     pt.join(iv, pt("_bin") === iv("_bin") && p >= s && p <= e).drop("_bin")
@@ -138,10 +144,13 @@ object RangeJoin {
     def binOf(c: Column): Column = floor(c.cast("double") / lit(w.toDouble)).cast("long")
     def explodeBins(df: DataFrame, s: Column, e: Column, side: String): DataFrame = {
       val nBins = binOf(e) - binOf(s) + lit(1L)
+      // nBins < 1 = inverted interval — same loud failure as
+      // pointInInterval (a descending `sequence` would explode unbounded)
       df.withColumn("_bin",
-        explode(when(nBins > lit(maxBinsPerInterval.toLong), raise_error(concat(
-            lit(s"intervalOverlap($side): interval spans more than $maxBinsPerInterval bins of width $w ("),
-            nBins, lit(" — raise maxBinsPerInterval or binWidth)"))))
+        explode(when(nBins > lit(maxBinsPerInterval.toLong) || nBins < lit(1L),
+            raise_error(concat(
+              lit(s"intervalOverlap($side): interval spans an invalid bin count ("), nBins,
+              lit(s" bins of width $w — inverted end < start, or wider than maxBinsPerInterval=$maxBinsPerInterval)"))))
           .otherwise(sequence(binOf(s), binOf(e)))))
     }
     val lv = explodeBins(left, ls, le, "left")

@@ -427,6 +427,16 @@ object SignalOps {
     * partitioning (subset rule) and the lag unpivot is a row-local
     * stack. `maxLag` is a handful by nature (an alignment search radius,
     * not a data size).
+    *
+    * CONTRACT (the Opset.asof convention): the shift is by ROW POSITION
+    * in `tCol` order, which equals a shift by TIME only when each
+    * record's `tCol` is contiguous (the Opset tick contract: t = 1..n
+    * with no gaps). On a gapped series, "lag 1" here means "the next
+    * SAMPLE", not "t+1" — a t-arithmetic self-join pairs differently.
+    * Null samples: a pair counts toward `n_pairs` only when BOTH sides
+    * are non-null (the product is the unit of both the sum and the
+    * count); callers whose convention counts one-sided nulls filter or
+    * impute first.
     */
   def crossCorr(df: DataFrame, colA: String, colB: String,
                 recordCol: String, tCol: String, maxLag: Int): DataFrame = {

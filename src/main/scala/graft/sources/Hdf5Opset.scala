@@ -32,6 +32,27 @@ import org.apache.spark.sql.types._
   */
 object Hdf5Opset {
 
+  /** Java-serializable carrier for the session's Hadoop configuration —
+    * `loadMany`'s executor tasks must resolve paths with the SAME
+    * filesystem settings as the driver (S3/ABFS credentials, defaultFS,
+    * custom FS impls); a bare `new Configuration()` in the closure would
+    * silently drop them all. Hadoop's `Configuration` is not
+    * Serializable itself, so this wraps its own write/readFields.
+    * (Spark has an identical internal helper, but it is private[spark].)
+    */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Decoded store: record name → (column names in frame order, index
     * values, column → values). Pure JVM, no Spark — separable for tests.
     */
@@ -142,12 +163,18 @@ object Hdf5Opset {
         signalCols.map(c => StructField(c, DoubleType, nullable = true)))
     val cols = signalCols // avoid capturing `this`-adjacent state in the closure
     val strict = !ignoreExtraColumns
+    // ship the DRIVER's Hadoop configuration to the tasks: credentials,
+    // defaultFS and custom FS impls live there, and a fresh
+    // Configuration() on the executor would misresolve or fail any
+    // non-local path (see SerializableHadoopConf)
+    val hadoopConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     import spark.implicits._
     val rows = spark.createDataset(paths)
       .repartition(paths.size) // one task per store — the parallelism unit
       .flatMap { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = hp.getFileSystem(hadoopConf.value.value)
         val in = fs.open(hp)
         val bytes = try {
           val buf = new java.io.ByteArrayOutputStream()

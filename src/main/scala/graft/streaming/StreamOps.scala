@@ -300,6 +300,14 @@ object StreamOps {
     * fold re-truncates to k per group. Same caveat as kmvMerge: ids
     * must not repeat across batches (an id that re-arrives occupies two
     * sample slots); streams with replayed keys dedup upstream.
+    *
+    * The sink is EXACTLY-ONCE, not at-least-once: each micro-batch
+    * writes `path/batch=<batchId>/` with overwrite, so a batch replayed
+    * after a failure REPLACES its own slice instead of appending a
+    * duplicate (a blind `mode("append")` would let one retried batch
+    * occupy two sample slots per row and silently corrupt the fold).
+    * Readers therefore see a `batch` partition column beside the sketch
+    * columns — [[readSlices]] reads the directory and drops it.
     */
   def streamingKmv(rows: DataFrame, groupCols: Seq[String],
                    idCol: org.apache.spark.sql.Column,
@@ -309,9 +317,9 @@ object StreamOps {
                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.analysis.Sketches.kmvSketch(batch, groupCols, idCol, valueCol, k, seed)
-          .write.mode("append").parquet(path)
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
@@ -327,7 +335,10 @@ object StreamOps {
     * slices IS the global leaderboard, rank and all. ZERO state store;
     * landed state ≤ k rows per (key, batch). `ordering` must be a total
     * order (unique tiebreak) and ids must not repeat across batches —
-    * the kmv caveat verbatim.
+    * the kmv caveat verbatim. Same exactly-once sink layout as
+    * [[streamingKmv]]: `path/batch=<batchId>/` with overwrite, so a
+    * retried batch replaces rather than duplicates its slice; read the
+    * landed slices with [[readSlices]].
     */
   def streamingTopK(rows: DataFrame, keyCols: Seq[String],
                     ordering: Seq[org.apache.spark.sql.Column], k: Int,
@@ -336,14 +347,22 @@ object StreamOps {
                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.core.TopK.perKey(batch, keyCols, ordering, k).drop("rank")
-          .write.mode("append").parquet(path)
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .trigger(trigger)
       .start()
+
+  /** Read the slices landed by [[streamingKmv]]/[[streamingTopK]] as one
+    * DataFrame, dropping the `batch=<id>` partition column the
+    * exactly-once layout adds — the input shape `kmvMerge`/`TopK.perKey`
+    * fold back into the global answer.
+    */
+  def readSlices(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("batch")
 
   def writeOpsetStore(df: DataFrame, path: String, checkpoint: String,
                       trigger: org.apache.spark.sql.streaming.Trigger =

@@ -61,6 +61,26 @@ class RangeJoinSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("maxBinsPerInterval")))
   }
 
+  test("an inverted interval (end < start) fails loudly instead of exploding") {
+    // a descending sequence(start, stop) would otherwise generate an
+    // unbounded bin list UNDER the > maxBins guard (nBins <= 0)
+    val inverted = Seq((21L, 10000L, 0L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, inverted, col("t"), col("s"), col("e"),
+        binWidth = 1L, maxBinsPerInterval = 100).count()
+    }
+    assert(ex.getMessage.contains("invalid bin count") ||
+      Option(ex.getCause).exists(_.getMessage.contains("invalid bin count")))
+    val ex2 = intercept[Exception] {
+      RangeJoin.intervalOverlap(Seq((1L, 5L, 2L)).toDF("xid", "xs", "xe"),
+        Seq((2L, 0L, 10L)).toDF("yid", "ys", "ye"),
+        col("xs"), col("xe"), col("ys"), col("ye"),
+        binWidth = 1L, maxBinsPerInterval = 100).count()
+    }
+    assert(ex2.getMessage.contains("invalid bin count") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("invalid bin count")))
+  }
+
   test("reserved working column and overlapping names are rejected") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points.withColumnRenamed("pid", "iid"), intervals,

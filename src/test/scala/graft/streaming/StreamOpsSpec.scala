@@ -251,7 +251,12 @@ class StreamOpsSpec extends SparkSpec {
       in.addData(all.drop(90): _*) // disjoint ids: the kmvMerge contract
       q.processAllAvailable()
     } finally q.stop()
-    val slices = spark.read.parquet(s"$dir/rows")
+    // the exactly-once layout: one batch=<id> subdir per micro-batch
+    val raw = spark.read.parquet(s"$dir/rows")
+    assert(raw.columns.contains("batch"))
+    assert(raw.select("batch").distinct().count() >= 2)
+    val slices = StreamOps.readSlices(spark, s"$dir/rows")
+    assert(!slices.columns.contains("batch"))
     // at least two landed slices, each truncated to <= k rows per group
     assert(slices.count() > 16 * 2)
     val merged = graft.analysis.Sketches.kmvMerge(Seq(slices), Seq("g"), 16)
@@ -281,7 +286,7 @@ class StreamOpsSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val folded = graft.core.TopK.perKey(
-      spark.read.parquet(s"$dir/rows"), Seq("k"), ord, 3)
+      StreamOps.readSlices(spark, s"$dir/rows"), Seq("k"), ord, 3)
     val whole = graft.core.TopK.perKey(
       (1 to 120).map(i => ((i % 4).toLong, i.toLong, (i * 37 % 101).toDouble))
         .toDF("k", "id", "v"), Seq("k"), ord, 3)
