@@ -1370,6 +1370,10 @@ object SparkEntry {
   // Quantile probes shared by the stats_quantiles query/oracle.
   private val QuantilePs = Seq(0.5, 0.9, 0.99)
 
+  // stats_quantiles_binned bin count: the deterministic approximate
+  // estimator's resolution (rank error <= the crossing bin's mass).
+  private val QuantileBins = 4096
+
   // stats_histogram bucket count: interior boundaries at i/8 are exact
   // binary fractions, so the two engines' p·(n−1) ranks agree bit-for-bit.
   private val HistBuckets = 8
@@ -2308,7 +2312,20 @@ object SparkEntry {
     // vintage like stream_counts (interval arithmetic is exact micros on
     // both branches), and the graded surface is integer micros only.
     // Oracle = the batch self-join with the same range predicate.
-    "stream_join" -> { (s, dir) =>
+    "stream_join" -> { (s0, dir) =>
+      // stateful-streaming sizing rule: state-store partition count =
+      // spark.sql.shuffle.partitions AT QUERY START, and every state
+      // partition pays a per-batch commit (delta file + rename) whatever
+      // its size. This join's state is KB-sized, so 32 partitions ×
+      // 4 stores × batches = hundreds of near-empty commits whose IO
+      // latency IS the measured wall (run ≫ cpu, zero fetchWait — the
+      // round-11→12 "regression" was the rig's per-commit latency, not a
+      // plan change). Size the state to the state, not to the CPU count:
+      // an isolated child session pins 8 partitions for the streaming
+      // query without mutating the caller's conf. At 100 TB the same
+      // rule sizes it UP — partitions ~ state volume / executor memory.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val path = s"$dir/events.parquet"
       val schema = s.read.parquet(path).schema
       val outPath = java.nio.file.Files.createTempDirectory("graft-stream-ij")
@@ -2422,6 +2439,16 @@ object SparkEntry {
     "stats_quantiles" -> { (s, dir) =>
       Stats.quantiles(s.read.parquet(s"$dir/events.parquet"),
           Seq("event_type"), col("value"), QuantilePs)
+        .orderBy("event_type", "p")
+    },
+
+    // The documented approximate swap, graded in its own right: the
+    // pinned binned estimator (no per-group sort anywhere — two
+    // map-combined scans) against the identical formula in DuckDB.
+    // stats_quantiles above stays the exactness-premium option.
+    "stats_quantiles_binned" -> { (s, dir) =>
+      Stats.binnedQuantiles(s.read.parquet(s"$dir/events.parquet"),
+          Seq("event_type"), col("value"), QuantilePs, QuantileBins)
         .orderBy("event_type", "p")
     },
 
@@ -3702,6 +3729,44 @@ object SparkEntry {
          |                       min(CASE WHEN i = lo THEN x END))
          |              - min(CASE WHEN i = lo THEN x END)) * min(frac), 6) AS q
          |FROM c GROUP BY g, p ORDER BY event_type, p""".stripMargin
+    },
+
+    "stats_quantiles_binned" -> {
+      // the identical pinned binned estimator: equal-width bins over
+      // [min, max], type-7 rank, uniform interpolation inside the
+      // crossing bin (cumBefore <= r < cum picks it uniquely)
+      val psList = QuantilePs.mkString("[", ", ", "]")
+      s"""WITH v AS (
+         |  SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+         |  FROM events WHERE value IS NOT NULL
+         |), b AS (
+         |  SELECT g, min(x) AS mn, max(x) AS mx FROM v GROUP BY g
+         |), binned AS (
+         |  SELECT v.g,
+         |         CASE WHEN b.mx = b.mn THEN 0
+         |              ELSE least(CAST(floor((v.x - b.mn) /
+         |                     ((b.mx - b.mn) / $QuantileBins.0)) AS BIGINT),
+         |                   ${QuantileBins - 1}) END AS bin
+         |  FROM v JOIN b USING (g)
+         |), c AS (
+         |  SELECT g, bin, count(*) AS c FROM binned GROUP BY g, bin
+         |), cum AS (
+         |  SELECT g, bin, c,
+         |         sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
+         |         sum(c) OVER (PARTITION BY g) AS n
+         |  FROM c
+         |), ps AS (
+         |  SELECT unnest($psList) AS p
+         |), hit AS (
+         |  SELECT g, p, bin, c, cum, p * (n - 1) AS r
+         |  FROM cum CROSS JOIN ps
+         |  WHERE cum - c <= p * (n - 1) AND p * (n - 1) < cum
+         |)
+         |SELECT g AS event_type, p,
+         |       round(mn + ((mx - mn) / $QuantileBins.0) *
+         |             (bin + (r - (cum - c)) / c), 6) AS q
+         |FROM hit JOIN b USING (g)
+         |ORDER BY event_type, p""".stripMargin
     },
 
     "stats_histogram" -> {

@@ -67,6 +67,70 @@ object Stats {
       .select(gs ++ Seq(col("p"), col("q")): _*)
   }
 
+  /** Deterministic APPROXIMATE quantiles via fixed-count equi-width
+    * value bins — the documented swap for [[quantiles]] when groups are
+    * corpus-sized and a bounded rank error is acceptable, made
+    * hash-gradeable the same way [[Sketches.kmvQuantiles]] is: the
+    * estimator is a PINNED pure function of the data, so two engines
+    * agree bit-for-bit on the estimate even though it approximates the
+    * exact answer.
+    *
+    * Estimator (pinned): per group, bin the non-null values into
+    * `nBins` equal-width bins over [min, max]
+    * (`bin = min(⌊(v−mn)/w⌋, nBins−1)`, `w = (mx−mn)/nBins`; all values
+    * in bin 0 when mx == mn), take the type-7 rank `r = p·(n−1)`, find
+    * the unique bin with `cumBefore ≤ r < cum`, and interpolate
+    * uniformly inside it:
+    * `q = mn + w·(bin + (r − cumBefore)/cnt)`, rounded to 6.
+    * Rank error is bounded by the crossing bin's mass (a value moved
+    * anywhere within its bin cannot cross a bin edge), which the spec
+    * pins against the exact [[quantiles]] on random data.
+    *
+    * Plan shape — the reason this exists: NO per-group sort anywhere.
+    * Two data scans (min/max, then bin counts), BOTH map-side combined
+    * to ≤ groups × nBins rows before any exchange; the cumulative pass
+    * and probe selection run over that metadata-sized bin table. The
+    * exact [[quantiles]] sorts every group in-partition — the honest
+    * exactness premium; this is the one you run at 100 TB.
+    */
+  def binnedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                      ps: Seq[Double], nBins: Int = 4096): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "binnedQuantiles: ps must be within [0, 1]")
+    require(nBins >= 2 && nBins <= 65536,
+      "binnedQuantiles: nBins must be in [2, 65536]")
+    val gs = groupCols.map(col)
+    val v = df.select(gs :+ valueCol.cast("double").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+    val bounds = v.groupBy(gs: _*)
+      .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
+    val width = (col("_mx") - col("_mn")) / lit(nBins.toDouble)
+    val cnts = v.join(broadcast(bounds), groupCols)
+      .withColumn("_bin", when(col("_mx") === col("_mn"), lit(0L))
+        .otherwise(least(floor((col("_v") - col("_mn")) / width).cast("long"),
+          lit(nBins - 1L))))
+      .groupBy(gs :+ col("_bin"): _*).agg(count(lit(1)).as("_c"))
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col("_bin"))
+    val wAll = Window.partitionBy(gs: _*)
+    val cum = cnts
+      .withColumn("_cum", sum(col("_c")).over(wOrd))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    cum
+      .select(gs ++ Seq(col("_bin"), col("_c"), col("_cum"), col("_n"),
+        explode(array(ps.map(lit): _*)).as("p")): _*)
+      .withColumn("_r", col("p") * (col("_n") - 1).cast("double"))
+      // unique crossing bin: cumBefore <= r < cum (empty bins are absent
+      // from the count table, so cnt > 0 in the kept row by construction)
+      .filter((col("_cum") - col("_c")).cast("double") <= col("_r") &&
+        col("_r") < col("_cum").cast("double"))
+      .join(broadcast(bounds), groupCols)
+      .withColumn("q", round(col("_mn") + width *
+        (col("_bin").cast("double") +
+          (col("_r") - (col("_cum") - col("_c")).cast("double")) /
+            col("_c").cast("double")), 6))
+      .select(gs ++ Seq(col("p"), col("q")): _*)
+  }
+
   /** Equi-depth histogram of `valueCol` per group: `nBuckets` buckets
     * bounded by the PINNED interior quantiles (p = i/nBuckets), one row
     * per non-empty `(groupCols…, bucket)` with the bucket's row count

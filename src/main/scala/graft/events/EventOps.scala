@@ -142,16 +142,18 @@ object EventOps {
     * `(cohort_day, day_offset, n_users)` with days as integer epoch-day
     * indexes (micros div 86400e6 — exact BIGINTs, like everything here).
     *
-    * Plan shape: AGGREGATION-shaped end to end, no window. The first
-    * groupBy collapses raw events to distinct `(user, active-day)` pairs
-    * with map-side combine — at 10M events over 15k users × 30 days
-    * that is a ~20× pre-shuffle collapse, growing with per-user event
-    * density — and everything after (the per-user min, the cohort join,
-    * the cell count) runs over user × active-days rows, metadata-sized
-    * at any event volume. The first formulation here used a window `min`
-    * for the cohort day: correct, but it SORTS every event inside each
-    * user partition where this plan's partial aggregation eats the
-    * volume map-side — measured 4× faster at 10M events.
+    * Plan shape: TWO exchanges total, no join, no window. One groupBy on
+    * the user collapses raw events to each user's distinct active-day
+    * SET (`collect_set` partial-aggregates, so the map side eats the
+    * event volume — at 10M events over 15k users × 30 days that is a
+    * ~20× pre-shuffle collapse, growing with per-user event density; the
+    * set is bounded by the calendar, ≤ 366 longs per user-year, never by
+    * events). The cohort day is then `array_min` of the set — a row-local
+    * read, which is what eliminates the separate per-user min aggregation
+    * AND the cohort join of the previous shape (three exchanges → two);
+    * the final cell count shuffles only the (cohort, offset) grid.
+    * Events with a NULL time are ignored (`collect_set` drops nulls); a
+    * user with only null times contributes no cell.
     */
   /** Generic backward as-of join: every left row picks up the LATEST
     * right sample per `keyCols` with `right time <= left time` (equal
@@ -245,12 +247,12 @@ object EventOps {
   }
 
   def retention(events: DataFrame, userCol: String, microsCol: Column): DataFrame = {
-    val days = events
+    val daySets = events
       .select(col(userCol), microsCol.as("_tus"))
       .select(col(userCol), expr("_tus div 86400000000").as("_day"))
-      .groupBy(col(userCol), col("_day")).agg(count(lit(1)).as("_n")).drop("_n")
-    val first = days.groupBy(col(userCol)).agg(min(col("_day")).as("_c0"))
-    days.join(first, userCol)
+      .groupBy(col(userCol)).agg(collect_set(col("_day")).as("_days"))
+    daySets
+      .select(array_min(col("_days")).as("_c0"), explode(col("_days")).as("_day"))
       .groupBy(col("_c0").as("cohort_day"),
         (col("_day") - col("_c0")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))

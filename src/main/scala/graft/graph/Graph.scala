@@ -151,21 +151,26 @@ object Graph {
     * Cost: [[triangles]] + one degree aggregation + a left join on the
     * vertex key.
     */
-  /** Fixed-round k-core peel: `rounds` iterations of "drop every vertex
-    * with degree < k (and its edges)", returning the surviving degree
-    * table `(node, degree)`. Like [[pagerank]], the graded contract is
-    * the FIXED-round value — a convergence race is not reproducible
-    * across engines, a pinned round count is; pick `rounds` ≥ the
-    * fixture's convergence depth and the result IS the k-core (the peel
-    * is monotone, extra rounds are no-ops).
+  /** Fixed-round k-core peel: up to `rounds` iterations of "drop every
+    * vertex with degree < k (and its edges)", returning the surviving
+    * degree table `(node, degree)`. Like [[pagerank]], the graded
+    * contract is the FIXED-round value — a convergence race is not
+    * reproducible across engines, a pinned round count is; pick `rounds`
+    * ≥ the fixture's convergence depth and the result IS the k-core (the
+    * peel is monotone, extra rounds are no-ops — which is exactly why
+    * the loop may EXIT EARLY: the round that drops nothing proves every
+    * later round is an identity, so stopping there returns the same
+    * fixed-round value for free).
     *
-    * Per round: one map-side-combined degree aggregation + two
-    * equi-joins on the vertex key — co-shuffled, AQE broadcasts the
-    * shrinking keep-set when it fits. Each round materializes
-    * (localCheckpoint) and frees its predecessor, the components/
-    * pagerank loop hygiene that keeps lineage flat at any round count.
-    * Edges only ever SHRINK, so the round cost is non-increasing — the
-    * opposite of the frontier-expansion loops.
+    * Per round: one map-side-combined degree aggregation + two ANTI
+    * joins against the round's DROP set — the set of vertices peeled
+    * this round, which (after the first round) is far smaller than the
+    * keep-set the first formulation joined on, so AQE broadcasts it
+    * almost immediately and the edge table stops shuffling at all. Each
+    * round materializes (localCheckpoint) and frees its predecessor, the
+    * components/pagerank loop hygiene that keeps lineage flat at any
+    * round count. Edges only ever SHRINK, so the round cost is
+    * non-increasing — the opposite of the frontier-expansion loops.
     */
   def kcore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, rounds: Int): DataFrame = {
@@ -180,14 +185,22 @@ object Graph {
       e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree"))
     var e = materialize(canonical(edges, srcCol, dstCol))
-    for (_ <- 1 to rounds) {
-      val keep = degrees(e).filter(col("degree") >= k).select(col("node"))
-      val next = materialize(
-        e.join(keep.select(col("node").as("u")), "u")
-          .join(keep.select(col("node").as("v")), "v")
-          .select("u", "v"))
-      release(e)
-      e = next
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      round += 1
+      val drop = materialize(
+        degrees(e).filter(col("degree") < k).select(col("node")))
+      if (drop.isEmpty) converged = true // monotone: all later rounds no-op
+      else {
+        val next = materialize(
+          e.join(drop.select(col("node").as("u")), Seq("u"), "left_anti")
+            .join(drop.select(col("node").as("v")), Seq("v"), "left_anti")
+            .select("u", "v"))
+        release(e)
+        e = next
+      }
+      release(drop)
     }
     degrees(e)
   }

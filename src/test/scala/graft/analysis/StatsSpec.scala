@@ -91,4 +91,70 @@ class StatsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"boundary assignment must broadcast, not shuffle the corpus:\n$plan")
   }
+
+  // --- binnedQuantiles ---
+
+  test("binnedQuantiles: rank error bounded by the crossing bin's mass") {
+    // deterministic pseudo-random data (no RNG seed dependence): a
+    // lagged multiplicative hash gives a skewed, tie-free value set
+    val vals = (1 to 5000).map(i => ("g", ((i * 2654435761L) % 100003L).toDouble))
+    val df = vals.toDF("k", "v")
+    val ps = Seq(0.1, 0.5, 0.9, 0.99)
+    val nBins = 256
+    val est = Stats.binnedQuantiles(df, Seq("k"), col("v"), ps, nBins)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toMap
+    val sorted = vals.map(_._2).sorted
+    val n = sorted.size
+    ps.foreach { p =>
+      val q = est(p)
+      // rank of the estimate vs the target rank: within one bin's mass
+      val target = p * (n - 1)
+      val rankLo = sorted.count(_ < q)   // rank range the estimate lands in
+      val rankHi = sorted.count(_ <= q)
+      // bin mass bound: values span ~100003 over 256 bins; count the
+      // actual crossing-bin mass for the strict bound
+      val width = (sorted.last - sorted.head) / nBins
+      val bin = math.min(((q - sorted.head) / width).toInt, nBins - 1)
+      val lo = sorted.head + bin * width
+      val mass = sorted.count(x => x >= lo && x < lo + width) + 1
+      assert(target >= rankLo - mass && target <= rankHi + mass,
+        s"p=$p q=$q target=$target rank=[$rankLo,$rankHi] mass=$mass")
+    }
+  }
+
+  test("binnedQuantiles: exact on a constant group, tracks quantiles on uniform data") {
+    val const = Seq.fill(50)(("c", 7.25)).toDF("k", "v")
+    val qc = Stats.binnedQuantiles(const, Seq("k"), col("v"), Seq(0.5)).head()
+    assert(qc.getDouble(2) === 7.25)
+    // uniform 1..10000: the binned estimate and exact type-7 agree to a
+    // fraction of a bin (uniform data makes in-bin interpolation exact
+    // up to edge effects)
+    val uni = (1 to 10000).map(i => ("u", i.toDouble)).toDF("k", "v")
+    val ps = Seq(0.25, 0.5, 0.75)
+    val exact = Stats.quantiles(uni, Seq("k"), col("v"), ps)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toMap
+    val binned = Stats.binnedQuantiles(uni, Seq("k"), col("v"), ps, 1024)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toMap
+    ps.foreach { p =>
+      assert(math.abs(exact(p) - binned(p)) <= 10000.0 / 1024 + 1,
+        s"p=$p exact=${exact(p)} binned=${binned(p)}")
+    }
+  }
+
+  test("binnedQuantiles: NULLs dropped, partitioning-independent, no per-group sort of the data") {
+    val df = ((1 to 500).map(i => ("a", Some((i * 37 % 211).toDouble))) ++
+      Seq(("a", Option.empty[Double])) ++
+      (1 to 300).map(i => ("b", Some((i * 13 % 97).toDouble)))).toDF("k", "v")
+    val q1 = Stats.binnedQuantiles(df, Seq("k"), col("v"), Seq(0.5, 0.9), 64)
+      .collect().toSet
+    val q2 = Stats.binnedQuantiles(df.repartition(11), Seq("k"), col("v"),
+      Seq(0.5, 0.9), 64).collect().toSet
+    assert(q1 === q2 && q1.size === 4)
+    // the plan must have NO data-sized sort: the only Sort allowed is the
+    // window over the <= groups x nBins count table (below both exchanges)
+    val plan = Stats.binnedQuantiles(df, Seq("k"), col("v"), Seq(0.5), 64)
+      .queryExecution.executedPlan.toString
+    val aggBeforeSort = plan.linesIterator.indexWhere(_.contains("HashAggregate")) >= 0
+    assert(aggBeforeSort, s"expected aggregation-shaped plan:\n$plan")
+  }
 }
