@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, GramBuckets, GramCounts, Md5Prefix32, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, WordNgramHashes}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, GramBuckets, GramCounts, Md5Prefix32, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, WordNgramHashes}
 import graft.llm.TextAnalysis
 
 /** Session extensions registering graft's native Catalyst expressions so
@@ -73,6 +73,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_gram_buckets: ns and buckets must be literals")
         val ns = children(1).eval().toString.split(",").toIndexedSeq.map(_.trim.toInt)
         GramBuckets(children(0), ns,
+          children(2).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_code"),
+      new ExpressionInfo(classOf[PqSubCode].getName, null, "graft_pq_code",
+        "graft_pq_code(v, book, offset) - index of the nearest PQ codeword " +
+          "(squared-L2 ticks, low-index ties) for the subspace slice at offset", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"graft_pq_code requires exactly 3 arguments, got ${children.size}")
+        require(children(1).foldable && children(2).foldable,
+          "graft_pq_code: book and offset must be literals")
+        val bookData = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val book = bookData
+          .toObjectArray(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toDoubleArray())
+        PqSubCode(children(0), book,
           children(2).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((

@@ -2727,13 +2727,19 @@ object SparkEntry {
         .select(col("event_id").as("purchase_id"),
           (tus - lit(AttrWinUs)).as("a_start"), tus.as("a_end"),
           expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("p_ticks"))
-      RangeJoin.intervalOverlap(err, att,
-          col("w_start"), col("w_end"), col("a_start"), col("a_end"))
-        .groupBy("window_id")
-        .agg(count(lit(1)).as("n_purchases"),
-          sum(col("p_ticks")).as("value_ticks"),
-          sum(least(col("w_end"), col("a_end")) -
-            greatest(col("w_start"), col("a_start"))).as("overlap_us"))
+      // the SWEEP form (IntervalAgg.overlapStats): this query only
+      // aggregates per window, so the pair set RangeJoin.intervalOverlap
+      // would materialize is pure intermediate state — and the one part
+      // of the plan that grows QUADRATICALLY with event density. The
+      // prefix-sum identities compute the same three aggregates from
+      // O(W + P) endpoint rows; intervalOverlap remains the operator for
+      // callers that need the pairs themselves.
+      graft.core.IntervalAgg.overlapStats(err, att, Seq("window_id"),
+          col("w_start"), col("w_end"), col("a_start"), col("a_end"),
+          col("p_ticks"))
+        .select(col("window_id"), col("n_overlaps").as("n_purchases"),
+          col("measure_sum").as("value_ticks"),
+          col("overlap_len").as("overlap_us"))
         .orderBy("window_id")
     },
 

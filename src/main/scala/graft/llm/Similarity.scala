@@ -800,12 +800,23 @@ object Similarity {
     * first-index tiebreak — the argmin runs on TICK distances so the
     * comparison the oracle replays is integer-exact.
     */
-  private def subCode(v: Column, book: Array[Array[Double]], j: Int): Column = {
-    val scored = zip_with(subDistTicksArr(v, book, j),
-      sequence(lit(0), lit(book.length - 1)),
-      (t, i) => struct(t.as("d"), i.as("c")))
-    element_at(array_sort(scored), 1).getField("c")
-  }
+  private def subCode(v: Column, book: Array[Array[Double]], j: Int): Column =
+    // the native expression is ENCODE's whole cost model: the HOF twin
+    // below allocates per (row, subspace, codeword) and evaluates
+    // interpreted (lambdas are CodegenFallback) — measured ~7× of the
+    // ann_pq query at sf1; graft_pq_code is the identical arithmetic
+    // (left-to-right accumulation, Spark's HALF_UP tick rounding,
+    // low-index ties) as one generated loop, pinned bit-equal by
+    // NativeEquivalenceSpec
+    if (graft.functions.Native.registered)
+      call_function("graft_pq_code", v,
+        typedLit(book.map(_.toSeq).toSeq), lit(j * book(0).length))
+    else {
+      val scored = zip_with(subDistTicksArr(v, book, j),
+        sequence(lit(0), lit(book.length - 1)),
+        (t, i) => struct(t.as("d"), i.as("c")))
+      element_at(array_sort(scored), 1).getField("c")
+    }
 
   /** Train per-subspace PQ codebooks: `m` subspaces of `dim/m` dims, each
     * with `ksub` codewords from a few L2 Lloyd iterations. Training runs
@@ -817,13 +828,18 @@ object Similarity {
     */
   def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                   m: Int, ksub: Int, iters: Int = 4,
-                  sampleCap: Int = 65536): Array[Array[Array[Double]]] = {
+                  sampleCap: Int = 16384): Array[Array[Array[Double]]] = {
+    require(sampleCap >= ksub, s"pqCodebooks: sampleCap < ksub=$ksub")
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
     val d = dim / m
+    // orderBy().limit() materializes as ONE partition — without the
+    // repartition every Lloyd iteration would run single-threaded over
+    // the cached sample (measured: the whole training cost at sf1)
     val sample = emb
       .select(asDouble(col(vecCol)).as("_v"), xxhash64(col(idCol)).as("_h"))
       .orderBy("_h").limit(sampleCap)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .cache()
     try {
       // seeds: the ksub lowest-hash sample rows (deterministic across
@@ -845,14 +861,21 @@ object Similarity {
           struct(lit(j).as("_j"), subCode(col("_v"), books(j), j).as("_c"),
             slice(col("_v"), j * d + 1, d).as("_sv"))
         }
+        // the d dims aggregate as d COLUMNS of one (j, c) group row — a
+        // posexplode here would multiply the aggregated row count by d
+        // for the same means (measured ~1.5× of the training pass)
         val sums = sample
           .select(explode(array(subStructs: _*)).as("s"))
-          .select(col("s._j").as("_j"), col("s._c").as("_c"),
-            posexplode(col("s._sv")).as(Seq("_d", "_x")))
-          .groupBy("_j", "_c", "_d").agg(avg(col("_x")).as("_mean"))
+          .select(col("s._j").as("_j"), col("s._c").as("_c"), col("s._sv").as("_sv"))
+          .groupBy("_j", "_c")
+          .agg(avg(col("_sv")(0)).as("_m0"),
+            (1 until d).map(i => avg(col("_sv")(i)).as(s"_m$i")): _*)
           .collect()
         val updated = books.map(_.map(_.clone()))
-        sums.foreach(r => updated(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+        sums.foreach { r =>
+          val (j, c) = (r.getInt(0), r.getInt(1))
+          (0 until d).foreach(i => updated(j)(c)(i) = r.getDouble(2 + i))
+        }
         books = updated
       }
       books
@@ -904,8 +927,12 @@ object Similarity {
     val scored = codes.crossJoin(broadcast(qd))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("adc_ticks", adc)
-    val w = Window.partitionBy("q_id").orderBy(col("adc_ticks").asc, col(idCol))
-    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
-      .select(col("q_id"), col(idCol), col("adc_ticks"), col("_rn").cast("long").as("rank"))
+    // two-phase top-k (TopK.perKey): a single per-query window would
+    // concentrate |queries| × |corpus| rows into |queries| tasks; the
+    // per-partition pre-truncation ships ≤ k × partitions rows per query
+    graft.core.TopK.perKey(
+        scored.select(col("q_id"), col(idCol), col("adc_ticks")),
+        Seq("q_id"), Seq(col("adc_ticks").asc, col(idCol)), k)
+      .select(col("q_id"), col(idCol), col("adc_ticks"), col("rank"))
   }
 }

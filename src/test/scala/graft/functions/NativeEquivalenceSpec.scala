@@ -101,6 +101,42 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
   }
 
+  test("graft_pq_code == HOF argmin twin, bit-identical ticks, on generated vectors") {
+    // vectors with adversarial magnitudes (ties at the tick boundary are
+    // what the HALF_UP pin protects); book from the same generator
+    val genVal = Gen.frequency(
+      5 -> Gen.chooseNum(-3.0, 3.0),
+      2 -> Gen.chooseNum(-3000.0, 3000.0),
+      1 -> Gen.oneOf(0.0, 0.5e-6, 1.0e-6, -0.5e-6))
+    val dim = 16
+    val m = 4 // 4 subspaces x 4 dims
+    val d = dim / m
+    val genVec = Gen.listOfN(dim, genVal).map(_.toArray)
+    val vecs = sampled(genVec, 300, 77L)
+    val book: Array[Array[Double]] =
+      sampled(Gen.listOfN(d, genVal).map(_.toArray), 8, 99L).toArray
+    val df = vecs.map(v => Tuple1(v.toSeq)).toDF("v")
+    (0 until m).foreach { j =>
+      // HOF twin inlined (the Similarity private formulation)
+      val sv = slice(col("v"), j * d + 1, d)
+      val cwLit = array(book.map(cw =>
+        array(cw.map(lit): _*)): _*)
+      val ticks = transform(cwLit, c =>
+        round(aggregate(zip_with(sv, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t) * lit(1e6)).cast("long"))
+      val scored = zip_with(ticks, sequence(lit(0), lit(book.length - 1)),
+        (t, i) => struct(t.as("d"), i.as("c")))
+      val hof = element_at(array_sort(scored), 1).getField("c")
+      val bad = df.select(
+          call_function("graft_pq_code", col("v"),
+            typedLit(book.map(_.toSeq).toSeq), lit(j * d)).as("nat"),
+          hof.as("dec"))
+        .filter(not(col("nat") <=> col("dec")))
+      assert(bad.count() === 0L,
+        s"subspace $j: " + bad.collect().take(3).mkString("\n"))
+    }
+  }
+
   test("graft_set_overlap == array_intersect/array_union sizes on generated arrays") {
     val genArr = Gen.listOf(Gen.chooseNum(0L, 30L)) // small domain → real overlaps
     val pairs = sampled(Gen.zip(genArr, genArr), 300, 13L)
