@@ -163,13 +163,15 @@ object Bench {
     val nerr = names.size - okNames.size
     val total = okNames.flatMap(best.get).sum
     // The FULL artifact — per-query minima AND every pass's raw time —
-    // goes to a file (SPARK_GRAFT_BENCH_OUT, default target/bench_full.json):
-    // at 108 queries the per-pass grid outgrew the driver's captured stdout
-    // tail (BENCH_r10 carried only 28 of 108 grids), so stdout keeps the
-    // one-line contract with the minima and points at the file via
-    // `"detail"` for the machine-parseable whole.
+    // goes to a file (SPARK_GRAFT_BENCH_OUT, default BENCH_GRID.json in
+    // the working directory): at 131 queries the per-pass grid outgrew
+    // the driver's captured stdout tail (BENCH_r10 carried only 28 of
+    // 108 grids), so stdout keeps the one-line contract with the minima
+    // and points at the file via `"detail"` for the machine-parseable
+    // whole. The default is a NON-gitignored repo-root path so the grid
+    // commits as a provenance artifact beside BENCH_r{N}.json.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      new java.io.File("target/bench_full.json").getAbsolutePath)
+      new java.io.File("BENCH_GRID.json").getAbsolutePath)
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"n_ok":${okNames.size},"n_err":$nerr,"n_runs":$runs,"n_sessions":$sessions,"sf":${Json.q(sfDir)}}"""
     try {
       val p = java.nio.file.Paths.get(outPath)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, GramBuckets, GramCounts, Md5Prefix32, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, WordNgramHashes}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, GramBuckets, GramCounts, Md5Prefix32, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, TermHits, WordNgramHashes}
 import graft.llm.TextAnalysis
 
 /** Session extensions registering graft's native Catalyst expressions so
@@ -94,6 +94,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .toDoubleArray())
         PqSubCode(children(0), book,
           children(2).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_term_hits"),
+      new ExpressionInfo(classOf[TermHits].getName, null, "graft_term_hits",
+        "graft_term_hits(text, terms) - struct(dl, tf[]) token count and " +
+          "per-literal-term frequencies in one pass", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_term_hits requires exactly 2 arguments, got ${children.size}")
+        require(children(1).foldable, "graft_term_hits: terms must be a literal")
+        val arr = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val terms = arr.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+        TermHits(children(0), terms.toSeq)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_gram_counts"),

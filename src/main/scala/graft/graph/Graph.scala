@@ -185,22 +185,31 @@ object Graph {
       e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree"))
     var e = materialize(canonical(edges, srcCol, dstCol))
+    var eCount = e.count()
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
       round += 1
-      val drop = materialize(
-        degrees(e).filter(col("degree") < k).select(col("node")))
-      if (drop.isEmpty) converged = true // monotone: all later rounds no-op
-      else {
-        val next = materialize(
-          e.join(drop.select(col("node").as("u")), Seq("u"), "left_anti")
-            .join(drop.select(col("node").as("v")), Seq("v"), "left_anti")
-            .select("u", "v"))
+      // ONE materialization job per round: the drop set computes inline
+      // as the anti-join's build side (AQE sees its runtime size and
+      // broadcasts it as the peel converges); the early-exit signal is
+      // the free count of the just-materialized edge RDD — edges only
+      // shrink, so an unchanged count proves the drop set was empty and
+      // every later round is an identity
+      val drop = degrees(e).filter(col("degree") < k).select(col("node"))
+      val next = materialize(
+        e.join(drop.select(col("node").as("u")), Seq("u"), "left_anti")
+          .join(drop.select(col("node").as("v")), Seq("v"), "left_anti")
+          .select("u", "v"))
+      val nextCount = next.count()
+      if (nextCount == eCount) {
+        converged = true
+        release(next)
+      } else {
         release(e)
         e = next
+        eCount = nextCount
       }
-      release(drop)
     }
     degrees(e)
   }

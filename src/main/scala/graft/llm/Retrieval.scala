@@ -42,25 +42,46 @@ object Retrieval {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val toks = docs.select(col(idCol),
-      Dedup.tokens(col(textCol)).as("_ts"))
-    // corpus stats: two exact longs reach the driver; avgdl is ONE
-    // double division of them — both engines divide the same integers
-    val stats = toks.agg(count(lit(1)), sum(size(col("_ts"))).cast("long")).head()
-    val nDocs = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / nDocs
-
-    // one shuffle, keyed on the doc id so BOTH aggregations (tf per
-    // (doc, term) and the final per-(query, doc) sum) reuse the same
-    // hash partitioning; the term filter runs before the exchange, so
-    // the shuffle carries only query-term hits
-    val hits = toks
-      .select(col(idCol), size(col("_ts")).cast("long").as("_dl"),
-        explode(col("_ts")).as("_t"))
-      .filter(col("_t").isin(terms: _*))
-      .repartition(col(idCol))
-      .groupBy(col(idCol), col("_t"))
-      .agg(count(lit(1)).as("_tf"), max(col("_dl")).as("_dl"))
+    // the whole per-document work (token count + per-term frequencies)
+    // fuses into ONE native pass over the text (graft_term_hits); the
+    // resulting projection is per-doc METADATA (id + a handful of
+    // longs), cached so the corpus-stats action and the hits branch
+    // share the single tokenization. Sessions without GraftExtensions
+    // take the declarative twin: tokenize for stats, tokenize again,
+    // explode every token through the term filter, and count per
+    // (doc, term) on a doc-keyed exchange.
+    val (nDocs, avgdl, hits) =
+      if (graft.functions.Native.registered) {
+        val th = docs.select(col(idCol),
+            call_function("graft_term_hits", col(textCol),
+              typedLit(terms)).as("_th"))
+          .cache()
+        val stats = th.agg(count(lit(1)),
+          sum(col("_th.dl")).cast("long")).head()
+        val n = stats.getLong(0)
+        val h = th.filter(col("_th").isNotNull)
+          .select(col(idCol), col("_th.dl").as("_dl"),
+            posexplode(col("_th.tf")).as(Seq("_i", "_tf")))
+          .filter(col("_tf") > 0)
+          .withColumn("_t", element_at(typedLit(terms), col("_i") + 1))
+          .select(col(idCol), col("_t"), col("_tf"), col("_dl"))
+        (n, stats.getLong(1).toDouble / n, h)
+      } else {
+        val toks = docs.select(col(idCol),
+          Dedup.tokens(col(textCol)).as("_ts"))
+        // corpus stats: two exact longs reach the driver; avgdl is ONE
+        // double division of them — both engines divide the same integers
+        val stats = toks.agg(count(lit(1)), sum(size(col("_ts"))).cast("long")).head()
+        val n = stats.getLong(0)
+        val h = toks
+          .select(col(idCol), size(col("_ts")).cast("long").as("_dl"),
+            explode(col("_ts")).as("_t"))
+          .filter(col("_t").isin(terms: _*))
+          .repartition(col(idCol))
+          .groupBy(col(idCol), col("_t"))
+          .agg(count(lit(1)).as("_tf"), max(col("_dl")).as("_dl"))
+        (n, stats.getLong(1).toDouble / n, h)
+      }
 
     // df over the hits table (already distinct per (doc, term)):
     // |terms| rows, idf quantized to ticks, broadcast back

@@ -137,6 +137,22 @@ class NativeEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("graft_term_hits == tokenize/size/count twin on generated strings") {
+    val df = (sampled(genText, 300, 41L) ++
+      Seq(null, "", "   ", "the THE The\tthe\n", "hash join hash")).toDF("text")
+    val terms = Seq("the", "hash", "join", "é水", "😀")
+    val toks = Dedup.tokens(col("text"))
+    val declDl = size(toks).cast("long")
+    val declTf = transform(typedLit(terms), t =>
+      size(filter(toks, x => x === t)).cast("long"))
+    val bad = df.select(
+        call_function("graft_term_hits", col("text"), typedLit(terms)).as("nat"),
+        when(col("text").isNull, lit(null))
+          .otherwise(struct(declDl.as("dl"), declTf.as("tf"))).as("dec"))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
+  }
+
   test("graft_set_overlap == array_intersect/array_union sizes on generated arrays") {
     val genArr = Gen.listOf(Gen.chooseNum(0L, 30L)) // small domain → real overlaps
     val pairs = sampled(Gen.zip(genArr, genArr), 300, 13L)
