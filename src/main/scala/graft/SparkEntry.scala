@@ -2538,6 +2538,25 @@ object SparkEntry {
         .orderBy("node")
     },
 
+    // Hub-star fixture: 8 hub vertices (ids 0-7, LOW ids on purpose)
+    // each adjacent to ~every customer, plus the hub clique so the
+    // triangle count is non-trivial. This is the graph where wedge
+    // generation decides survival: an id-ordered orientation puts
+    // C(|customers|, 2) wedges on every hub apex (the naive SQL DNFs at
+    // sf1 — see BENCH_SF1.md), while the (degree, id) orientation gives
+    // hubs out-degree ≤ 7 and spokes ≤ 8, so wedges stay linear in the
+    // customer count. Same operator, same oracle construction.
+    "graph_triangles_hub" -> { (s, dir) =>
+      import s.implicits._
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val spokes = o.select((col("o_custkey") + lit(8)).cast("long").as("p1"),
+        (col("o_orderkey") % 8).cast("long").as("p2"))
+      val hubPairs = (for { i <- 0 until 8; j <- i + 1 until 8 }
+        yield (i.toLong, j.toLong)).toDF("p1", "p2")
+      graft.graph.Graph.triangles(spokes.unionByName(hubPairs), "p1", "p2")
+        .orderBy("node")
+    },
+
     // Local clustering coefficient over the same graph, in exact 1e-6
     // ticks — every vertex gets a row (triangle-free ones at 0).
     "graph_clustering" -> { (s, dir) =>
@@ -3853,6 +3872,39 @@ object SparkEntry {
          |), e0 AS (
          |  SELECT DISTINCT a.pk AS u, b.pk AS v
          |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |), deg AS (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0
+         |  ) GROUP BY n
+         |), dir AS (
+         |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+         |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+         |  FROM e0 e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+         |), tri AS (
+         |  SELECT d1.a, d1.b, d2.b AS c
+         |  FROM dir d1 JOIN dir d2 ON d1.a = d2.a AND d1.b < d2.b
+         |  JOIN e0 ON e0.u = d1.b AND e0.v = d2.b
+         |)
+         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |  SELECT a AS node FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri
+         |) GROUP BY node
+         |ORDER BY node""".stripMargin,
+
+    "graph_triangles_hub" ->
+      // identical degree-orientation construction over the hub-star
+      // fixture (8 low-id hubs + the hub clique + customer spokes)
+      s"""WITH eall AS (
+         |  SELECT CAST(o_custkey + 8 AS BIGINT) AS u0,
+         |         CAST(o_orderkey % 8 AS BIGINT) AS v0 FROM orders
+         |  UNION ALL
+         |  SELECT CAST(u0 AS BIGINT), CAST(v0 AS BIGINT) FROM (VALUES ${
+           (for { i <- 0 until 8; j <- i + 1 until 8 } yield s"($i, $j)").mkString(", ")
+         }) t(u0, v0)
+         |), e0 AS (
+         |  SELECT DISTINCT least(u0, v0) AS u, greatest(u0, v0) AS v
+         |  FROM eall WHERE u0 <> v0
          |), deg AS (
          |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
          |    SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0

@@ -134,9 +134,12 @@ object Graph {
     val tris = wedges.join(e0,
       wedges("b") === e0("u") && wedges("c") === e0("v"))
       .select(col("a"), col("b"), col("c"))
-    tris.select(col("a").as("node"))
-      .unionAll(tris.select(col("b").as("node")))
-      .unionAll(tris.select(col("c").as("node")))
+    // 3-corner credit as a ROW-LOCAL explode — a 3-branch unionAll here
+    // replays the whole wedge pipeline once per corner (the branches get
+    // distinct expression ids, and exchange reuse only dedupes the
+    // shuffles, not the join work between them): measured 3× the whole
+    // operator at 6M edges
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 

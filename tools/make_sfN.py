@@ -132,10 +132,46 @@ def main():
         f"{extra} FROM {em}" for k in range(factor))
     con.execute(f"COPY ({arms}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
-    for t in "region nation customer supplier part orders lineitem".split():
+    # --tpch: ALSO scale orders + lineitem (factor copies with shifted
+    # keys) so the graph fixtures (co-purchase triangles, k-core, the
+    # hub-star row) get a REAL decade instead of the default stable
+    # fixture. Key shifts keep copies disjoint (o_orderkey, o_custkey,
+    # l_orderkey, l_partkey all shift per copy) — degrees are preserved
+    # within each copy, the edge count scales by the factor, and the
+    # hub-star row's hubs (o_orderkey % 8) stay SHARED across copies so
+    # hub degree genuinely scales. Default off: the published grids for
+    # lineitem-based rows were measured on the unscaled fixture and stay
+    # comparable.
+    scale_tpch = "--tpch" in sys.argv
+    plain = "region nation customer supplier part".split()
+    if not scale_tpch:
+        plain += ["orders", "lineitem"]
+    for t in plain:
         p = f"{src}/{t}.parquet"
         if os.path.exists(p):
             shutil.copy(p, f"{out}/{t}.parquet")
+    if scale_tpch:
+        oc = f"read_parquet('{src}/orders.parquet')"
+        ok_shift = con.sql(f"SELECT max(o_orderkey) + 1 FROM {oc}").fetchone()[0]
+        ck_shift = con.sql(f"SELECT max(o_custkey) + 1 FROM {oc}").fetchone()[0]
+        o_cols = [c for c in con.sql(f"SELECT * FROM {oc} LIMIT 0").columns
+                  if c not in ("o_orderkey", "o_custkey")]
+        o_extra = (", " + ", ".join(o_cols)) if o_cols else ""
+        arms = "\nUNION ALL\n".join(
+            f"SELECT o_orderkey + {k * ok_shift} AS o_orderkey,"
+            f" o_custkey + {k * ck_shift} AS o_custkey{o_extra} FROM {oc}"
+            for k in range(factor))
+        con.execute(f"COPY ({arms}) TO '{out}/orders.parquet' (FORMAT PARQUET)")
+        lc = f"read_parquet('{src}/lineitem.parquet')"
+        pk_shift = con.sql(f"SELECT max(l_partkey) + 1 FROM {lc}").fetchone()[0]
+        l_cols = [c for c in con.sql(f"SELECT * FROM {lc} LIMIT 0").columns
+                  if c not in ("l_orderkey", "l_partkey")]
+        l_extra = (", " + ", ".join(l_cols)) if l_cols else ""
+        arms = "\nUNION ALL\n".join(
+            f"SELECT l_orderkey + {k * ok_shift} AS l_orderkey,"
+            f" l_partkey + {k * pk_shift} AS l_partkey{l_extra} FROM {lc}"
+            for k in range(factor))
+        con.execute(f"COPY ({arms}) TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
     for t in "events documents embeddings".split():
         n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
         print(f"{t}: {n} rows")
