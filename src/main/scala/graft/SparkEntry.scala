@@ -2849,6 +2849,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // Deterministic audit slice of dedup_cosine_auto: pairs whose smaller
+    // id md5-hashes into the 1/16 probe set. Same full-corpus config, full
+    // bucket shuffle, full cap census — only the pair stage restricts, so
+    // the oracle's self-join is 1/16-width and FINISHES at sf10 where the
+    // full pair set kills every single-node engine on spill (BENCH_SF1:
+    // >79 GB). This row is the third-decade HASH cell for the bucket-local
+    // cosine machinery; the subset identity is pinned by spec.
+    "dedup_cosine_probe" -> { (s, dir) =>
+      Similarity.cosineDupProbe(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          CosDupThreshold, idc => substring(md5(idc.cast("string")), 1, 1) === "0",
+          AutoRecall, AutoOcc,
+          minBits = AutoMinBits, maxBits = AutoMaxBits, maxTables = AutoMaxTables)
+        .orderBy("id_a", "id_b")
+    },
+
     // -- LLM: similarity search (rows 32-33) --
     "ann_topk" -> { (s, dir) =>
       Similarity.topK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
@@ -4240,6 +4255,23 @@ object SparkEntry {
          |  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
          |         round(${dotSql("l.v", "r.v")} / (l.n * r.n), 6) AS cos
          |  FROM bkv l JOIN bkv r ON l.tbl = r.tbl AND l.bkey = r.bkey AND l.vec_id < r.vec_id
+         |) WHERE cos >= $CosDupThreshold ORDER BY id_a, id_b""".stripMargin,
+
+    // The audit slice: identical machinery, left pair side md5-restricted
+    // to 1/16 of ids — the join is probe×full instead of full×full, which
+    // is what lets DuckDB finish this at sf10 (200k vectors) and hand the
+    // bucket-local cosine plan its third-decade hash cell.
+    "dedup_cosine_probe" ->
+      s"""WITH $EmbCte, ${autoCfgCte()}, bkv AS (
+         |  SELECT a.vec_id, a.tbl, a.bkey, n.v, n.n
+         |  FROM abkt a JOIN nrm n ON n.vec_id = a.vec_id
+         |), bkl AS (
+         |  SELECT * FROM bkv WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+         |)
+         |SELECT DISTINCT id_a, id_b, cos FROM (
+         |  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         |         round(${dotSql("l.v", "r.v")} / (l.n * r.n), 6) AS cos
+         |  FROM bkl l JOIN bkv r ON l.tbl = r.tbl AND l.bkey = r.bkey AND l.vec_id < r.vec_id
          |) WHERE cos >= $CosDupThreshold ORDER BY id_a, id_b""".stripMargin,
 
     // no-config lshTopK: the auto-derived buckets (abkt at recall 0.9,

@@ -525,7 +525,15 @@ object Similarity {
   def cosineDup(emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
                 planes: Array[Array[Double]], bits: Int, numTables: Int,
                 scope: graft.core.CacheScope = graft.core.CacheScope.session,
-                maxBucket: Int = 8192): DataFrame = {
+                maxBucket: Int = 8192): DataFrame =
+    cosineDupImpl(emb, idCol, vecCol, threshold, planes, bits, numTables,
+      scope, maxBucket, probe = None)
+
+  private def cosineDupImpl(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, planes: Array[Array[Double]],
+                            bits: Int, numTables: Int,
+                            scope: graft.core.CacheScope, maxBucket: Int,
+                            probe: Option[Column => Column]): DataFrame = {
     val base = withNorm(emb, idCol, vecCol)
     // ONE cached table: bucket rows WITH their vectors. Both sides of the
     // in-bucket scoring join and the cap census share it; release via
@@ -549,7 +557,13 @@ object Similarity {
         .join(base, idCol))
     val buckets = graft.core.Salting.dropOverCap(
       withVec, Seq("tbl", "key"), maxBucket, s"cosineDup(maxBucket=$maxBucket)")
-    val l = buckets.select(col("tbl"), col("key"), col(idCol).as("id_a"),
+    // PROBE RESTRICTION: filter the LEFT pair side AFTER the cap census so
+    // the buckets, config, and drop decisions are exactly the full query's
+    // — the restricted output is then a literal subset (id_a ∈ probe set)
+    // of the unrestricted output, which is what makes it usable as a
+    // deterministic audit slice (see [[cosineDupProbe]]).
+    val lSide = probe.fold(buckets)(p => buckets.filter(p(col(idCol))))
+    val l = lSide.select(col("tbl"), col("key"), col(idCol).as("id_a"),
       col("_v").as("_va"), col("_n").as("_na"))
     val r = buckets.select(col("tbl"), col("key"), col(idCol).as("id_b"),
       col("_v").as("_vb"), col("_n").as("_nb"))
@@ -765,6 +779,42 @@ object Similarity {
       minBits, maxBits, maxTables)
     cosineDup(emb, idCol, vecCol, threshold,
       hyperplanes(cfg.numPlanes, dim), cfg.bits, cfg.tables, scope, maxBucket)
+  }
+
+  /** [[cosineDupAuto]] restricted to pairs whose SMALLER id satisfies
+    * `probe` — a deterministic audit slice of the near-duplicate pair set.
+    *
+    * The restriction changes NOTHING about the machinery being exercised:
+    * the LSH config still derives from the FULL corpus count, every vector
+    * still buckets into every table (the full co-location shuffle), and
+    * the mega-bucket cap census runs over the FULL buckets — only the left
+    * side of the in-bucket pair scoring filters to the probe set, so the
+    * output is exactly `cosineDupAuto(...).filter(probe(id_a))` (pinned by
+    * spec) at a pair-stage cost of |probe|/n of the full run.
+    *
+    * Why this exists: at corpus scales where NO single-node engine can
+    * materialize the full pair set (the sf10 DuckDB oracle dies on >79 GB
+    * of spill — and so did this operator's pre-round-11 shuffle shape), a
+    * deterministic slice is the auditable unit: an independent engine can
+    * re-derive the slice exactly and hash-compare it, and a production
+    * pipeline can spot-audit 1/k of its dedup decisions per day at 1/k
+    * cost. Use a content-hash probe (e.g. `md5(id)` prefix) rather than a
+    * modulus so the slice is uncorrelated with any id-assignment scheme.
+    */
+  def cosineDupProbe(emb: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, probe: Column => Column,
+                     targetRecall: Double = 0.9, targetOccupancy: Int = 64,
+                     minBits: Int = 4, maxBits: Int = 24, maxTables: Int = 32,
+                     scope: graft.core.CacheScope = graft.core.CacheScope.session,
+                     maxBucket: Int = 8192): DataFrame = {
+    val stats = emb.agg(count(lit(1)), max(size(col(vecCol)))).head()
+    val n = stats.getLong(0)
+    val dim = if (stats.isNullAt(1)) 1 else stats.getInt(1)
+    val cfg = lshAutoConfig(n, threshold, targetRecall, targetOccupancy,
+      minBits, maxBits, maxTables)
+    cosineDupImpl(emb, idCol, vecCol, threshold,
+      hyperplanes(cfg.numPlanes, dim), cfg.bits, cfg.tables, scope, maxBucket,
+      probe = Some(probe))
   }
 
   // ----- product quantization (Jégou et al. 2011, the faiss PQ/ADC recipe) -----

@@ -118,6 +118,28 @@ class SimilaritySpec extends SparkSpec {
     assert(dflt.contains((1L, 2L)) && dflt.contains((101L, 102L)))
   }
 
+  test("cosineDupProbe == cosineDupAuto restricted to probe(id_a) — the audit-slice identity") {
+    val probe: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      idc => substring(md5(idc.cast("string")), 1, 1) === "0"
+    // 120 vectors so the 1/16 md5 slice is provably populated (ids 27, 59,
+    // 60, 63 land in it and each has larger cluster-mates)
+    val rng2 = new scala.util.Random(11)
+    val centers = Seq.fill(3)(Array.fill(Dim)(rng2.nextGaussian()))
+    val big = (0 until 120).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rng2.nextGaussian() * 0.05).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    // threshold 0.4 at the graded dedup_cosine_probe parameters
+    val full = Similarity.cosineDupAuto(big, "vec_id", "embedding", 0.4, targetRecall = 0.5)
+      .filter(probe(col("id_a")))
+      .as[(Long, Long, Double)].collect().toSet
+    val sliced = Similarity.cosineDupProbe(big, "vec_id", "embedding", 0.4, probe,
+        targetRecall = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sliced === full)
+    assert(sliced.nonEmpty) // the fixture must actually exercise the slice
+  }
+
   test("cosineDup plan: ONE pair join, threshold filter below the distinct (round-11 shape)") {
     val planes = Similarity.hyperplanes(12, Dim)
     val plan = Similarity.cosineDup(emb, "vec_id", "embedding", 0.95, planes, 3, 4)
