@@ -24,46 +24,103 @@ object Stats {
   /** Exact interpolated quantiles of `valueCol` per group: one row per
     * `(groupCols…, p)` with `q` rounded to 6.
     *
-    * Plan shape: ONE exchange total. The rank/count windows share the
-    * group hash partition, the candidate filter keeps ≤ 2·|ps| rows per
-    * group, and the final per-(group, p) aggregation still clusters by a
-    * superset of the group key, so Spark reuses the same partitioning
-    * (subset rule — no second shuffle). The in-partition sort is the
-    * honest cost of EXACT quantiles; when groups are corpus-sized and
-    * approximation is acceptable, `approx_percentile` is the documented
-    * swap — this operator exists for when the number must be exact and
-    * reproducible.
+    * Plan shape — two-pass crossing-bin extraction, NO full per-group
+    * sort (the round-12 exactness premium, closed): pass 1 aggregates
+    * per-group min/max/n, pass 2 aggregates equal-width bin counts
+    * (both map-side combined to ≤ groups × nBins rows before any
+    * exchange — the [[binnedQuantiles]] count table, reused here to
+    * LOCATE rather than approximate). Each target rank `p·(n−1)` needs
+    * the order statistics at ⌊rank⌋ and ⌊rank⌋+1; the cumulative bin
+    * table pins each one to its crossing bin and an in-bin offset, so
+    * pass 3 sorts ONLY the crossing-bin rows (expected n/nBins per
+    * needed bin, ≤ 2·|ps| bins per group) under a (group, bin) window.
+    * Bin membership is a pure function of the value, so per-bin sorted
+    * order concatenates to global sorted order and ties (equal values,
+    * equal bin) cannot perturb the extracted value — the result is
+    * bit-identical to a full per-group sort, at a vanishing fraction of
+    * its cost when groups are corpus-sized.
+    *
+    * NULLs are DROPPED before ranking (standard quantile semantics) —
+    * otherwise nulls would count into n and rank differently across
+    * engines, silently breaking the cross-engine contract. NULL group
+    * KEYS are dropped too (the bin-count passes are equi-joins on the
+    * group columns, standard SQL null semantics) — group keys must be
+    * non-null, the same contract [[equiDepthHistogram]] always had.
     */
   def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
-                ps: Seq[Double]): DataFrame = {
+                ps: Seq[Double], nBins: Int = 4096): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "quantiles: ps must be within [0, 1]")
+    require(nBins >= 2 && nBins <= 65536,
+      "quantiles: nBins must be in [2, 65536]")
+    val reserved = Seq("_v", "_mn", "_mx", "_n", "_bin", "_c", "_cum",
+      "_rank", "_lo", "_frac", "_idx", "_w", "_j", "p", "q")
+    val clash = groupCols.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"quantiles: group column(s) ${clash.mkString(", ")} collide with working names")
     val gs = groupCols.map(col)
-    val w = Window.partitionBy(gs: _*).orderBy(col("_v"))
-    val wAll = Window.partitionBy(gs: _*)
-    // NULLs are DROPPED before ranking (standard quantile semantics) —
-    // without this, Spark's window orderBy ranks nulls first while other
-    // engines rank them last, and nulls would still count into _n, so a
-    // nullable valueCol would silently break the cross-engine contract.
-    val ranked = df
-      .select(gs :+ valueCol.cast("double").as("_v"): _*)
+    val v = df.select(gs :+ valueCol.cast("double").as("_v"): _*)
       .filter(col("_v").isNotNull)
-      .withColumn("_i", row_number().over(w) - 1)
-      .withColumn("_n", count(lit(1)).over(wAll))
-    val cand = ranked
-      .select(gs ++ Seq(col("_v"), col("_i"), col("_n"),
+    // Pass 1: per-group bounds + count (map-side combined to one row/group).
+    val bounds = v.groupBy(gs: _*)
+      .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
+        count(lit(1)).as("_n"))
+    val width = (col("_mx") - col("_mn")) / lit(nBins.toDouble)
+    val binOf = when(col("_mx") === col("_mn"), lit(0L))
+      .otherwise(least(floor((col("_v") - col("_mn")) / width).cast("long"),
+        lit(nBins - 1L)))
+    // Pass 2: bin counts (map-side combined to ≤ groups × nBins rows).
+    val cnts = v.join(broadcast(bounds), groupCols)
+      .withColumn("_bin", binOf)
+      .groupBy(gs :+ col("_bin"): _*).agg(count(lit(1)).as("_c"))
+    val cum = cnts.withColumn("_cum",
+      sum(col("_c")).over(Window.partitionBy(gs: _*).orderBy(col("_bin"))))
+    // Targets: (group, p) → the global 0-based indices ⌊rank⌋ ("a") and
+    // ⌊rank⌋+1 ("b", only when it exists). Identical operation order to
+    // the pinned formula: rank = p·(n−1) as double, lo = floor, frac =
+    // rank − lo (long→double promotion), so the hash cannot move.
+    val targets = bounds
+      .select(gs ++ Seq(col("_n"),
         explode(array(ps.map(lit): _*)).as("p")): _*)
       .withColumn("_rank", col("p") * (col("_n") - 1).cast("double"))
       .withColumn("_lo", floor(col("_rank")))
-      .filter(col("_i") === col("_lo") || col("_i") === col("_lo") + 1)
-    cand
+      .withColumn("_frac", col("_rank") - col("_lo"))
+      .select(gs ++ Seq(col("p"), col("_frac"), col("_n"),
+        explode(array(
+          struct(col("_lo").as("_idx"), lit("a").as("_w")),
+          struct((col("_lo") + 1).as("_idx"), lit("b").as("_w")))).as("_t")): _*)
+      .select(gs ++ Seq(col("p"), col("_frac"),
+        col("_t._idx").as("_idx"), col("_t._w").as("_w"), col("_n")): _*)
+      .filter(col("_idx") <= col("_n") - 1)
+      .drop("_n")
+    // Locate each target index's crossing bin + in-bin offset over the
+    // metadata-sized cumulative table: cumBefore ≤ idx < cum is unique.
+    val cumR = cum.select(
+      (groupCols.map(g => col(g).as(s"__g_$g")) ++
+        Seq(col("_bin"), col("_c"), col("_cum"))): _*)
+    val located = targets.join(broadcast(cumR),
+        groupCols.map(g => col(g) === col(s"__g_$g")).reduce(_ && _) &&
+          (col("_cum") - col("_c")) <= col("_idx") && col("_idx") < col("_cum"))
+      .withColumn("_j", col("_idx") - (col("_cum") - col("_c")))
+      .select(gs ++ Seq(col("_bin"), col("_j"), col("p"), col("_frac"), col("_w")): _*)
+    val needed = located.select(gs :+ col("_bin"): _*).distinct()
+    // Pass 3: restrict the corpus to needed bins (broadcast semi-shaped
+    // join), sort ONLY those rows under a (group, bin) window, and pull
+    // the located offsets.
+    val wBin = Window.partitionBy(gs :+ col("_bin"): _*).orderBy(col("_v"))
+    val crossing = v.join(broadcast(bounds), groupCols)
+      .withColumn("_bin", binOf)
+      .join(broadcast(needed), groupCols :+ "_bin")
+      .withColumn("_j", row_number().over(wBin) - lit(1L))
+      .select(gs ++ Seq(col("_bin"), col("_j"), col("_v")): _*)
+    crossing.join(broadcast(located), groupCols ++ Seq("_bin", "_j"))
       .groupBy(gs :+ col("p"): _*)
       .agg(
-        min(when(col("_i") === col("_lo"), col("_v"))).as("_a"),
-        min(when(col("_i") === col("_lo") + 1, col("_v"))).as("_b"),
-        min(col("_rank") - col("_lo")).as("_frac"))
+        min(when(col("_w") === "a", col("_v"))).as("_a"),
+        min(when(col("_w") === "b", col("_v"))).as("_b"),
+        min(col("_frac")).as("_f"))
       .withColumn("q",
-        round(col("_a") + (coalesce(col("_b"), col("_a")) - col("_a")) * col("_frac"), 6))
+        round(col("_a") + (coalesce(col("_b"), col("_a")) - col("_a")) * col("_f"), 6))
       .select(gs ++ Seq(col("p"), col("q")): _*)
   }
 
@@ -86,12 +143,13 @@ object Stats {
     * anywhere within its bin cannot cross a bin edge), which the spec
     * pins against the exact [[quantiles]] on random data.
     *
-    * Plan shape — the reason this exists: NO per-group sort anywhere.
-    * Two data scans (min/max, then bin counts), BOTH map-side combined
-    * to ≤ groups × nBins rows before any exchange; the cumulative pass
-    * and probe selection run over that metadata-sized bin table. The
-    * exact [[quantiles]] sorts every group in-partition — the honest
-    * exactness premium; this is the one you run at 100 TB.
+    * Plan shape — the reason this exists: NO sort anywhere, not even a
+    * crossing-bin one. Two data scans (min/max, then bin counts), BOTH
+    * map-side combined to ≤ groups × nBins rows before any exchange;
+    * the cumulative pass and probe selection run over that
+    * metadata-sized bin table. The exact [[quantiles]] pays a third
+    * scan plus a narrow crossing-bin sort; this estimator answers from
+    * the count table alone — the two-scan floor for a rank statistic.
     */
   def binnedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                       ps: Seq[Double], nBins: Int = 4096): DataFrame = {
@@ -145,7 +203,7 @@ object Stats {
     * (groups × (nBuckets−1)) and BROADCAST into one assignment scan —
     * the corpus never shuffles for the assignment, only for the
     * final (group, bucket) count, which map-side combines. The exact
-    * boundary computation pays [[quantiles]]'s one in-partition sort;
+    * boundary computation pays [[quantiles]]'s crossing-bin passes;
     * corpus-sized groups that tolerate approximation swap in
     * `approx_percentile` boundaries upstream.
     */

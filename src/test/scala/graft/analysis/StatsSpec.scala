@@ -45,11 +45,47 @@ class StatsSpec extends SparkSpec {
     assert(!out.exists(_.getString(0) == "h"))
   }
 
-  test("quantiles plan: one exchange — candidate filter and final agg reuse the group hash") {
+  test("quantiles plan: no full per-group sort — the only data sort is windowed by (group, bin)") {
     val df = Seq(("g", 1.0)).toDF("k", "v")
     val plan = Stats.quantiles(df, Seq("k"), col("v"), Seq(0.5))
       .queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, s"plan:\n$plan")
+    // every Sort over _v must be partition-scoped to the crossing bin:
+    // its sort key list carries _bin before _v (the (group, bin) window),
+    // never a bare (group, _v) global order
+    val sortsOnV = plan.linesIterator.filter(l =>
+      l.contains("Sort [") && l.contains("_v")).toSeq
+    assert(sortsOnV.nonEmpty, s"expected a crossing-bin window sort:\n$plan")
+    sortsOnV.foreach { l =>
+      assert(l.indexOf("_bin") >= 0 && l.indexOf("_bin") < l.indexOf("_v"),
+        s"data sort must be bin-scoped, got: $l\nplan:\n$plan")
+    }
+    // the needed-bin restriction broadcasts — the corpus never shuffles
+    // to meet the metadata-sized locator tables
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("quantiles: two-pass crossing-bin plan matches a full-sort reference bit-for-bit") {
+    // skewed, tie-heavy data across several groups, awkward bin edges
+    val vals = (1 to 4000).map { i =>
+      val g = "g" + (i % 3)
+      val v = if (i % 7 == 0) 42.0 else ((i * 2654435761L) % 9973L).toDouble / 7.0
+      (g, v)
+    }
+    val df = vals.toDF("k", "v").repartition(5)
+    val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = Stats.quantiles(df, Seq("k"), col("v"), ps, nBins = 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byG = vals.groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2).sorted }
+    for ((g, sorted) <- byG; p <- ps) {
+      val rank = p * (sorted.size - 1)
+      val lo = math.floor(rank).toInt
+      val frac = rank - lo
+      val a = sorted(lo)
+      val b = if (lo + 1 <= sorted.size - 1) sorted(lo + 1) else a
+      val want = BigDecimal(a + (b - a) * frac)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((g, p)) === want, s"g=$g p=$p")
+    }
   }
 
   // --- equiDepthHistogram ---
