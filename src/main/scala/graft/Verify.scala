@@ -8,6 +8,11 @@ import graft.util.Json
   * plus oracle_sql.json, for the driver's DuckDB compare.
   */
 object Verify {
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query ...]")
     val (sfDir, outDir) = (args(0), args(1))
@@ -31,8 +36,24 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        // The graded oracles do NOT model Salting.dropOverCap: parity
+        // relies on zero drops at every graded SF (empirically true). A
+        // cap-fire during a graded query must therefore surface as an
+        // EXPLICIT failure here, never as a downstream hash mismatch —
+        // the census registry makes the assumption checked (advisor,
+        // round 12).
+        val dropsBefore = graft.core.Salting.recordedDropEvents.size
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val fired = graft.core.Salting.recordedDropEvents.drop(dropsBefore)
+        if (fired.nonEmpty) {
+          deleteRecursively(new java.io.File(s"$outDir/$name"))
+          throw new IllegalStateException(
+            s"over-cap drop fired during graded query (oracle does not model the cap): " +
+              fired.map(e => s"${e.what} nGroups=${e.nGroups} max=${e.maxSize}").mkString("; "))
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -46,12 +46,35 @@ object Salting {
     * broadcast anti-join, whose build side is metadata-sized by
     * construction (at most #rows / cap groups).
     */
+  /** One cap-census firing: caller tag, over-cap group count, largest
+    * group size. Recorded so a grading harness can ASSERT zero drops —
+    * the graded oracles don't model the cap, so a cap-fire must surface
+    * as an explicit failure, never as a silent hash mismatch (advisor,
+    * round 12).
+    */
+  final case class DropEvent(what: String, nGroups: Long, maxSize: Long)
+
+  // The census runs eagerly on the driver (head() at plan-build time),
+  // so this registry is driver-side; the queue makes concurrent query
+  // builds (bench sessions) safe. Bounded by actual cap fires — empty
+  // in every healthy run.
+  private val dropEvents = new java.util.concurrent.ConcurrentLinkedQueue[DropEvent]()
+
+  /** Drop events recorded since JVM start (or the last [[clearDropEvents]]). */
+  def recordedDropEvents: Seq[DropEvent] = {
+    import scala.jdk.CollectionConverters._
+    dropEvents.iterator().asScala.toSeq
+  }
+
+  def clearDropEvents(): Unit = dropEvents.clear()
+
   def dropOverCap(df: DataFrame, keyCols: Seq[String], cap: Int, what: String): DataFrame = {
     val hot = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_sz"))
       .filter(col("_sz") > cap)
     val census = hot.agg(count(lit(1)).as("_n"), max(col("_sz")).as("_max")).head()
     if (census.getLong(0) == 0) df // common case: nothing to drop, add NO join
     else {
+      dropEvents.add(DropEvent(what, census.getLong(0), census.getLong(1)))
       log.warn(s"$what: dropping ${census.getLong(0)} over-cap key group(s) " +
         s"(largest ${census.getLong(1)} rows > cap $cap) from pairing — " +
         "quadratic-clique guard; run exact dedup upstream or raise the cap knowingly")

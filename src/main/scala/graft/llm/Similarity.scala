@@ -770,15 +770,32 @@ object Similarity {
                     targetRecall: Double = 0.9, targetOccupancy: Int = 64,
                     minBits: Int = 4, maxBits: Int = 24, maxTables: Int = 32,
                     scope: graft.core.CacheScope = graft.core.CacheScope.session,
-                    maxBucket: Int = 8192): DataFrame = {
+                    maxBucket: Int = 8192): DataFrame =
+    cosineDupAutoImpl(emb, idCol, vecCol, threshold, targetRecall,
+      targetOccupancy, minBits, maxBits, maxTables, scope, maxBucket,
+      probe = None)
+
+  /** ONE code path derives the corpus stats + LSH config for BOTH the
+    * full auto run and the probe slice — the documented identity
+    * `cosineDupProbe == cosineDupAuto.filter(probe(id_a))` holds by
+    * construction, not by keeping two derivations in sync (advisor,
+    * round 12).
+    */
+  private def cosineDupAutoImpl(emb: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, targetRecall: Double,
+                                targetOccupancy: Int, minBits: Int, maxBits: Int,
+                                maxTables: Int, scope: graft.core.CacheScope,
+                                maxBucket: Int,
+                                probe: Option[Column => Column]): DataFrame = {
     // one aggregation job for both stats (empty corpus → dim row is null)
     val stats = emb.agg(count(lit(1)), max(size(col(vecCol)))).head()
     val n = stats.getLong(0)
     val dim = if (stats.isNullAt(1)) 1 else stats.getInt(1)
     val cfg = lshAutoConfig(n, threshold, targetRecall, targetOccupancy,
       minBits, maxBits, maxTables)
-    cosineDup(emb, idCol, vecCol, threshold,
-      hyperplanes(cfg.numPlanes, dim), cfg.bits, cfg.tables, scope, maxBucket)
+    cosineDupImpl(emb, idCol, vecCol, threshold,
+      hyperplanes(cfg.numPlanes, dim), cfg.bits, cfg.tables, scope, maxBucket,
+      probe)
   }
 
   /** [[cosineDupAuto]] restricted to pairs whose SMALLER id satisfies
@@ -806,16 +823,10 @@ object Similarity {
                      targetRecall: Double = 0.9, targetOccupancy: Int = 64,
                      minBits: Int = 4, maxBits: Int = 24, maxTables: Int = 32,
                      scope: graft.core.CacheScope = graft.core.CacheScope.session,
-                     maxBucket: Int = 8192): DataFrame = {
-    val stats = emb.agg(count(lit(1)), max(size(col(vecCol)))).head()
-    val n = stats.getLong(0)
-    val dim = if (stats.isNullAt(1)) 1 else stats.getInt(1)
-    val cfg = lshAutoConfig(n, threshold, targetRecall, targetOccupancy,
-      minBits, maxBits, maxTables)
-    cosineDupImpl(emb, idCol, vecCol, threshold,
-      hyperplanes(cfg.numPlanes, dim), cfg.bits, cfg.tables, scope, maxBucket,
+                     maxBucket: Int = 8192): DataFrame =
+    cosineDupAutoImpl(emb, idCol, vecCol, threshold, targetRecall,
+      targetOccupancy, minBits, maxBits, maxTables, scope, maxBucket,
       probe = Some(probe))
-  }
 
   // ----- product quantization (Jégou et al. 2011, the faiss PQ/ADC recipe) -----
 

@@ -38,6 +38,19 @@ class SaltingSpec extends SparkSpec {
     assert(atCap.size === 43)
   }
 
+  test("dropOverCap: cap fires are recorded in the census registry, unhit runs are not") {
+    val df = ((1 to 40).map(i => (i.toLong, "mega")) ++
+      Seq((101L, "small"), (102L, "small"))).toDF("id", "k")
+    Salting.clearDropEvents()
+    Salting.dropOverCap(df, Seq("k"), cap = 100, what = "regspec-quiet")
+    assert(Salting.recordedDropEvents.isEmpty)
+    Salting.dropOverCap(df, Seq("k"), cap = 10, what = "regspec-fire").count()
+    val fired = Salting.recordedDropEvents
+    assert(fired.size === 1)
+    assert(fired.head === Salting.DropEvent("regspec-fire", 1L, 40L))
+    Salting.clearDropEvents()
+  }
+
   test("dropOverCap == independent size-filter formulation on generated skewed data") {
     // seeded generator: Zipf-ish key skew (key j gets ~N/j rows) so caps
     // land strictly inside the size distribution, not at its edges
