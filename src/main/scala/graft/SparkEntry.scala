@@ -1402,6 +1402,11 @@ object SparkEntry {
   // filter, no sampling job) so the edge count stays linear in SF.
   private val TriMaxLine = 3
 
+  // graph_*_probe apex slice: md5 first hex char — 1/16 of apexes, the
+  // same content-hash residue convention as dedup_cosine_probe (a hash,
+  // not a modulus, so the slice is uncorrelated with id assignment).
+  private val GraphProbeResidue = "0"
+
   // graph_kcore: k chosen so the peel is non-trivial but non-empty on
   // the co-purchase graph (k=12 keeps ~90% of vertices after peeling);
   // 8 pinned rounds ≥ the measured convergence depth at every graded SF
@@ -2568,6 +2573,43 @@ object SparkEntry {
           col("ok") === col("ok2") && col("p1") < col("p2"))
         .select("p1", "p2")
       graft.graph.Graph.clustering(edges, "p1", "p2")
+        .orderBy("node")
+    },
+
+    // Apex-restricted audit slices (the dedup_cosine_probe pattern
+    // applied to the wedge join): canonicalization, degrees, and the
+    // (degree, id) orientation run over the WHOLE graph; only wedge
+    // generation restricts to the 1/16 md5 apex slice — each triangle is
+    // counted at exactly one apex, so the slice is a deterministic
+    // sub-multiset an independent engine replays exactly. This is what
+    // hash-grades the orientation machinery at the graph decade where
+    // the full oracle dies on ~70 GB of wedge spill (BENCH_SF1, sfg10).
+    "graph_triangles_probe" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") <= TriMaxLine)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("p1"))
+        .join(li.select(col("ok").as("ok2"), col("pk").as("p2")),
+          col("ok") === col("ok2") && col("p1") < col("p2"))
+        .select("p1", "p2")
+      graft.graph.Graph.trianglesProbe(edges, "p1", "p2",
+          a => substring(md5(a.cast("string")), 1, 1) === GraphProbeResidue)
+        .orderBy("node")
+    },
+
+    // The clustering twin: full degrees, identical tick arithmetic, the
+    // numerator over the apex slice — grades the coefficient machinery
+    // end-to-end at the same 1/16 wedge cost.
+    "graph_clustering_probe" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") <= TriMaxLine)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("p1"))
+        .join(li.select(col("ok").as("ok2"), col("pk").as("p2")),
+          col("ok") === col("ok2") && col("p1") < col("p2"))
+        .select("p1", "p2")
+      graft.graph.Graph.clusteringProbe(edges, "p1", "p2",
+          a => substring(md5(a.cast("string")), 1, 1) === GraphProbeResidue)
         .orderBy("node")
     },
 
@@ -3957,6 +3999,78 @@ object SparkEntry {
          |  SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.u ELSE e.v END AS a,
          |         CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.v ELSE e.u END AS b
          |  FROM e0 e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+         |), tri AS (
+         |  SELECT d1.a, d1.b, d2.b AS c
+         |  FROM dir d1 JOIN dir d2 ON d1.a = d2.a AND d1.b < d2.b
+         |  JOIN e0 ON e0.u = d1.b AND e0.v = d2.b
+         |), tcnt AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT a AS node FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri
+         |  ) GROUP BY node
+         |)
+         |SELECT deg.node, deg.degree,
+         |       CAST(coalesce(tcnt.n_tri, 0) AS BIGINT) AS n_tri,
+         |       CAST(CASE WHEN deg.degree >= 2
+         |            THEN (2000000 * coalesce(tcnt.n_tri, 0)) // (deg.degree * (deg.degree - 1))
+         |            ELSE 0 END AS BIGINT) AS coeff_ticks
+         |FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+         |ORDER BY deg.node""".stripMargin,
+
+    // Apex slice of the identical construction: dir filters to md5-slice
+    // apexes BEFORE the wedge self-join (1/16 of the wedge volume — what
+    // lets this oracle fit on disk at sfg10 where the full one dies).
+    // MATERIALIZED CTEs: dir feeds both wedge sides and e0 three
+    // consumers; default inlining would replay the distinct per consumer.
+    "graph_triangles_probe" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |  WHERE l_linenumber <= $TriMaxLine
+         |), e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |), deg AS MATERIALIZED (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0
+         |  ) GROUP BY n
+         |), dir AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+         |           CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+         |    FROM e0 e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+         |  ) WHERE substr(md5(CAST(a AS VARCHAR)), 1, 1) = '$GraphProbeResidue'
+         |), tri AS (
+         |  SELECT d1.a, d1.b, d2.b AS c
+         |  FROM dir d1 JOIN dir d2 ON d1.a = d2.a AND d1.b < d2.b
+         |  JOIN e0 ON e0.u = d1.b AND e0.v = d2.b
+         |)
+         |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |  SELECT a AS node FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri
+         |) GROUP BY node
+         |ORDER BY node""".stripMargin,
+
+    // Clustering twin of the apex slice: FULL degrees, identical tick
+    // arithmetic, n_tri over the slice.
+    "graph_clustering_probe" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |  WHERE l_linenumber <= $TriMaxLine
+         |), e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |), deg AS MATERIALIZED (
+         |  SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0
+         |  ) GROUP BY n
+         |), dir AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.u ELSE e.v END AS a,
+         |           CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.v ELSE e.u END AS b
+         |    FROM e0 e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+         |  ) WHERE substr(md5(CAST(a AS VARCHAR)), 1, 1) = '$GraphProbeResidue'
          |), tri AS (
          |  SELECT d1.a, d1.b, d2.b AS c
          |  FROM dir d1 JOIN dir d2 ON d1.a = d2.a AND d1.b < d2.b

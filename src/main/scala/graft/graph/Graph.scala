@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over edge lists — the iterative-join frontier that
@@ -114,7 +114,30 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
 
-  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    trianglesImpl(edges, srcCol, dstCol, probe = None)
+
+  /** [[triangles]] restricted to triangles whose ORIENTATION APEX — the
+    * (degree, id)-minimum corner, the vertex every triangle is counted
+    * at exactly once — satisfies `probe`: the graph twin of
+    * [[graft.llm.Similarity.cosineDupProbe]]'s deterministic audit
+    * slice. The machinery is the full query's (one code path below:
+    * canonicalization, the degree aggregation, and the orientation all
+    * run over the WHOLE graph); only wedge generation restricts to
+    * probe apexes, so wedge volume — the term that kills single-node
+    * engines on hub graphs — scales by |probe|/n while every surviving
+    * wedge still exercises the identical closing-edge join and 3-corner
+    * credit. An independent engine replays the slice exactly (the apex
+    * is a pure function of the canonical graph), which is what makes a
+    * hash cell possible at scales where the full oracle dies on wedge
+    * spill. Use a content-hash probe (md5 prefix), not a modulus.
+    */
+  def trianglesProbe(edges: DataFrame, srcCol: String, dstCol: String,
+                     probe: Column => Column): DataFrame =
+    trianglesImpl(edges, srcCol, dstCol, probe = Some(probe))
+
+  private def trianglesImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                            probe: Option[Column => Column]): DataFrame = {
     val e0 = canonical(edges, srcCol, dstCol)
     val deg = e0.select(col("u").as("n")).unionAll(e0.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -127,10 +150,15 @@ object Graph {
           struct(col("u").as("a"), col("v").as("b")))
           .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("_e"))
       .select(col("_e.a").as("a"), col("_e.b").as("b"))
+    // APEX RESTRICTION: filter AFTER orientation (the apex is already a
+    // pure function of the full canonical graph) and BEFORE the wedge
+    // self-join, so the slice cuts the quadratic term, not the setup —
+    // both wedge sides share the apex key, so one filter restricts both
+    val dirP = probe.fold(dir)(p => dir.filter(p(col("a"))))
     // wedges from out-edges of the shared apex; (b, c) kept in id order so
     // the closing lookup hits e0's canonical (min, max) form directly
-    val d2 = dir.select(col("a"), col("b").as("c"))
-    val wedges = dir.join(d2, Seq("a")).filter(col("b") < col("c"))
+    val d2 = dirP.select(col("a"), col("b").as("c"))
+    val wedges = dirP.join(d2, Seq("a")).filter(col("b") < col("c"))
     val tris = wedges.join(e0,
       wedges("b") === e0("u") && wedges("c") === e0("v"))
       .select(col("a"), col("b"), col("c"))
@@ -217,7 +245,24 @@ object Graph {
     degrees(e)
   }
 
-  def clustering(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def clustering(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    clusteringImpl(edges, srcCol, dstCol, probe = None)
+
+  /** [[clustering]] with the triangle NUMERATOR apex-restricted by
+    * `probe` (see [[trianglesProbe]]): every vertex still gets a row
+    * with its FULL degree, and the coefficient arithmetic is the
+    * identical integer-tick formula — only n_tri counts the probe-apex
+    * triangle slice. A deterministic sub-quantity, not the true
+    * coefficient: its value is grading the full coefficient machinery
+    * (degrees, left join, tick division) at scales where the oracle
+    * cannot materialize the full wedge set.
+    */
+  def clusteringProbe(edges: DataFrame, srcCol: String, dstCol: String,
+                      probe: Column => Column): DataFrame =
+    clusteringImpl(edges, srcCol, dstCol, probe = Some(probe))
+
+  private def clusteringImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                             probe: Option[Column => Column]): DataFrame = {
     // the canonical set appears in both branches as the same subplan —
     // Spark reuses the distinct's exchange (ReusedExchange), no cache
     // needed (and a cache would be wrong here: this is lazy plan
@@ -225,7 +270,7 @@ object Graph {
     val e0 = canonical(edges, srcCol, dstCol)
     val deg = e0.select(col("u").as("node")).unionAll(e0.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    deg.join(triangles(e0, "u", "v"), Seq("node"), "left")
+    deg.join(trianglesImpl(e0, "u", "v", probe), Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         when(col("degree") >= 2,

@@ -89,6 +89,63 @@ class GraphSpec extends SparkSpec {
     assert(gotRep === expect.toMap)
   }
 
+  test("trianglesProbe: all-true probe == triangles; md5 slice == apex-restricted reference") {
+    val rnd = new scala.util.Random(13)
+    val raw = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val edges = raw.toDF("s", "d")
+    val full = Graph.triangles(edges, "s", "d")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val allTrue = Graph.trianglesProbe(edges, "s", "d", _ => lit(true))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(allTrue === full)
+    // reference: per-triangle apex = the (degree, id)-minimum corner;
+    // keep triangles whose apex md5 starts with the probe residue
+    val es = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 != p._2).toSet
+    val degOf = es.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    def md5c(id: Long): Char = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(d(0)).charAt(0)
+    }
+    val inSlice = (id: Long) => md5c(id) == '0' || md5c(id) == '1'
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val expect = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if es((a, b)) && es((b, c)) && es((a, c))
+      apex = Seq(a, b, c).minBy(n => (degOf(n), n))
+      if inSlice(apex)
+    } { expect(a) += 1; expect(b) += 1; expect(c) += 1 }
+    val got = Graph.trianglesProbe(edges.repartition(5), "s", "d",
+        ap => substring(md5(ap.cast("string")), 1, 1).isin("0", "1"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got === expect.toMap)
+  }
+
+  test("clusteringProbe: full degrees, slice numerator, identical tick arithmetic") {
+    val rnd = new scala.util.Random(29)
+    val raw = Seq.fill(260)((rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+    val edges = raw.toDF("s", "d")
+    val probe = (ap: org.apache.spark.sql.Column) =>
+      substring(md5(ap.cast("string")), 1, 1).isin("0", "1", "2", "3")
+    val fullC = Graph.clustering(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val triP = Graph.trianglesProbe(edges, "s", "d", probe)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap.withDefaultValue(0L)
+    val gotC = Graph.clusteringProbe(edges, "s", "d", probe)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(gotC.keySet === fullC.keySet) // every vertex still gets a row
+    gotC.foreach { case (n, (deg, ntri, ticks)) =>
+      assert(deg === fullC(n)._1, s"degree of $n must be the FULL degree")
+      assert(ntri === triP(n), s"numerator of $n must be the slice count")
+      val want = if (deg >= 2) 2000000L * triP(n) / (deg * (deg - 1)) else 0L
+      assert(ticks === want, s"ticks of $n")
+    }
+  }
+
   test("triangles: a hub star stays wedge-free (orientation bounds the apex fan-out)") {
     // star: hub-leafN plus one leaf-leaf edge — exactly 1 triangle; the
     // hub's high degree must not make it the wedge apex for all pairs
