@@ -2906,6 +2906,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // A second, DISJOINT slice (residue '1'): doubles the audited
+    // fraction at linear cost and shows the audit is slice-independent —
+    // no privileged residue, any 1/16 of the pair space hash-matches.
+    "dedup_cosine_probe2" -> { (s, dir) =>
+      Similarity.cosineDupProbe(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          CosDupThreshold, idc => substring(md5(idc.cast("string")), 1, 1) === "1",
+          AutoRecall, AutoOcc,
+          minBits = AutoMinBits, maxBits = AutoMaxBits, maxTables = AutoMaxTables)
+        .orderBy("id_a", "id_b")
+    },
+
     // -- LLM: similarity search (rows 32-33) --
     "ann_topk" -> { (s, dir) =>
       Similarity.topK(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
@@ -4381,6 +4392,20 @@ object SparkEntry {
          |  FROM abkt a JOIN nrm n ON n.vec_id = a.vec_id
          |), bkl AS (
          |  SELECT * FROM bkv WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+         |)
+         |SELECT DISTINCT id_a, id_b, cos FROM (
+         |  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         |         round(${dotSql("l.v", "r.v")} / (l.n * r.n), 6) AS cos
+         |  FROM bkl l JOIN bkv r ON l.tbl = r.tbl AND l.bkey = r.bkey AND l.vec_id < r.vec_id
+         |) WHERE cos >= $CosDupThreshold ORDER BY id_a, id_b""".stripMargin,
+
+    // the disjoint residue-'1' slice — same construction, different 1/16
+    "dedup_cosine_probe2" ->
+      s"""WITH $EmbCte, ${autoCfgCte()}, bkv AS (
+         |  SELECT a.vec_id, a.tbl, a.bkey, n.v, n.n
+         |  FROM abkt a JOIN nrm n ON n.vec_id = a.vec_id
+         |), bkl AS (
+         |  SELECT * FROM bkv WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '1'
          |)
          |SELECT DISTINCT id_a, id_b, cos FROM (
          |  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
