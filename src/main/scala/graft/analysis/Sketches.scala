@@ -358,14 +358,17 @@ object Sketches {
   }
 
   /** Quantile estimates from a KMV sketch: the EXACT pinned-formula
-    * quantiles ([[graft.analysis.Stats.quantiles]], type-7) of the
+    * quantiles (type-7, [[graft.analysis.Stats.quantilesSorted]]) of the
     * sampled values — a uniform-sample estimator of the population
     * quantile with error O(1/√k) in rank space. Deterministic end to
     * end, so two engines agree bit-for-bit on the ESTIMATE even though
     * it approximates the population — which is what lets an
-    * approximation be hash-graded at all.
+    * approximation be hash-graded at all. The sorted variant on purpose:
+    * a sketch is ≤ groups×k rows BY CONSTRUCTION, the size class where
+    * the one-window plan beats the crossing-bin locate (its Scaladoc has
+    * the measurement); the result is formula-identical either way.
     */
   def kmvQuantiles(sketch: DataFrame, groupCols: Seq[String],
                    ps: Seq[Double]): DataFrame =
-    Stats.quantiles(sketch, groupCols, col("kmv_v"), ps)
+    Stats.quantilesSorted(sketch, groupCols, col("kmv_v"), ps)
 }

@@ -124,6 +124,49 @@ object Stats {
       .select(gs ++ Seq(col("p"), col("q")): _*)
   }
 
+  /** [[quantiles]] for METADATA-SIZED inputs (a sketch, a sample, a
+    * boundary table — anything already reduced to ≲ thousands of rows
+    * per group): the classic one-window plan — rank every row in one
+    * in-partition sort, keep the two candidates per (group, p),
+    * aggregate. Identical pinned type-7 result to [[quantiles]] (same
+    * formula, same operation order, same rounding — callers may swap
+    * freely without moving a hash); different cost model: the full sort
+    * is FREE at sketch size while the crossing-bin plan's three scans +
+    * locator joins are pure overhead there (measured: the kmv sketch
+    * rows regressed 0.6 → 1.6 s on the two-pass plan at sf0.1). Use
+    * [[quantiles]] when groups are corpus-sized, this when the input is
+    * already small by construction.
+    */
+  def quantilesSorted(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "quantilesSorted: ps must be within [0, 1]")
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*).orderBy(col("_v"))
+    val wAll = Window.partitionBy(gs: _*)
+    // NULLs dropped before ranking — same contract as [[quantiles]]
+    val ranked = df
+      .select(gs :+ valueCol.cast("double").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+      .withColumn("_i", row_number().over(w) - 1)
+      .withColumn("_n", count(lit(1)).over(wAll))
+    val cand = ranked
+      .select(gs ++ Seq(col("_v"), col("_i"), col("_n"),
+        explode(array(ps.map(lit): _*)).as("p")): _*)
+      .withColumn("_rank", col("p") * (col("_n") - 1).cast("double"))
+      .withColumn("_lo", floor(col("_rank")))
+      .filter(col("_i") === col("_lo") || col("_i") === col("_lo") + 1)
+    cand
+      .groupBy(gs :+ col("p"): _*)
+      .agg(
+        min(when(col("_i") === col("_lo"), col("_v"))).as("_a"),
+        min(when(col("_i") === col("_lo") + 1, col("_v"))).as("_b"),
+        min(col("_rank") - col("_lo")).as("_frac"))
+      .withColumn("q",
+        round(col("_a") + (coalesce(col("_b"), col("_a")) - col("_a")) * col("_frac"), 6))
+      .select(gs ++ Seq(col("p"), col("q")): _*)
+  }
+
   /** Deterministic APPROXIMATE quantiles via fixed-count equi-width
     * value bins — the documented swap for [[quantiles]] when groups are
     * corpus-sized and a bounded rank error is acceptable, made

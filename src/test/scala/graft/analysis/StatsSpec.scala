@@ -88,6 +88,19 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("quantilesSorted == quantiles bit-for-bit (the swap-freely contract)") {
+    val vals = (1 to 3000).map { i =>
+      ("g" + (i % 4), if (i % 11 == 0) -3.5 else ((i * 1103515245L) % 4999L).toDouble / 3.0)
+    }
+    val df = vals.toDF("k", "v").repartition(7)
+    val ps = Seq(0.0, 0.1, 0.5, 0.95, 1.0)
+    val a = Stats.quantiles(df, Seq("k"), col("v"), ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val b = Stats.quantilesSorted(df, Seq("k"), col("v"), ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(a === b)
+  }
+
   // --- equiDepthHistogram ---
 
   test("equiDepthHistogram: 1..100 into 4 buckets is a perfect 25/25/25/25") {

@@ -43,7 +43,13 @@ Replication semantics (deterministic, no RNG):
     heavy query reads them, and graft.Verify needs them present to run
     the full query set (tree/centroid/model oracle exports at this SF).
 
-Usage: python3 tools/make_sfN.py <srcdir> <outdir> <factor>
+Usage: python3 tools/make_sfN.py <srcdir> <outdir> <factor> [--tpch] [--events-only]
+
+--events-only writes ONLY the scaled events.parquet — the third-decade
+fixture for events-table-only rows (events_retention's 100M-event read)
+without paying documents/embeddings replication or disk for tables the
+row never touches. --docs-only is the documents.parquet twin (the
+url_*/text_* decade fixture).
 """
 import sys, os, shutil, string
 import duckdb
@@ -76,6 +82,15 @@ def main():
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
 
+    if "--docs-only" in sys.argv:
+        dc0 = f"read_parquet('{src}/documents.parquet')"
+        d_shift0 = con.sql(f"SELECT max(doc_id) + 1 FROM {dc0}").fetchone()[0]
+        arms0 = "\nUNION ALL\n".join(
+            f"SELECT doc_id + {k * d_shift0} AS doc_id, {rot_expr('text', k)} AS text,"
+            f" lang, source, n_chars FROM {dc0}" for k in range(factor))
+        con.execute(f"COPY ({arms0}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+        return
+
     # events via pyarrow (schema fidelity — see module docstring); one
     # copy per row group so factor-100 output streams, never materializes
     import pyarrow as pa
@@ -98,6 +113,9 @@ def main():
                     col = pc.add(col, pa.scalar(k * e_shift, type=pa.int64()))
                 cols.append(col)
             w.write_table(pa.table(cols, schema=evt.schema))
+
+    if "--events-only" in sys.argv:
+        return
 
     dc = f"read_parquet('{src}/documents.parquet')"
     d_shift = con.sql(f"SELECT max(doc_id) + 1 FROM {dc}").fetchone()[0]
