@@ -2457,6 +2457,27 @@ object SparkEntry {
         .orderBy("event_type", "p")
     },
 
+    // Weighted quantiles (row 61 family): the importance-mass threshold
+    // primitive. Weight re-derived from event_id so the oracle replays it;
+    // ticks keep every cumulative integer-exact.
+    "stats_wquantiles" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      Stats.weightedQuantiles(ev, Seq("event_type"), col("value"),
+          (col("event_id") % 7 + 1).cast("double"), QuantilePs)
+        .orderBy("event_type", "p")
+    },
+
+    // Winsorization (row 61 family): per-group [p5, p95] clip — the
+    // standard pre-training outlier clip, bounds from the exact two-pass
+    // quantiles, clip via one broadcast join (the corpus never shuffles).
+    "stats_winsorize" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select("event_id", "event_type", "value")
+      Stats.winsorize(ev, Seq("event_type"), col("value"), "value_w", 0.05, 0.95)
+        .select(col("event_id"), col("event_type"), round(col("value_w"), 6).as("value_w"))
+        .orderBy("event_id")
+    },
+
     // -- Equi-depth histogram / quantile binning (row 61) --
     // Pinned interior boundaries (i/8 — exact binary fractions), pinned
     // up-on-tie bucket rule, broadcast boundary assignment: the corpus
@@ -3823,6 +3844,66 @@ object SparkEntry {
          |              - min(CASE WHEN i = lo THEN x END)) * min(frac), 6) AS q
          |FROM c GROUP BY g, p ORDER BY event_type, p""".stripMargin
     },
+
+    // the bin-free DEFINITION of the weighted quantile (graft's bins are
+    // a plan device, not semantics): per-value tick sums, integer
+    // cumulative, q = min value whose mass reaches max(p*W, 1)
+    "stats_wquantiles" -> {
+      val psList = QuantilePs.mkString("[", ", ", "]")
+      s"""WITH v AS (
+         |  SELECT event_type AS g, CAST(value AS DOUBLE) AS x,
+         |         CAST(round(CAST(event_id % 7 + 1 AS DOUBLE) * 1000000) AS BIGINT) AS wt
+         |  FROM events WHERE value IS NOT NULL
+         |), a AS (
+         |  SELECT g, x, sum(wt) AS cv FROM v GROUP BY g, x
+         |), c AS (
+         |  SELECT g, x, sum(cv) OVER (PARTITION BY g ORDER BY x) AS cum,
+         |         sum(cv) OVER (PARTITION BY g) AS W
+         |  FROM a
+         |), t AS (
+         |  SELECT c.*, p FROM c CROSS JOIN (SELECT unnest($psList) AS p) ps
+         |)
+         |SELECT g AS event_type, p, round(min(x), 6) AS q
+         |FROM t
+         |WHERE W > 0 AND CAST(cum AS DOUBLE) >= greatest(p * CAST(W AS DOUBLE), 1.0)
+         |GROUP BY g, p ORDER BY event_type, p""".stripMargin
+    },
+
+    // the type-7 bound CTE (identical to stats_quantiles) pivoted to
+    // (qlo, qhi), then the identical null-gated clip
+    "stats_winsorize" ->
+      s"""WITH v AS (
+         |  SELECT event_type AS g, value AS x FROM events WHERE value IS NOT NULL
+         |), s AS (
+         |  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) - 1 AS i FROM v
+         |), n AS (
+         |  SELECT g, count(*) AS n FROM v GROUP BY g
+         |), ps AS (
+         |  SELECT unnest([0.05, 0.95]) AS p
+         |), c AS (
+         |  SELECT s.g, ps.p, s.x, s.i,
+         |         floor(ps.p * (n.n - 1)) AS lo,
+         |         ps.p * (n.n - 1) - floor(ps.p * (n.n - 1)) AS frac
+         |  FROM s JOIN n USING (g) CROSS JOIN ps
+         |  WHERE s.i = floor(ps.p * (n.n - 1)) OR s.i = floor(ps.p * (n.n - 1)) + 1
+         |), q AS (
+         |  SELECT g, p,
+         |         round(min(CASE WHEN i = lo THEN x END) +
+         |               (coalesce(min(CASE WHEN i = lo + 1 THEN x END),
+         |                         min(CASE WHEN i = lo THEN x END))
+         |                - min(CASE WHEN i = lo THEN x END)) * min(frac), 6) AS q
+         |  FROM c GROUP BY g, p
+         |), b AS (
+         |  SELECT g, min(CASE WHEN p = 0.05 THEN q END) AS qlo,
+         |         max(CASE WHEN p = 0.95 THEN q END) AS qhi
+         |  FROM q GROUP BY g
+         |)
+         |SELECT e.event_id, e.event_type,
+         |       CASE WHEN e.value IS NOT NULL
+         |            THEN round(least(greatest(CAST(e.value AS DOUBLE), b.qlo), b.qhi), 6)
+         |       END AS value_w
+         |FROM events e JOIN b ON b.g = e.event_type
+         |ORDER BY e.event_id""".stripMargin,
 
     "stats_quantiles_binned" -> {
       // the identical pinned binned estimator: equal-width bins over

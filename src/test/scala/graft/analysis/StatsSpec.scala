@@ -101,6 +101,82 @@ class StatsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // --- weightedQuantiles ---
+
+  test("weightedQuantiles: hand-checked mass thresholds, ties collapse, zero weights never selected") {
+    // g: values 1..4 with weights 1,1,2,4 (W=8 -> 8M ticks).
+    //   p=0.25 -> t=2M: cum(1)=1M, cum(2)=2M -> q=2
+    //   p=0.5  -> t=4M: cum(3)=4M -> q=3
+    //   p=1.0  -> t=8M: cum(4)=8M -> q=4
+    //   p=0.0  -> t=max(0,1)=1 -> q=1 (smallest positively weighted)
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0), ("g", 4.0, 4.0),
+      ("z", 5.0, 0.0)).toDF("k", "v", "w")
+    val out = Stats.weightedQuantiles(df, Seq("k"), col("v"), col("w"),
+        Seq(0.0, 0.25, 0.5, 1.0))
+      .orderBy("k", "p")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out === Array(("g", 0.0, 1.0), ("g", 0.25, 2.0), ("g", 0.5, 3.0), ("g", 1.0, 4.0)))
+    // the all-zero-weight group z vanished entirely
+  }
+
+  test("weightedQuantiles: uniform weights ~ unweighted rank; reference equality on skewed data") {
+    val vals = (1 to 2500).map { i =>
+      val g = "g" + (i % 2)
+      (g, ((i * 2654435761L) % 8009L).toDouble, (i % 5 + 1).toDouble)
+    }
+    val df = vals.toDF("k", "v", "w").repartition(6)
+    val ps = Seq(0.1, 0.5, 0.9, 0.99)
+    val got = Stats.weightedQuantiles(df, Seq("k"), col("v"), col("w"), ps, nBins = 128)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for (g <- Seq("g0", "g1"); p <- ps) {
+      val rows = vals.filter(_._1 == g).map(r => (r._2, math.round(r._3 * 1e6)))
+        .groupBy(_._1).map { case (v, xs) => (v, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+      val w = rows.map(_._2).sum
+      val t = math.max(p * w, 1.0)
+      var cum = 0L
+      val want = rows.collectFirst { case (v, cw) if { cum += cw; cum >= t } => v }.get
+      assert(got((g, p)) === BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"g=$g p=$p")
+    }
+  }
+
+  test("weightedQuantiles: negative weight raises at run time") {
+    val df = Seq(("g", 1.0, 2.0), ("g", 2.0, -0.5)).toDF("k", "v", "w")
+    val e = intercept[Exception] {
+      Stats.weightedQuantiles(df, Seq("k"), col("v"), col("w"), Seq(0.5)).collect()
+    }
+    assert(e.getMessage.contains("negative weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative weight")))
+  }
+
+  // --- winsorize ---
+
+  test("winsorize: clips to the exact group quantiles, NULLs stay NULL") {
+    val df = ((1 to 100).map(i => ("g", Some(i.toDouble))) :+ ("g", Option.empty[Double]))
+      .toDF("k", "v")
+    val qs = Stats.quantiles(df, Seq("k"), col("v"), Seq(0.1, 0.9))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val out = Stats.winsorize(df, Seq("k"), col("v"), "vw", 0.1, 0.9).collect()
+    assert(out.length === 101)
+    out.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2), "null value must stay null")
+      else {
+        val v = r.getDouble(1); val c = r.getDouble(2)
+        assert(c === math.min(math.max(v, qs(0.1)), qs(0.9)), s"v=$v")
+      }
+    }
+    // interior values untouched, tails pinned to the bounds
+    val clipped = out.filter(r => !r.isNullAt(1)).map(_.getDouble(2))
+    assert(clipped.min === qs(0.1) && clipped.max === qs(0.9))
+  }
+
+  test("winsorize plan: bound table broadcasts — the corpus never shuffles for the clip") {
+    val df = (1 to 50).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val plan = Stats.winsorize(df, Seq("k"), col("v"), "vw", 0.05, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
   // --- equiDepthHistogram ---
 
   test("equiDepthHistogram: 1..100 into 4 buckets is a perfect 25/25/25/25") {
