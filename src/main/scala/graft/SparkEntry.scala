@@ -2478,6 +2478,17 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // Robust scaling (row 61 family): (v - median)/IQR per group — the
+    // outlier-insensitive standardization; zero-IQR groups yield NULL
+    // (pinned 0/0 convention).
+    "stats_robust_scale" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select("event_id", "event_type", "value")
+      Stats.robustScale(ev, Seq("event_type"), col("value"), "value_r")
+        .select(col("event_id"), col("event_type"), col("value_r"))
+        .orderBy("event_id")
+    },
+
     // -- Equi-depth histogram / quantile binning (row 61) --
     // Pinned interior boundaries (i/8 — exact binary fractions), pinned
     // up-on-tie bucket rule, broadcast boundary assignment: the corpus
@@ -3902,6 +3913,43 @@ object SparkEntry {
          |       CASE WHEN e.value IS NOT NULL
          |            THEN round(least(greatest(CAST(e.value AS DOUBLE), b.qlo), b.qhi), 6)
          |       END AS value_w
+         |FROM events e JOIN b ON b.g = e.event_type
+         |ORDER BY e.event_id""".stripMargin,
+
+    // the type-7 [p25, p50, p75] CTE pivoted, then the identical
+    // zero-IQR-gated scaling
+    "stats_robust_scale" ->
+      s"""WITH v AS (
+         |  SELECT event_type AS g, value AS x FROM events WHERE value IS NOT NULL
+         |), s AS (
+         |  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) - 1 AS i FROM v
+         |), n AS (
+         |  SELECT g, count(*) AS n FROM v GROUP BY g
+         |), ps AS (
+         |  SELECT unnest([0.25, 0.5, 0.75]) AS p
+         |), c AS (
+         |  SELECT s.g, ps.p, s.x, s.i,
+         |         floor(ps.p * (n.n - 1)) AS lo,
+         |         ps.p * (n.n - 1) - floor(ps.p * (n.n - 1)) AS frac
+         |  FROM s JOIN n USING (g) CROSS JOIN ps
+         |  WHERE s.i = floor(ps.p * (n.n - 1)) OR s.i = floor(ps.p * (n.n - 1)) + 1
+         |), q AS (
+         |  SELECT g, p,
+         |         round(min(CASE WHEN i = lo THEN x END) +
+         |               (coalesce(min(CASE WHEN i = lo + 1 THEN x END),
+         |                         min(CASE WHEN i = lo THEN x END))
+         |                - min(CASE WHEN i = lo THEN x END)) * min(frac), 6) AS q
+         |  FROM c GROUP BY g, p
+         |), b AS (
+         |  SELECT g, min(CASE WHEN p = 0.25 THEN q END) AS q1,
+         |         min(CASE WHEN p = 0.5 THEN q END) AS med,
+         |         max(CASE WHEN p = 0.75 THEN q END) AS q3
+         |  FROM q GROUP BY g
+         |)
+         |SELECT e.event_id, e.event_type,
+         |       CASE WHEN e.value IS NOT NULL AND b.q3 <> b.q1
+         |            THEN round((CAST(e.value AS DOUBLE) - b.med) / (b.q3 - b.q1), 6)
+         |       END AS value_r
          |FROM events e JOIN b ON b.g = e.event_type
          |ORDER BY e.event_id""".stripMargin,
 

@@ -382,6 +382,41 @@ object Stats {
       .drop("_qlo", "_qhi")
   }
 
+  /** Robust-scale `valueCol` per group: `(v − median) / IQR` with the
+    * exact type-7 [p25, p50, p75] of its own group — the
+    * outlier-insensitive feature standardization (sklearn's
+    * RobustScaler semantics), the scaling you use where a z-score's
+    * mean/std would be dragged by the tails the pipeline hasn't clipped
+    * yet. Returns `df`'s columns plus `outCol` (rounded 6). Pinned
+    * edges: NULL values stay NULL; a ZERO-IQR group (≥ half the mass on
+    * one value) yields NULL — a 0/0 convention two engines would
+    * otherwise disagree on, and an honest "this group has no robust
+    * scale" signal. Group keys non-null, the [[quantiles]] contract.
+    *
+    * Plan shape: the [[quantiles]] passes + ONE broadcast join of the
+    * metadata-sized (group, med, iqr) table — the corpus never shuffles
+    * for the scaling itself, same shape as [[winsorize]].
+    */
+  def robustScale(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                  outCol: String): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"robustScale: output column $outCol already exists in the input")
+    val rClash = df.columns.toSet.intersect(Set("_q1", "_med", "_q3"))
+    require(rClash.isEmpty,
+      s"robustScale: input column(s) ${rClash.mkString(", ")} collide with working names")
+    val gs = groupCols.map(col)
+    val qs = quantiles(df, groupCols, valueCol, Seq(0.25, 0.5, 0.75))
+      .groupBy(gs: _*)
+      .agg(min(when(col("p") === 0.25, col("q"))).as("_q1"),
+        min(when(col("p") === 0.5, col("q"))).as("_med"),
+        max(when(col("p") === 0.75, col("q"))).as("_q3"))
+    df.join(broadcast(qs), groupCols)
+      .withColumn(outCol,
+        when(valueCol.isNotNull && col("_q3") =!= col("_q1"),
+          round((valueCol.cast("double") - col("_med")) / (col("_q3") - col("_q1")), 6)))
+      .drop("_q1", "_med", "_q3")
+  }
+
   /** Equi-depth histogram of `valueCol` per group: `nBuckets` buckets
     * bounded by the PINNED interior quantiles (p = i/nBuckets), one row
     * per non-empty `(groupCols…, bucket)` with the bucket's row count

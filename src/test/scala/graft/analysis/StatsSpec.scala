@@ -177,6 +177,30 @@ class StatsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  // --- robustScale ---
+
+  test("robustScale: (v - median)/IQR against hand-computed bounds; zero-IQR and NULLs gate to NULL") {
+    val df = ((1 to 100).map(i => ("g", Some(i.toDouble))) :+ ("g", Option.empty[Double]))
+      .toDF("k", "v")
+    val qs = Stats.quantiles(df, Seq("k"), col("v"), Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val out = Stats.robustScale(df, Seq("k"), col("v"), "vr").collect()
+    assert(out.length === 101)
+    out.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2))
+      else {
+        val v = r.getDouble(1)
+        val want = BigDecimal((v - qs(0.5)) / (qs(0.75) - qs(0.25)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(2) === want, s"v=$v")
+      }
+    }
+    // constant group: IQR = 0 -> every scaled value is NULL, rows survive
+    val const = Seq.fill(20)(("c", 5.0)).toDF("k", "v")
+    val oc = Stats.robustScale(const, Seq("k"), col("v"), "vr").collect()
+    assert(oc.length === 20 && oc.forall(_.isNullAt(2)))
+  }
+
   // --- equiDepthHistogram ---
 
   test("equiDepthHistogram: 1..100 into 4 buckets is a perfect 25/25/25/25") {
