@@ -21,6 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** The Stats-family broadcast escape hatch (mirrors `decontaminate`'s
+    * `broadcastBench`): every per-group metadata table in this file
+    * (bounds, bin counts, located targets, needed bins, clip/scale
+    * bounds, bucket boundaries) is one-to-few rows PER GROUP, so for the
+    * usual dozens-to-thousands of groups a forced `broadcast()` is
+    * right — the corpus never shuffles for a lookup. But the tables grow
+    * with group cardinality (worst: groups × nBins cumulative rows), and
+    * with MILLIONS of group keys (per-domain, per-user) a forced
+    * broadcast is a driver/executor OOM where a shuffle join merely
+    * slows down. Callers in that regime pass
+    * `broadcastBounds = false`: the hint is dropped and Catalyst/AQE
+    * picks the join (which degrades gracefully to shuffle). Results are
+    * bit-identical either way — the hint is a plan device, never
+    * semantics (pinned by StatsSpec's many-groups twin).
+    */
+  private def hint(df: DataFrame, bcast: Boolean): DataFrame =
+    if (bcast) broadcast(df) else df
+
   /** Exact interpolated quantiles of `valueCol` per group: one row per
     * `(groupCols…, p)` with `q` rounded to 6.
     *
@@ -52,9 +70,16 @@ object Stats {
     * compares ≤ 2·|ps| targets against ≤ nBins count rows per group);
     * thousands of ps on thousands of bins would make locating cost what
     * sorting saved — use [[quantilesSorted]] there.
+    *
+    * `broadcastBounds` (default true) forces the broadcast hint on the
+    * per-group metadata tables; pass false when group cardinality is
+    * high (≳ 10⁵ keys — the cumulative table is groups × ≤nBins rows)
+    * so the lookups run as ordinary joins instead of an OOM-risk
+    * broadcast. Same result either way (see [[hint]]).
     */
   def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
-                ps: Seq[Double], nBins: Int = 4096): DataFrame = {
+                ps: Seq[Double], nBins: Int = 4096,
+                broadcastBounds: Boolean = true): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "quantiles: ps must be within [0, 1]")
     require(nBins >= 2 && nBins <= 65536,
@@ -76,7 +101,7 @@ object Stats {
       .otherwise(least(floor((col("_v") - col("_mn")) / width).cast("long"),
         lit(nBins - 1L)))
     // Pass 2: bin counts (map-side combined to ≤ groups × nBins rows).
-    val cnts = v.join(broadcast(bounds), groupCols)
+    val cnts = v.join(hint(bounds, broadcastBounds), groupCols)
       .withColumn("_bin", binOf)
       .groupBy(gs :+ col("_bin"): _*).agg(count(lit(1)).as("_c"))
     val cum = cnts.withColumn("_cum",
@@ -104,7 +129,7 @@ object Stats {
     val cumR = cum.select(
       (groupCols.map(g => col(g).as(s"__g_$g")) ++
         Seq(col("_bin"), col("_c"), col("_cum"))): _*)
-    val located = targets.join(broadcast(cumR),
+    val located = targets.join(hint(cumR, broadcastBounds),
         groupCols.map(g => col(g) === col(s"__g_$g")).reduce(_ && _) &&
           (col("_cum") - col("_c")) <= col("_idx") && col("_idx") < col("_cum"))
       .withColumn("_j", col("_idx") - (col("_cum") - col("_c")))
@@ -114,12 +139,12 @@ object Stats {
     // join), sort ONLY those rows under a (group, bin) window, and pull
     // the located offsets.
     val wBin = Window.partitionBy(gs :+ col("_bin"): _*).orderBy(col("_v"))
-    val crossing = v.join(broadcast(bounds), groupCols)
+    val crossing = v.join(hint(bounds, broadcastBounds), groupCols)
       .withColumn("_bin", binOf)
-      .join(broadcast(needed), groupCols :+ "_bin")
+      .join(hint(needed, broadcastBounds), groupCols :+ "_bin")
       .withColumn("_j", row_number().over(wBin) - lit(1L))
       .select(gs ++ Seq(col("_bin"), col("_j"), col("_v")): _*)
-    crossing.join(broadcast(located), groupCols ++ Seq("_bin", "_j"))
+    crossing.join(hint(located, broadcastBounds), groupCols ++ Seq("_bin", "_j"))
       .groupBy(gs :+ col("p"): _*)
       .agg(
         min(when(col("_w") === "a", col("_v"))).as("_a"),
@@ -201,7 +226,8 @@ object Stats {
     * the count table alone — the two-scan floor for a rank statistic.
     */
   def binnedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
-                      ps: Seq[Double], nBins: Int = 4096): DataFrame = {
+                      ps: Seq[Double], nBins: Int = 4096,
+                      broadcastBounds: Boolean = true): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "binnedQuantiles: ps must be within [0, 1]")
     require(nBins >= 2 && nBins <= 65536,
@@ -212,7 +238,7 @@ object Stats {
     val bounds = v.groupBy(gs: _*)
       .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
     val width = (col("_mx") - col("_mn")) / lit(nBins.toDouble)
-    val cnts = v.join(broadcast(bounds), groupCols)
+    val cnts = v.join(hint(bounds, broadcastBounds), groupCols)
       .withColumn("_bin", when(col("_mx") === col("_mn"), lit(0L))
         .otherwise(least(floor((col("_v") - col("_mn")) / width).cast("long"),
           lit(nBins - 1L))))
@@ -230,7 +256,7 @@ object Stats {
       // from the count table, so cnt > 0 in the kept row by construction)
       .filter((col("_cum") - col("_c")).cast("double") <= col("_r") &&
         col("_r") < col("_cum").cast("double"))
-      .join(broadcast(bounds), groupCols)
+      .join(hint(bounds, broadcastBounds), groupCols)
       .withColumn("q", round(col("_mn") + width *
         (col("_bin").cast("double") +
           (col("_r") - (col("_cum") - col("_c")).cast("double")) /
@@ -256,9 +282,12 @@ object Stats {
     * where cumTicks is over per-VALUE weight sums (ties collapse before
     * the cumulative, so row order cannot matter); q rounds to 6.
     * Zero-weight rows are never selected; a group whose total weight is
-    * zero vanishes. Weights must be ≥ 0 — a negative weight makes
-    * cumulative mass non-monotone and raises at RUN TIME (raise_error
-    * in the bin pass, the [[graft.core.RangeJoin]] guard convention).
+    * zero vanishes. Weights must be ≥ 0 and ≤ 9e12 — a negative weight
+    * makes cumulative mass non-monotone, a larger one overflows the
+    * long tick range; both raise at RUN TIME on the RAW double, before
+    * quantization (raise_error in the corpus pass, the
+    * [[graft.core.RangeJoin]] guard convention), so a weight in
+    * (−5e-7, 0) cannot round to 0 ticks and slip through.
     * NULL values/weights drop like [[quantiles]]; same finite-value and
     * metadata-sized-`ps` contract.
     *
@@ -278,7 +307,8 @@ object Stats {
     */
   def weightedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                         weightCol: Column, ps: Seq[Double],
-                        nBins: Int = 4096): DataFrame = {
+                        nBins: Int = 4096,
+                        broadcastBounds: Boolean = true): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "weightedQuantiles: ps must be within [0, 1]")
     require(nBins >= 2 && nBins <= 65536,
@@ -292,15 +322,22 @@ object Stats {
     // THE one corpus pass: per-(group, value) tick sums, map-side
     // combined — the definition's own domain, every later stage runs
     // over this table. The negative-weight guard rides the same pass.
+    // Loud run-time guards on the RAW double, before tick quantization —
+    // a weight in (−5e-7, 0) would otherwise round to 0 ticks and pass
+    // silently despite violating the ≥ 0 contract, and |w| beyond the
+    // long tick range (~9.2e12 after ×1e6) would silently overflow the
+    // cast (advisor, round 13).
+    val wRaw = weightCol.cast("double")
+    val wTicks = when(wRaw < 0,
+        raise_error(concat(lit("weightedQuantiles: negative weight "),
+          wRaw.cast("string"))))
+      .when(wRaw > 9.0e12,
+        raise_error(concat(lit("weightedQuantiles: weight overflows 1e-6 ticks: "),
+          wRaw.cast("string"))))
+      .otherwise(round(wRaw * lit(1e6)).cast("long"))
     val pv = df
-      .select(gs ++ Seq(valueCol.cast("double").as("_v"),
-        round(weightCol.cast("double") * lit(1e6)).cast("long").as("_w")): _*)
+      .select(gs ++ Seq(valueCol.cast("double").as("_v"), wTicks.as("_w")): _*)
       .filter(col("_v").isNotNull && col("_w").isNotNull)
-      // loud run-time guard, not a silent wrong answer: negative weight
-      // mass would make the cumulative non-monotone
-      .withColumn("_w", when(col("_w") < 0,
-        raise_error(concat(lit("weightedQuantiles: negative weight for value "),
-          col("_v").cast("string")))).otherwise(col("_w")))
       .groupBy(gs :+ col("_v"): _*).agg(sum(col("_w")).as("_cv"))
     val bounds = pv.groupBy(gs: _*)
       .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
@@ -310,7 +347,7 @@ object Stats {
     val binOf = when(col("_mx") === col("_mn"), lit(0L))
       .otherwise(least(floor((col("_v") - col("_mn")) / width).cast("long"),
         lit(nBins - 1L)))
-    val cnts = pv.join(broadcast(bounds), groupCols)
+    val cnts = pv.join(hint(bounds, broadcastBounds), groupCols)
       .withColumn("_bin", binOf)
       .groupBy(gs :+ col("_bin"): _*).agg(sum(col("_cv")).as("_c"))
     val cum = cnts.withColumn("_cum",
@@ -324,7 +361,7 @@ object Stats {
     val cumR = cum.select(
       (groupCols.map(g => col(g).as(s"__g_$g")) ++
         Seq(col("_bin"), col("_c"), col("_cum"))): _*)
-    val located = targets.join(broadcast(cumR),
+    val located = targets.join(hint(cumR, broadcastBounds),
         groupCols.map(g => col(g) === col(s"__g_$g")).reduce(_ && _) &&
           (col("_cum") - col("_c")).cast("double") < col("_t") &&
           col("_t") <= col("_cum").cast("double"))
@@ -334,11 +371,11 @@ object Stats {
     // final stage: the in-bin cumulative over ONLY the crossing-bin
     // slice of the per-value table
     val wVal = Window.partitionBy(gs :+ col("_bin"): _*).orderBy(col("_v"))
-    val crossing = pv.join(broadcast(bounds), groupCols)
+    val crossing = pv.join(hint(bounds, broadcastBounds), groupCols)
       .withColumn("_bin", binOf)
-      .join(broadcast(needed), groupCols :+ "_bin")
+      .join(hint(needed, broadcastBounds), groupCols :+ "_bin")
       .withColumn("_j", sum(col("_cv")).over(wVal))
-    crossing.join(broadcast(located), groupCols :+ "_bin")
+    crossing.join(hint(located, broadcastBounds), groupCols :+ "_bin")
       .filter((col("_base") + col("_j")).cast("double") >= col("_t"))
       .groupBy(gs :+ col("p"): _*)
       .agg(round(min(col("_v")), 6).as("q"))
@@ -362,7 +399,8 @@ object Stats {
     * clip itself.
     */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: Column,
-                outCol: String, pLo: Double, pHi: Double): DataFrame = {
+                outCol: String, pLo: Double, pHi: Double,
+                broadcastBounds: Boolean = true): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"winsorize: need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
     require(!df.columns.contains(outCol),
@@ -371,11 +409,12 @@ object Stats {
     require(wClash.isEmpty,
       s"winsorize: input column(s) ${wClash.mkString(", ")} collide with working names")
     val gs = groupCols.map(col)
-    val qs = quantiles(df, groupCols, valueCol, Seq(pLo, pHi))
+    val qs = quantiles(df, groupCols, valueCol, Seq(pLo, pHi),
+        broadcastBounds = broadcastBounds)
       .groupBy(gs: _*)
       .agg(min(when(col("p") === pLo, col("q"))).as("_qlo"),
         max(when(col("p") === pHi, col("q"))).as("_qhi"))
-    df.join(broadcast(qs), groupCols)
+    df.join(hint(qs, broadcastBounds), groupCols)
       .withColumn(outCol,
         when(valueCol.isNotNull,
           least(greatest(valueCol.cast("double"), col("_qlo")), col("_qhi"))))
@@ -398,19 +437,21 @@ object Stats {
     * for the scaling itself, same shape as [[winsorize]].
     */
   def robustScale(df: DataFrame, groupCols: Seq[String], valueCol: Column,
-                  outCol: String): DataFrame = {
+                  outCol: String,
+                  broadcastBounds: Boolean = true): DataFrame = {
     require(!df.columns.contains(outCol),
       s"robustScale: output column $outCol already exists in the input")
     val rClash = df.columns.toSet.intersect(Set("_q1", "_med", "_q3"))
     require(rClash.isEmpty,
       s"robustScale: input column(s) ${rClash.mkString(", ")} collide with working names")
     val gs = groupCols.map(col)
-    val qs = quantiles(df, groupCols, valueCol, Seq(0.25, 0.5, 0.75))
+    val qs = quantiles(df, groupCols, valueCol, Seq(0.25, 0.5, 0.75),
+        broadcastBounds = broadcastBounds)
       .groupBy(gs: _*)
       .agg(min(when(col("p") === 0.25, col("q"))).as("_q1"),
         min(when(col("p") === 0.5, col("q"))).as("_med"),
         max(when(col("p") === 0.75, col("q"))).as("_q3"))
-    df.join(broadcast(qs), groupCols)
+    df.join(hint(qs, broadcastBounds), groupCols)
       .withColumn(outCol,
         when(valueCol.isNotNull && col("_q3") =!= col("_q1"),
           round((valueCol.cast("double") - col("_med")) / (col("_q3") - col("_q1")), 6)))
@@ -436,7 +477,8 @@ object Stats {
     * `approx_percentile` boundaries upstream.
     */
   def equiDepthHistogram(df: DataFrame, groupCols: Seq[String],
-                         valueCol: Column, nBuckets: Int): DataFrame = {
+                         valueCol: Column, nBuckets: Int,
+                         broadcastBounds: Boolean = true): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 4096,
       "equiDepthHistogram: nBuckets must be in [2, 4096]")
     val reserved = Seq("_v", "_qs", "bucket", "n", "lo", "hi")
@@ -445,11 +487,12 @@ object Stats {
       s"equiDepthHistogram: group column(s) ${clash.mkString(", ")} collide with output/working names")
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
     val gs = groupCols.map(col)
-    val bounds = quantiles(df, groupCols, valueCol, ps)
+    val bounds = quantiles(df, groupCols, valueCol, ps,
+        broadcastBounds = broadcastBounds)
       .groupBy(gs: _*).agg(sort_array(collect_list(col("q"))).as("_qs"))
     df.select(gs :+ valueCol.cast("double").as("_v"): _*)
       .filter(col("_v").isNotNull)
-      .join(broadcast(bounds), groupCols)
+      .join(hint(bounds, broadcastBounds), groupCols)
       .withColumn("bucket",
         size(filter(col("_qs"), b => col("_v") >= b)).cast("long"))
       .groupBy(gs :+ col("bucket"): _*)

@@ -149,6 +149,60 @@ class StatsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("negative weight")))
   }
 
+  test("weightedQuantiles: guard fires on the RAW double — a weight in (-5e-7, 0) " +
+    "cannot round to 0 ticks and slip through (advisor fix, round 13)") {
+    val df = Seq(("g", 1.0, 2.0), ("g", 2.0, -1e-7)).toDF("k", "v", "w")
+    val e = intercept[Exception] {
+      Stats.weightedQuantiles(df, Seq("k"), col("v"), col("w"), Seq(0.5)).collect()
+    }
+    assert(e.getMessage.contains("negative weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative weight")))
+  }
+
+  test("weightedQuantiles: weight beyond the long tick range raises instead of overflowing") {
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1e13)).toDF("k", "v", "w")
+    val e = intercept[Exception] {
+      Stats.weightedQuantiles(df, Seq("k"), col("v"), col("w"), Seq(0.5)).collect()
+    }
+    assert(e.getMessage.contains("overflows") ||
+      Option(e.getCause).exists(_.getMessage.contains("overflows")))
+  }
+
+  test("broadcastBounds = false: every Stats operator is bit-identical on both plan " +
+    "shapes at high group cardinality, with zero broadcast exchanges in the plan") {
+    // 2,000 group keys × a handful of rows each — the per-domain/per-user
+    // regime where a forced broadcast of the groups × nBins cumulative
+    // table is the scale hazard the escape hatch exists for.
+    val df = (1 to 12000).map { i =>
+      ("d" + (i % 2000), ((i * 2654435761L) % 997L).toDouble, (i % 3 + 1).toDouble)
+    }.toDF("k", "v", "w").repartition(8)
+    val ps = Seq(0.25, 0.9)
+    // disable auto-broadcast so the unhinted shape genuinely shuffles —
+    // otherwise Catalyst re-adds the broadcast from size stats and the
+    // twin proves nothing
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val hinted = Stats.quantiles(df, Seq("k"), col("v"), ps, 64).collect().toSet
+      val plain = Stats.quantiles(df, Seq("k"), col("v"), ps, 64,
+        broadcastBounds = false)
+      assert(plain.collect().toSet === hinted)
+      val plan = plain.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"escape hatch left a broadcast in the plan:\n$plan")
+      val wq = Stats.weightedQuantiles(df, Seq("k"), col("v"), col("w"), ps, 64)
+        .collect().toSet
+      assert(Stats.weightedQuantiles(df, Seq("k"), col("v"), col("w"), ps, 64,
+        broadcastBounds = false).collect().toSet === wq)
+      val win = Stats.winsorize(df, Seq("k"), col("v"), "vw", 0.1, 0.9)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(3))).toSet
+      assert(Stats.winsorize(df, Seq("k"), col("v"), "vw", 0.1, 0.9,
+          broadcastBounds = false)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(3))).toSet === win)
+      val hist = Stats.equiDepthHistogram(df, Seq("k"), col("v"), 4).collect().toSet
+      assert(Stats.equiDepthHistogram(df, Seq("k"), col("v"), 4,
+        broadcastBounds = false).collect().toSet === hist)
+    }
+  }
+
   // --- winsorize ---
 
   test("winsorize: clips to the exact group quantiles, NULLs stay NULL") {

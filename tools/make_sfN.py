@@ -43,7 +43,8 @@ Replication semantics (deterministic, no RNG):
     heavy query reads them, and graft.Verify needs them present to run
     the full query set (tree/centroid/model oracle exports at this SF).
 
-Usage: python3 tools/make_sfN.py <srcdir> <outdir> <factor> [--tpch] [--events-only]
+Usage: python3 tools/make_sfN.py <srcdir> <outdir> <factor>
+       [--tpch] [--events-only | --docs-only]
 
 --events-only writes ONLY the scaled events.parquet — the third-decade
 fixture for events-table-only rows (events_retention's 100M-event read)
@@ -78,6 +79,13 @@ def rot_expr(col, k):
 
 def main():
     src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    # --events-only/--docs-only early-return before the --tpch branch and
+    # the plain-table copies, so combining them with --tpch would silently
+    # ignore --tpch; reject the combination loudly instead of half-obeying
+    only = [f for f in ("--events-only", "--docs-only") if f in sys.argv]
+    if len(only) > 1 or (only and "--tpch" in sys.argv):
+        sys.exit(f"make_sfN.py: {' + '.join(only + ['--tpch'] if '--tpch' in sys.argv else only)} "
+                 "are mutually exclusive (the *-only fixtures write a single table)")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
