@@ -11,7 +11,7 @@ import graft.dsp.SignalOps
 import graft.instants.{Indicators, Selector, Splits}
 import graft.instants.Indicators.IndicatorCode
 import graft.events.EventOps
-import graft.llm.{Dedup, Multimodal, Pipeline, Retrieval, Similarity, TextAnalysis, Web}
+import graft.llm.{Dedup, Html, Multimodal, Pipeline, Retrieval, Similarity, TextAnalysis, Web}
 import graft.plots.PlotData
 import graft.tubes.Tube
 
@@ -1235,6 +1235,31 @@ object SparkEntry {
     when(col("doc_id") % 7 === 0,
       concat(lit(" node 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
         (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
+
+  /** HTML-injection column shared by the text_extract query/oracle: the
+    * corpus carries no markup, so the harness wraps each document in a
+    * deterministic full-page template (the [[piiInjected]] pattern) —
+    * head+style+script to strip, a nav and a footer whose link density
+    * must trip the boilerplate rule, an entity-encoded block (doc_id%5),
+    * a below-minWords stub (doc_id%4) and a pure-link block (doc_id%3)
+    * that must both drop, and the real heading+content blocks that must
+    * survive. The oracle states the CLOSED-FORM expected extraction
+    * (ground truth from the template), so any defect in tag-stripping,
+    * entity order, density arithmetic or block ordering hash-fails.
+    */
+  private def htmlInjected: Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><style>p{margin:0}</style></head><body><script>var doc="),
+    col("doc_id").cast("string"), lit(";</script>"),
+    lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/more\">More</a></nav>"),
+    lit("<h1>Doc "), col("doc_id").cast("string"), lit(" heading words</h1><p>"),
+    col("text"), lit("</p>"),
+    when(col("doc_id") % 5 === 0, lit("<p>5 &amp; 10 &lt;tags&gt; block</p>"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 4 === 0, lit("<p>ok</p>")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0, lit("<div><a href=\"/r\">Read more here</a></div>"))
+      .otherwise(lit("")),
+    lit("<div><a href=\"/c\">Contact</a> <a href=\"/t\">Terms</a> page</div></body></html>"))
 
   // Per-domain cap shared by the url_domcap query/oracle (row 55).
   private val DomCapK = 5
@@ -3113,6 +3138,25 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Audio features (row 34 modality set): each doc gets a REAL mono
+    // RIFF/WAVE whose samples are closed forms of (doc_id, i); doc_id%9
+    // payloads are truncated by one byte and must degrade to ok=false.
+    // The bytes travel the genuine container layout end to end; the
+    // oracle re-derives every feature analytically.
+    "mm_audio" -> { (s, dir) =>
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+      val bin = ids.mapPartitions(_.map { id =>
+        val n = (id % 50 + 10).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((id * 13 + i.toLong * 37) % 2001 - 1000).toShort)
+        val wav = Multimodal.pcmWav((8000 + (id % 4) * 2000).toInt, 1, samples)
+        (id, if (id % 9 == 0) wav.dropRight(1) else wav)
+      }).toDF("doc_id", "payload")
+      Multimodal.audioFeatures(bin).toDF().orderBy("doc_id")
+    },
+
     // -- LLM: text analysis (rows 35-38) --
     "text_tokens" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -3278,6 +3322,17 @@ object SparkEntry {
     // redacted text — the fingerprint pins the full redacted string (a
     // wrong replacement anywhere moves it) without shipping long text
     // through the grading hash.
+    // -- LLM: HTML → text extraction + boilerplate removal (row 71) --
+    // The funnel's head: full-page template injected around each doc
+    // (htmlInjected), extracted by the pinned pipeline; the oracle is the
+    // template's closed-form ground truth.
+    "text_extract" -> { (s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), htmlInjected.as("_h"))
+        .select(col("doc_id"), Html.extractText(col("_h")).as("extracted"))
+        .orderBy("doc_id")
+    },
+
     "text_pii" -> { (s, dir) =>
       val base = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), piiInjected.as("_t"))
@@ -4670,6 +4725,31 @@ object SparkEntry {
         |FROM fr WHERE f % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // Closed-form ground truth of the synthetic WAV generator: sample i
+    // is (doc_id*13 + i*37) % 2001 - 1000 over n = doc_id%50+10 samples;
+    // truncated payloads (doc_id%9) zero out behind ok=false.
+    "mm_audio" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, doc_id % 50 + 10),
+        |                        i -> (doc_id * 13 + i * 37) % 2001 - 1000) AS sm
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  doc_id % 9 <> 0 AS ok,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+        |            ELSE 8000 + (doc_id % 4) * 2000 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN 0 ELSE len(sm) END AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+        |            ELSE list_sum(list_transform(sm, x -> abs(x))) END AS BIGINT) AS sum_abs,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+        |            ELSE list_aggregate(list_transform(sm, x -> abs(x)), 'max') END AS BIGINT) AS max_abs,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+        |            ELSE len(list_filter(range(1, len(sm)),
+        |                                 i -> (sm[i] < 0) <> (sm[i + 1] < 0))) END AS BIGINT) AS zero_cross
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "text_tokens" ->
       s"""SELECT doc_id,
          |       CASE WHEN length(trim(text)) = 0 THEN 0
@@ -4969,6 +5049,18 @@ object SparkEntry {
          |       round(count(h.g) * 1.0 / count(*), 6) AS dup_frac
          |FROM pe LEFT JOIN hotg h ON pe.g = h.g
          |GROUP BY pe.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Ground truth of the htmlInjected template: head/style/script and
+    // every high-link-density or below-minWords block drop; what remains
+    // is the heading, the (whitespace-normalized) document text, and the
+    // decoded entity block on doc_id % 5 — joined with \n in page order.
+    "text_extract" ->
+      """SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || ' heading words' || chr(10) ||
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+        |  CASE WHEN doc_id % 5 = 0 THEN chr(10) || '5 & 10 <tags> block'
+        |       ELSE '' END AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_pii" -> {
       val Seq(email, phone, ip) = TextAnalysis.PiiPatterns.map(_._2)

@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction with boilerplate removal — the missing HEAD of
+  * the web-corpus cleaning funnel: every at-scale corpus (C4, RefinedWeb)
+  * starts from crawled HTML, not clean text, and the first transform is
+  * "strip the markup, keep the content blocks, drop the chrome". The
+  * rules here are the public-recipe ones (jusText / boilerpipe family,
+  * Kohlschütter et al. 2010): segment on block-level tags, then judge
+  * each block by LINK DENSITY (anchor-text mass / block-text mass — nav
+  * bars, footers and link farms are mostly anchor text) and by a minimum
+  * word count (single-word "Read more" stubs carry no training signal).
+  *
+  * Everything is a PINNED pure function of the input string — ordinary
+  * regex/HOF column algebra, fully codegen'd, zero shuffle at any corpus
+  * size — so an independent engine reproduces the extraction
+  * bit-for-bit. Pinned evaluation order (the order real extractors use,
+  * and the one that makes entity-encoded angle brackets inert):
+  *
+  *   1. drop `<script>…</script>`, `<style>…</style>`, `<head>…</head>`
+  *      and `<!-- … -->` WITH their contents (case-insensitive,
+  *      dot-matches-newline, non-greedy);
+  *   2. replace every block-level tag (open or close: p, div, h1–h6,
+  *      li, ul, ol, table, tr, td, br, hr, section, article, header,
+  *      footer, nav, blockquote, pre, form) with a newline — the block
+  *      separator;
+  *   3. per block: measure anchor mass (sum of `<a …>…</a>` inner-text
+  *      lengths, inner tags stripped), then strip ALL remaining tags to
+  *      a space, THEN decode the five core entities
+  *      (`&lt; &gt; &quot; &#39; &nbsp;`, and `&amp;` LAST — the pinned
+  *      decode order that never double-decodes), collapse `\s+` to one
+  *      space and trim;
+  *   4. keep a block iff it has ≥ `minWords` whitespace words AND
+  *      anchor mass ≤ `maxLinkDensity` × block-text length;
+  *   5. join the kept blocks, in document order, with `\n`.
+  *
+  * Malformed HTML degrades, never throws: an unclosed `<script` simply
+  * doesn't match the paired pattern (its text survives tag-stripping as
+  * ordinary words), stray `<` / `>` pass through, and a no-markup string
+  * is returned as its own single block (subject to the same keep rules).
+  */
+object Html {
+
+  private val BlockTags =
+    "p|div|h[1-6]|li|ul|ol|table|tr|td|br|hr|section|article|header|footer|nav|blockquote|pre|form"
+
+  /** Entity decode in the pinned order — `&amp;` strictly last, so
+    * `&amp;lt;` decodes to the literal `&lt;`, never to `<`.
+    */
+  private def decodeEntities(c: Column): Column = {
+    val e1 = regexp_replace(c, "&lt;", "<")
+    val e2 = regexp_replace(e1, "&gt;", ">")
+    val e3 = regexp_replace(e2, "&quot;", "\"")
+    val e4 = regexp_replace(e3, "&#39;", "'")
+    val e5 = regexp_replace(e4, "&nbsp;", " ")
+    regexp_replace(e5, "&amp;", "&")
+  }
+
+  /** A block's visible text: strip tags to a space, decode entities,
+    * collapse whitespace, trim (pinned step 3).
+    */
+  private def blockText(b: Column): Column =
+    trim(regexp_replace(decodeEntities(regexp_replace(b, "<[^>]*>", " ")),
+      "\\s+", " "))
+
+  /** A block's anchor mass: total visible-text length inside its
+    * `<a …>…</a>` pairs (inner tags stripped, entities decoded — the
+    * same text measure as the denominator).
+    */
+  private def anchorMass(b: Column): Column =
+    aggregate(
+      regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+      lit(0),
+      (acc, a) => acc + length(blockText(a)))
+
+  /** Extracted main text of one HTML string (the full pinned pipeline
+    * above): kept blocks joined with `\n`; empty string when nothing
+    * survives. Pure projection — compose it ahead of any text operator
+    * ([[TextAnalysis]], [[Dedup]], [[Pipeline.cleanCorpus]]) to run the
+    * funnel straight off a crawl.
+    */
+  def extractText(html: Column, minWords: Int = 3,
+                  maxLinkDensity: Double = 0.33): Column = {
+    require(minWords >= 0, "extractText: minWords must be >= 0")
+    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      "extractText: maxLinkDensity must be in [0, 1]")
+    // step 1: paired containers drop with their contents (two passes for
+    // script/style so a stray `</style>` can never close a `<script>`)
+    val s1 = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val s2 = regexp_replace(s1, "(?is)<style[^>]*>.*?</style>", " ")
+    val s3 = regexp_replace(s2, "(?is)<head[^>]*>.*?</head>", " ")
+    val s4 = regexp_replace(s3, "(?s)<!--.*?-->", " ")
+    // step 2: block-level tags become the block separator
+    val s5 = regexp_replace(s4, s"(?i)</?($BlockTags)(\\s[^>]*)?/?>", "\n")
+    // steps 3–5: judge each block, keep, join — one codegen'd HOF chain
+    val blocks = transform(split(s5, "\n"),
+      b => struct(blockText(b).as("t"), anchorMass(b).as("am")))
+    val kept = filter(blocks, s => {
+      val t = s.getField("t")
+      val words = when(t === "", lit(0)).otherwise(size(split(t, " ")))
+      words >= minWords &&
+        s.getField("am").cast("double") <= lit(maxLinkDensity) * length(t).cast("double")
+    })
+    array_join(transform(kept, s => s.getField("t")), "\n")
+  }
+
+  /** Per-block diagnostics (one output row per BLOCK via the caller's
+    * explode): the (text, words, link_density, kept) table an extraction
+    * threshold is tuned on. Same pinned pipeline as [[extractText]] —
+    * `filter(diagnostics, kept).text == extractText` by construction.
+    */
+  def blockDiagnostics(html: Column, minWords: Int = 3,
+                       maxLinkDensity: Double = 0.33): Column = {
+    val s1 = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val s2 = regexp_replace(s1, "(?is)<style[^>]*>.*?</style>", " ")
+    val s3 = regexp_replace(s2, "(?is)<head[^>]*>.*?</head>", " ")
+    val s4 = regexp_replace(s3, "(?s)<!--.*?-->", " ")
+    val s5 = regexp_replace(s4, s"(?i)</?($BlockTags)(\\s[^>]*)?/?>", "\n")
+    transform(split(s5, "\n"), b => {
+      val t = blockText(b)
+      val am = anchorMass(b)
+      val words = when(t === "", lit(0)).otherwise(size(split(t, " ")))
+      val dens = when(length(t) === 0, lit(0.0))
+        .otherwise(am.cast("double") / length(t).cast("double"))
+      struct(t.as("text"), words.as("words"), round(dens, 6).as("link_density"),
+        (words >= minWords &&
+          am.cast("double") <= lit(maxLinkDensity) * length(t).cast("double")).as("kept"))
+    })
+  }
+}

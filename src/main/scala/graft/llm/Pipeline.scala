@@ -252,10 +252,18 @@ object Pipeline {
   def cleanCorpus(docs: DataFrame, bench: DataFrame, idCol: String, textCol: String,
                   lang: String = "en", minQuality: Double = 0.6,
                   maxTopWordFrac: Double = 0.2,
-                  deconN: Int = 8, deconMinHits: Int = 1): DataFrame = {
+                  deconN: Int = 8, deconMinHits: Int = 1,
+                  fromHtml: Boolean = false): DataFrame = {
+    // fromHtml: textCol holds crawled HTML — [[Html.extractText]]
+    // (pinned defaults) runs as stage 0 IN PLACE, so the whole funnel
+    // operates on extracted main text. Still a pure projection fused
+    // into the same scan: the funnel's head costs zero extra shuffles.
+    val src = if (fromHtml)
+      docs.withColumn(textCol, Html.extractText(col(textCol)))
+    else docs
     val t = col(textCol)
     val q = TextAnalysis.qualityCols(t).toMap
-    val filtered = docs
+    val filtered = src
       .withColumn("lang_id", TextAnalysis.langId(t))
       .withColumn("quality", q("quality"))
       .withColumn("n_tokens", q("n_tokens"))

@@ -69,4 +69,29 @@ class MultimodalSpec extends SparkSpec {
     // everyK = 1 keeps all frames
     assert(Multimodal.frameSample(bin, 1).count() === 5L)
   }
+
+  test("WAV round-trips through the real RIFF layout; malformed payloads decode to None") {
+    val samples = Array[Short](0, 100, -200, 300, -1, 32767, -32768)
+    val wav = Multimodal.pcmWav(16000, 2, samples)
+    val Some((ch, rate, got)) = Multimodal.decodeWav(wav)
+    assert((ch, rate) === ((2, 16000)))
+    assert(got.toSeq === samples.toSeq)
+    assert(Multimodal.decodeWav(null) === None)
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes) === None) // no chunks
+    assert(Multimodal.decodeWav(wav.dropRight(1)) === None)        // truncated data
+    assert(Multimodal.decodeWav(wav.take(30)) === None)            // truncated fmt
+    val bad = wav.clone(); bad(20) = 3 // audioFormat = 3 (float PCM) rejected
+    assert(Multimodal.decodeWav(bad) === None)
+  }
+
+  test("audioFeatures: exact integer amplitude features; corrupt rows degrade to ok=false") {
+    // samples: 5, -3, 0, -7, 2 → sumAbs 17, maxAbs 7,
+    // sign flips at (5,-3), (-3,0), (0,-7), (-7,2) → zc = 4 (0 counts as >= 0)
+    val bin = Seq(
+      (1L, Multimodal.pcmWav(8000, 1, Array[Short](5, -3, 0, -7, 2))),
+      (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val out = Multimodal.audioFeatures(bin).collect().sortBy(_.doc_id)
+    assert(out(0) === Multimodal.AudioFeatures(1L, ok = true, 1L, 8000L, 5L, 17L, 7L, 4L))
+    assert(out(1) === Multimodal.AudioFeatures(2L, ok = false, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
 }
