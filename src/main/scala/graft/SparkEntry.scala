@@ -1216,6 +1216,49 @@ object SparkEntry {
        |  ) WHERE rn = 1
        |)""".stripMargin
 
+  /** The pinned binned-quantile estimator in DuckDB — equal-width bins
+    * over [min, max], type-7 rank, uniform interpolation inside the
+    * crossing bin (cumBefore <= r < cum picks it uniquely). Shared by
+    * `stats_quantiles_binned` (batch) and `stream_quantiles` (the
+    * streaming count-table twin): both maintain the identical
+    * register-bounded (group, bin) table and answer through the
+    * identical formula, so one oracle grades both.
+    */
+  private lazy val binnedQuantilesOracle: String = {
+    val psList = QuantilePs.mkString("[", ", ", "]")
+    s"""WITH v AS (
+       |  SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+       |  FROM events WHERE value IS NOT NULL
+       |), b AS (
+       |  SELECT g, min(x) AS mn, max(x) AS mx FROM v GROUP BY g
+       |), binned AS (
+       |  SELECT v.g,
+       |         CASE WHEN b.mx = b.mn THEN 0
+       |              ELSE least(CAST(floor((v.x - b.mn) /
+       |                     ((b.mx - b.mn) / $QuantileBins.0)) AS BIGINT),
+       |                   ${QuantileBins - 1}) END AS bin
+       |  FROM v JOIN b USING (g)
+       |), c AS (
+       |  SELECT g, bin, count(*) AS c FROM binned GROUP BY g, bin
+       |), cum AS (
+       |  SELECT g, bin, c,
+       |         sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
+       |         sum(c) OVER (PARTITION BY g) AS n
+       |  FROM c
+       |), ps AS (
+       |  SELECT unnest($psList) AS p
+       |), hit AS (
+       |  SELECT g, p, bin, c, cum, p * (n - 1) AS r
+       |  FROM cum CROSS JOIN ps
+       |  WHERE cum - c <= p * (n - 1) AND p * (n - 1) < cum
+       |)
+       |SELECT g AS event_type, p,
+       |       round(mn + ((mx - mn) / $QuantileBins.0) *
+       |             (bin + (r - (cum - c)) / c), 6) AS q
+       |FROM hit JOIN b USING (g)
+       |ORDER BY event_type, p""".stripMargin
+  }
+
   /** PII-injection column shared by the text_pii query/oracle: the
     * synthetic corpus contains no PII-shaped strings, so the harness
     * appends deterministic doc_id-derived email/phone/IP tails to a
@@ -2208,6 +2251,43 @@ object SparkEntry {
         .agg(max(col("mj")).cast("int").as("mj"))
       Sketches.hllEstimate(folded, Seq("event_type"), HllP)
         .orderBy("event_type")
+    },
+
+    // -- Structured Streaming binned quantiles (rows 39 + 61) --
+    // The count table that made binnedQuantiles the no-sort batch plan is
+    // register-bounded state (<= groups x nBins rows) — the HLL property —
+    // so it streams: fixed bounds (a static reference table) broadcast
+    // onto the flow, the SAME pinned bin rule, a stateful (group, bin)
+    // count in update mode. Counts only grow, so the landed-emission fold
+    // is max per (group, bin), and the final estimator is the shared
+    // Stats.binnedQuantilesFromCounts — graded against the IDENTICAL
+    // batch oracle as stats_quantiles_binned.
+    "stream_quantiles" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("value"))
+      val bounds = ev.filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(min(col("value").cast("double")).as("_mn"),
+          max(col("value").cast("double")).as("_mx"))
+      val outPath = java.nio.file.Files.createTempDirectory("graft-stream-q")
+      deleteAtExit(outPath)
+      val out = outPath.toString
+      val in = s"$out/in"
+      ev.repartition(4).write.parquet(in)
+      val cnts = graft.streaming.StreamOps.streamingBinCounts(
+        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+          .parquet(in),
+        Seq("event_type"), col("value"), bounds, QuantileBins)
+      graft.streaming.StreamOps.landUpdates(
+        cnts, s"$out/rows", s"$out/ckpt").awaitTermination()
+      deleteTree(java.nio.file.Paths.get(in))
+      deleteTree(java.nio.file.Paths.get(out, "ckpt"))
+      val folded = s.read.parquet(s"$out/rows")
+        .groupBy("event_type", "_bin")
+        .agg(max(col("_c")).as("_c"))
+      Stats.binnedQuantilesFromCounts(folded, bounds,
+          Seq("event_type"), QuantilePs, QuantileBins)
+        .orderBy("event_type", "p")
     },
 
     // -- Structured Streaming KMV sketch maintenance (rows 39 + 58) --
@@ -4008,43 +4088,11 @@ object SparkEntry {
          |FROM events e JOIN b ON b.g = e.event_type
          |ORDER BY e.event_id""".stripMargin,
 
-    "stats_quantiles_binned" -> {
-      // the identical pinned binned estimator: equal-width bins over
-      // [min, max], type-7 rank, uniform interpolation inside the
-      // crossing bin (cumBefore <= r < cum picks it uniquely)
-      val psList = QuantilePs.mkString("[", ", ", "]")
-      s"""WITH v AS (
-         |  SELECT event_type AS g, CAST(value AS DOUBLE) AS x
-         |  FROM events WHERE value IS NOT NULL
-         |), b AS (
-         |  SELECT g, min(x) AS mn, max(x) AS mx FROM v GROUP BY g
-         |), binned AS (
-         |  SELECT v.g,
-         |         CASE WHEN b.mx = b.mn THEN 0
-         |              ELSE least(CAST(floor((v.x - b.mn) /
-         |                     ((b.mx - b.mn) / $QuantileBins.0)) AS BIGINT),
-         |                   ${QuantileBins - 1}) END AS bin
-         |  FROM v JOIN b USING (g)
-         |), c AS (
-         |  SELECT g, bin, count(*) AS c FROM binned GROUP BY g, bin
-         |), cum AS (
-         |  SELECT g, bin, c,
-         |         sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
-         |         sum(c) OVER (PARTITION BY g) AS n
-         |  FROM c
-         |), ps AS (
-         |  SELECT unnest($psList) AS p
-         |), hit AS (
-         |  SELECT g, p, bin, c, cum, p * (n - 1) AS r
-         |  FROM cum CROSS JOIN ps
-         |  WHERE cum - c <= p * (n - 1) AND p * (n - 1) < cum
-         |)
-         |SELECT g AS event_type, p,
-         |       round(mn + ((mx - mn) / $QuantileBins.0) *
-         |             (bin + (r - (cum - c)) / c), 6) AS q
-         |FROM hit JOIN b USING (g)
-         |ORDER BY event_type, p""".stripMargin
-    },
+    "stats_quantiles_binned" -> binnedQuantilesOracle,
+
+    // The streaming twin maintains the SAME register-bounded count table
+    // and answers through the SAME estimator — one oracle for both.
+    "stream_quantiles" -> binnedQuantilesOracle,
 
     "stats_histogram" -> {
       // interior boundaries re-derived with the identical pinned formula,

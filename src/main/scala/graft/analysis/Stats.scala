@@ -225,6 +225,18 @@ object Stats {
     * scan plus a narrow crossing-bin sort; this estimator answers from
     * the count table alone — the two-scan floor for a rank statistic.
     */
+  /** The pinned bin-assignment rule shared by every binned path (batch
+    * AND streaming — [[graft.streaming.StreamOps.streamingBinCounts]]
+    * reuses it so stream and batch agree on what a bin is): expects
+    * `_v`, `_mn`, `_mx` in scope.
+    */
+  private[graft] def binIndex(nBins: Int): Column =
+    when(col("_mx") === col("_mn"), lit(0L))
+      .otherwise(least(
+        floor((col("_v") - col("_mn")) /
+          ((col("_mx") - col("_mn")) / lit(nBins.toDouble))).cast("long"),
+        lit(nBins - 1L)))
+
   def binnedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                       ps: Seq[Double], nBins: Int = 4096,
                       broadcastBounds: Boolean = true): DataFrame = {
@@ -237,12 +249,30 @@ object Stats {
       .filter(col("_v").isNotNull)
     val bounds = v.groupBy(gs: _*)
       .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
-    val width = (col("_mx") - col("_mn")) / lit(nBins.toDouble)
     val cnts = v.join(hint(bounds, broadcastBounds), groupCols)
-      .withColumn("_bin", when(col("_mx") === col("_mn"), lit(0L))
-        .otherwise(least(floor((col("_v") - col("_mn")) / width).cast("long"),
-          lit(nBins - 1L))))
+      .withColumn("_bin", binIndex(nBins))
       .groupBy(gs :+ col("_bin"): _*).agg(count(lit(1)).as("_c"))
+    binnedQuantilesFromCounts(cnts, bounds, groupCols, ps, nBins, broadcastBounds)
+  }
+
+  /** The estimator half of [[binnedQuantiles]], answering from an
+    * already-built `(groupCols…, _bin, _c)` count table plus its
+    * `(groupCols…, _mn, _mx)` bounds — IDENTICAL pinned formula (the
+    * batch operator routes through here), factored out so a count table
+    * maintained ELSEWHERE (a streaming stateful aggregation, a landed
+    * artifact fold) grades against the same oracle. The count table is
+    * register-bounded (≤ groups × nBins rows), which is the whole
+    * streaming story: the state a stream must carry is this table, and
+    * nothing about the data's row count.
+    */
+  def binnedQuantilesFromCounts(cnts: DataFrame, bounds: DataFrame,
+                                groupCols: Seq[String], ps: Seq[Double],
+                                nBins: Int,
+                                broadcastBounds: Boolean = true): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "binnedQuantilesFromCounts: ps must be within [0, 1]")
+    val gs = groupCols.map(col)
+    val width = (col("_mx") - col("_mn")) / lit(nBins.toDouble)
     val wOrd = Window.partitionBy(gs: _*).orderBy(col("_bin"))
     val wAll = Window.partitionBy(gs: _*)
     val cum = cnts

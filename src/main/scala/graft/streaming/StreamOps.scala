@@ -356,6 +356,48 @@ object StreamOps {
       .trigger(trigger)
       .start()
 
+  /** Streaming binned-quantile maintenance — the fourth streaming sketch
+    * beside HLL/KMV/top-k, exploiting the property that made
+    * [[graft.analysis.Stats.binnedQuantiles]]' count table the batch
+    * plan device: per-(group, bin) counts are REGISTER-BOUNDED state
+    * (≤ groups × nBins rows, ever — the stream's length never enters),
+    * exactly like HLL registers. Bin bounds must be FIXED up front (a
+    * reference sample, domain knowledge — a stream cannot take a second
+    * pass over its own past to learn min/max): `bounds` is a STATIC
+    * `(groupCols…, _mn, _mx)` table, stream-static-joined (broadcast)
+    * onto the flow; bin assignment is the SAME pinned
+    * [[graft.analysis.Stats.binIndex]] rule the batch operator uses, so
+    * stream and batch agree bit-for-bit on what a bin is.
+    *
+    * Returns the update-mode streaming aggregation `(groupCols…, _bin,
+    * _c)`. Land it with [[landUpdates]]; a count only GROWS across
+    * emissions, so the read-back fold is `max(_c)` per (group, bin) —
+    * the same monotone-register fold as the HLL row — and the final
+    * quantiles are
+    * [[graft.analysis.Stats.binnedQuantilesFromCounts]] over the folded
+    * table with the same `bounds`: identical pinned estimator, identical
+    * oracle as the batch `stats_quantiles_binned`.
+    *
+    * Values outside [_mn, _mx] clamp into the edge bins (the pinned rule
+    * already floors/caps), so a drifting stream degrades to edge-mass
+    * rather than wrong arithmetic; groups absent from `bounds` drop
+    * (inner join) — the explicit contract that bounds ARE the quantile
+    * domain.
+    */
+  def streamingBinCounts(rows: DataFrame, groupCols: Seq[String],
+                         valueCol: Column, bounds: DataFrame,
+                         nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 65536,
+      "streamingBinCounts: nBins must be in [2, 65536]")
+    val gs = groupCols.map(col)
+    rows.select(gs :+ valueCol.cast("double").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+      .join(broadcast(bounds), groupCols)
+      .withColumn("_bin", graft.analysis.Stats.binIndex(nBins))
+      .groupBy(gs :+ col("_bin"): _*)
+      .agg(count(lit(1)).as("_c"))
+  }
+
   /** Read the slices landed by [[streamingKmv]]/[[streamingTopK]] as one
     * DataFrame, dropping the `batch=<id>` partition column the
     * exactly-once layout adds — the input shape `kmvMerge`/`TopK.perKey`

@@ -293,4 +293,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(folded.collect().toSet === whole.collect().toSet)
     assert(folded.count() === 12L) // 4 keys x top-3, ranks intact
   }
+
+  test("streamingBinCounts: multi-batch update emissions fold (max per bin) to the " +
+    "batch count table; quantiles through the shared estimator match the batch twin") {
+    implicit val sc = spark.sqlContext
+    val all = (1 to 300).map(i => (s"g${i % 2}", ((i * 2654435761L) % 997L).toDouble))
+    val batchDf = all.toDF("g", "v")
+    val bounds = batchDf.groupBy("g")
+      .agg(min(col("v")).as("_mn"), max(col("v")).as("_mx"))
+    val nBins = 32
+    val in = MemoryStream[(String, Double)]
+    val cnts = StreamOps.streamingBinCounts(
+      in.toDF().toDF("g", "v"), Seq("g"), col("v"), bounds, nBins)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-binq").toString
+    val q = StreamOps.landUpdates(cnts, s"$dir/rows", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      in.addData(all.take(130): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(130): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // monotone-register fold: max count per (group, bin)
+    val folded = spark.read.parquet(s"$dir/rows")
+      .groupBy("g", "_bin").agg(max(col("_c")).as("_c"))
+    // register-bounded: never more than groups x nBins state rows
+    assert(folded.count() <= 2L * nBins)
+    // the folded table IS the batch count table
+    val batchCnts = batchDf
+      .select(col("g"), col("v").cast("double").as("_v"))
+      .join(broadcast(bounds), Seq("g"))
+      .withColumn("_bin", graft.analysis.Stats.binIndex(nBins))
+      .groupBy("g", "_bin").agg(count(lit(1)).as("_c"))
+    assert(folded.collect().toSet === batchCnts.collect().toSet)
+    // and the shared estimator reproduces the batch operator bit-for-bit
+    val viaStream = graft.analysis.Stats.binnedQuantilesFromCounts(
+      folded, bounds, Seq("g"), Seq(0.5, 0.9), nBins)
+    val viaBatch = graft.analysis.Stats.binnedQuantiles(
+      batchDf, Seq("g"), col("v"), Seq(0.5, 0.9), nBins)
+    assert(viaStream.collect().toSet === viaBatch.collect().toSet)
+  }
 }
