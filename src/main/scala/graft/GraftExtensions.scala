@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, GramBuckets, GramCounts, Md5Prefix32, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, TermHits, WordNgramHashes}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, GramBuckets, GramCounts, Md5Prefix32, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashes}
 import graft.llm.TextAnalysis
 
 /** Session extensions registering graft's native Catalyst expressions so
@@ -151,6 +151,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_sg_eps: w, deg and deriv must be literals")
         def intArg(i: Int) = children(i).eval().asInstanceOf[Number].intValue()
         SgResidualStddev(children(0), intArg(1), intArg(2), intArg(3))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_subword_encode"),
+      new ExpressionInfo(classOf[SubwordEncode].getName, null, "graft_subword_encode",
+        "graft_subword_encode(text, vocab) - greedy longest-match subword ids " +
+          "(-1 = unknown char) against a literal vocab, one trie pass", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_subword_encode requires exactly 2 arguments, got ${children.size}")
+        require(children(1).foldable, "graft_subword_encode: vocab must be a literal")
+        val arr = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val vocab = arr.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+        SubwordEncode(children(0), vocab.toSeq)
       }))
   }
 }

@@ -1216,6 +1216,62 @@ object SparkEntry {
        |  ) WHERE rn = 1
        |)""".stripMargin
 
+  /** Subword vocab shared by the text_tokens_bpe query/oracle: lowercase
+    * letters EXCEPT `u` (so real unknowns exercise the −1 path on the
+    * corpus's u-words) plus multi-char merges with overlapping prefixes
+    * (sp/spark, ta/tab, th/the, que covering the only sanctioned `u`) so
+    * greedy longest-match genuinely discriminates. Ids = list positions.
+    */
+  private val BpeVocab: Seq[String] =
+    ("abcdefghijklmnopqrstvwxyz".map(_.toString) ++ // no 'u'
+      Seq("th", "the", "er", "or", "ar", "ta", "tab", "sp", "spark",
+        "win", "dow", "window", "que", "jo", "in", "join", "row", "ba", "batch")).toSeq
+
+  /** Unrolled greedy longest-match encode in DuckDB (the
+    * [[graft.functions.SubwordEncode]] rule replayed step-for-step):
+    * every step consumes ≥ 1 character, so `steps` ≥ the longest word
+    * bounds the iteration; encoding runs over DISTINCT words (the rule
+    * is word-local) and joins back in document order.
+    */
+  private def bpeOracleSql(vocab: Seq[String], steps: Int): String = {
+    val values = vocab.zipWithIndex
+      .map { case (w, i) => s"('$w', $i)" }.mkString(", ")
+    val stepCtes = (1 to steps).map { k =>
+      s"""s$k AS (
+         |  SELECT w,
+         |    CASE WHEN r = '' THEN r
+         |         ELSE substr(r, 1 + coalesce((SELECT max(length(tok))
+         |                FROM vocab WHERE starts_with(r, tok)), 1)) END AS r,
+         |    CASE WHEN r = '' THEN ids
+         |         ELSE ids || '|' || coalesce(CAST((SELECT arg_max(id, length(tok))
+         |                FROM vocab WHERE starts_with(r, tok)) AS VARCHAR), '-1') END AS ids
+         |  FROM s${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vocab(tok, id) AS (SELECT * FROM (VALUES $values) v(tok, id)),
+       |$TokCte,
+       |words AS (SELECT DISTINCT unnest(ts) AS w FROM tok),
+       |s0 AS (SELECT w, w AS r, CAST('' AS VARCHAR) AS ids FROM words),
+       |$stepCtes,
+       |enc AS (
+       |  SELECT w, ltrim(ids, '|') AS ids,
+       |         CAST(length(ids) - length(replace(ids, '|', '')) AS BIGINT) AS n
+       |  FROM s$steps
+       |),
+       |docw AS (
+       |  SELECT doc_id, t.i AS i, ts[t.i] AS w
+       |  FROM tok, unnest(range(1, len(ts) + 1)) AS t(i)
+       |)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(sum(e.n), 0) AS BIGINT) AS n_bpe,
+       |       CAST(concat('0x', substr(md5(coalesce(
+       |         string_agg(e.ids, '|' ORDER BY dw.i), '')), 1, 8)) AS BIGINT) AS bpe_fp
+       |FROM documents d
+       |LEFT JOIN docw dw ON d.doc_id = dw.doc_id
+       |LEFT JOIN enc e ON dw.w = e.w
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** The pinned binned-quantile estimator in DuckDB — equal-width bins
     * over [min, max], type-7 rank, uniform interpolation inside the
     * crossing bin (cumBefore <= r < cum picks it uniquely). Shared by
@@ -3237,6 +3293,21 @@ object SparkEntry {
       Multimodal.audioFeatures(bin).toDF().orderBy("doc_id")
     },
 
+    // Vocab-driven subword tokenization (row 37, the real-token-budget
+    // upgrade): greedy longest-match ids against the shared BpeVocab —
+    // native one-trie-pass expression; graded on count + id-sequence
+    // fingerprint, with DuckDB replaying the greedy rule as bounded
+    // unrolled iteration over distinct words.
+    "text_tokens_bpe" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val ids = TextAnalysis.subwordIds(lower(col("text")), BpeVocab)
+      docs.select(col("doc_id"),
+          size(ids).cast("long").as("n_bpe"),
+          Dedup.md5Hash32(array_join(transform(ids, i => i.cast("string")), "|"))
+            .as("bpe_fp"))
+        .orderBy("doc_id")
+    },
+
     // -- LLM: text analysis (rows 35-38) --
     "text_tokens" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -4797,6 +4868,8 @@ object SparkEntry {
         |            ELSE len(list_filter(range(1, len(sm)),
         |                                 i -> (sm[i] < 0) <> (sm[i + 1] < 0))) END AS BIGINT) AS zero_cross
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_tokens_bpe" -> bpeOracleSql(BpeVocab, steps = 10),
 
     "text_tokens" ->
       s"""SELECT doc_id,

@@ -338,7 +338,9 @@ object Stats {
   def weightedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                         weightCol: Column, ps: Seq[Double],
                         nBins: Int = 4096,
-                        broadcastBounds: Boolean = true): DataFrame = {
+                        broadcastBounds: Boolean = true,
+                        scope: graft.core.CacheScope =
+                          graft.core.CacheScope.session): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "weightedQuantiles: ps must be within [0, 1]")
     require(nBins >= 2 && nBins <= 65536,
@@ -365,10 +367,19 @@ object Stats {
         raise_error(concat(lit("weightedQuantiles: weight overflows 1e-6 ticks: "),
           wRaw.cast("string"))))
       .otherwise(round(wRaw * lit(1e6)).cast("long"))
-    val pv = df
+    // CACHED (via `scope`, the [[graft.core.CacheScope]] convention):
+    // five downstream stages consume pv (bounds, bin sums, total mass,
+    // needed-bin restriction, crossing-bin cumulative), and Spark's
+    // exchange reuse does not deduplicate them — uncached, the plan
+    // re-scans the CORPUS once per consumer (measured: 8 FileScans at
+    // sf0.1, the entire reason this row trailed a single-scan oracle).
+    // The cached table is per-(group, value) — bounded by distinct
+    // measure values, not rows (17.8k at sf10) — so storage is
+    // metadata-sized by the same argument that made it the plan's hub.
+    val pv = scope.cache(df
       .select(gs ++ Seq(valueCol.cast("double").as("_v"), wTicks.as("_w")): _*)
       .filter(col("_v").isNotNull && col("_w").isNotNull)
-      .groupBy(gs :+ col("_v"): _*).agg(sum(col("_w")).as("_cv"))
+      .groupBy(gs :+ col("_v"): _*).agg(sum(col("_w")).as("_cv")))
     val bounds = pv.groupBy(gs: _*)
       .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
         sum(col("_cv")).as("_tw"))

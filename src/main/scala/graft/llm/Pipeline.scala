@@ -504,12 +504,21 @@ object Pipeline {
   }
 
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    shardCol: String, budget: Int): DataFrame = {
+                    shardCol: String, budget: Int,
+                    vocab: Option[Seq[String]] = None): DataFrame = {
     require(budget > 0, "packSequences: budget must be positive")
     val w = Window.partitionBy(shardCol).orderBy(idCol)
     val b = lit(budget.toDouble)
+    // vocab-REAL budgets when a subword vocab is supplied (the training
+    // row is measured in the tokens the model will actually see —
+    // [[TextAnalysis.subwordIds]]); whitespace counts otherwise. Still a
+    // pure projection feeding the same one-window cumsum.
+    val nTok = vocab match {
+      case Some(v) => size(TextAnalysis.subwordIds(col(textCol), v)).cast("long")
+      case None    => TextAnalysis.tokenCount(col(textCol))
+    }
     docs
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("n_tokens", nTok)
       .withColumn("start_tok",
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
       .withColumn("bin", floor(col("start_tok") / b))

@@ -463,13 +463,25 @@ object Similarity {
     * result-identical to [[ivfTopK]] on the same centroids (same probe
     * tiebreaks, same re-rank) with the corpus scan PRUNED to the probed
     * cells. The probe cells come from one metadata-sized collect
-    * (queries × nProbe ints), so they reach the scan as a LITERAL
-    * partition predicate and pruning happens at PLAN time; `queries`
-    * carries `(idCol, vecCol)` rows and is metadata-sized by contract.
+    * (DISTINCT cell ids — bounded by the centroid count, never by
+    * |queries|), so they reach the scan as a LITERAL partition predicate
+    * and pruning happens at PLAN time; `queries` carries
+    * `(idCol, vecCol)` rows and is metadata-sized by contract.
+    *
+    * `maxPlanCells` caps the driver-side materialization (advisor,
+    * round 13): when a large query batch probes MORE distinct cells than
+    * the cap, the literal IN-list would bloat the plan (and the collect
+    * the driver) for pruning that barely prunes — past the cap the cell
+    * filter falls back to a broadcast semi-join (losing plan-time
+    * pruning, keeping the scan-side filter at run time) and says so
+    * loudly at WARN. The collect itself is `limit(cap+1)`-bounded either
+    * way, so driver memory never scales with the probe set.
     */
   def ivfIndexTopK(index: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-                   k: Int, cents: Array[Array[Double]], nProbe: Int = 2): DataFrame = {
+                   k: Int, cents: Array[Array[Double]], nProbe: Int = 2,
+                   maxPlanCells: Int = 4096): DataFrame = {
     require(k > 0 && nProbe > 0, "ivfIndexTopK: k and nProbe must be positive")
+    require(maxPlanCells > 0, "ivfIndexTopK: maxPlanCells must be positive")
     val qScores = cents.zipWithIndex.map { case (c, i) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
       struct((dot(col("_v"), litArray(c)) / lit(cn)).as("s"), lit(i).as("c"))
@@ -478,8 +490,18 @@ object Similarity {
       .select(col(idCol).as("q_id"), col("_v").as("_qv"), col("_n").as("_qn"),
         explode(slice(reverse(array_sort(array(qScores.toIndexedSeq: _*))), 1, nProbe)
           .getField("c")).as("cell"))
-    val cells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val base = index.filter(col("cell").isin(cells: _*))
+    val qCells = q.select("cell").distinct()
+    val cells = qCells.limit(maxPlanCells + 1).collect().map(_.getInt(0)).toSeq
+    val pruned =
+      if (cells.length <= maxPlanCells) index.filter(col("cell").isin(cells: _*))
+      else {
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"ivfIndexTopK: probe set spans > $maxPlanCells distinct cells; " +
+            "falling back from literal partition pruning to a broadcast " +
+            "semi-join cell filter (plan-time pruning lost, run-time filter kept)")
+        index.join(broadcast(qCells), Seq("cell"), "left_semi")
+      }
+    val base = pruned
       .select(col(idCol), asDouble(col(vecCol)).as("_v"), col("cell"))
       .withColumn("_n", norm(col("_v")))
     val scored = base.join(broadcast(q), Seq("cell"))

@@ -40,6 +40,50 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(BpePattern)).cast("long")
 
+  /** REAL vocab-driven subword ids — greedy longest-match against a
+    * broadcast-literal `vocab` (the WordPiece inference rule; −1 =
+    * unknown character): see [[graft.functions.SubwordEncode]] for the
+    * pinned semantics. Native one-trie-pass expression when the
+    * extensions are registered; otherwise an HOF twin that folds over
+    * character positions carrying a (cursor, ids) state — identical
+    * output, spec-pinned (NativeEquivalenceSpec convention). Token
+    * BUDGETS for packing/chunking come from `size(subwordIds(...))` —
+    * vocabulary-real counts, not the [[BpePattern]] regex approximation.
+    */
+  def subwordIds(text: Column, vocab: Seq[String]): Column =
+    if (graft.functions.Native.registered)
+      call_function("graft_subword_encode", text, array(vocab.map(lit): _*))
+    else {
+      // HOF twin: per word, fold positions 1..len; state = (cursor, ids).
+      // A position below the cursor is already consumed; at the cursor,
+      // the longest vocab prefix wins (vocab pre-sorted length-desc so
+      // the FIRST filter survivor is the winner), else -1 consumes one
+      // char. O(len × |vocab|) per row — the documented fallback cost.
+      val ordered = vocab.zipWithIndex.sortBy { case (w, i) => (-w.length, i) }
+      val vlit = array(ordered.map { case (w, i) =>
+        struct(lit(w).as("w"), lit(i).as("id"))
+      }: _*)
+      val words = filter(split(text, "\\s+"), w => length(w) > 0)
+      val perWord = transform(words, w =>
+        aggregate(
+          sequence(lit(1), length(w)),
+          struct(lit(1).as("cur"), array().cast("array<int>").as("ids")),
+          (st, pos) => {
+            val hit = try_element_at(filter(vlit,
+              v => pos === st.getField("cur") &&
+                substring(w, pos, length(v.getField("w"))) === v.getField("w")), lit(1))
+            when(pos < st.getField("cur"), st)
+              .when(hit.isNotNull,
+                struct((pos + length(hit.getField("w"))).as("cur"),
+                  concat(st.getField("ids"), array(hit.getField("id"))).as("ids")))
+              .otherwise(
+                struct((pos + 1).as("cur"),
+                  concat(st.getField("ids"), array(lit(-1))).as("ids")))
+          },
+          st => st.getField("ids")))
+      when(text.isNotNull, flatten(perWord))
+    }
+
   /** Per-language stopword lists for the language-ID heuristic. Order is
     * the deterministic tie-break order.
     */

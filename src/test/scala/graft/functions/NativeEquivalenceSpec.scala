@@ -153,6 +153,52 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
   }
 
+  test("graft_subword_encode == HOF fold twin on generated strings (greedy longest " +
+    "match, codepoint-wide unknowns)") {
+    val df = (sampled(genText, 250, 97L) ++
+      Seq(null, "", "   ", "the theatre thesis", "abcabcx qq", "水水é😀 a水b"))
+      .toDF("text")
+    // overlapping prefixes exercise the longest-match rule; multibyte
+    // entries exercise byte-trie vs char-substring agreement
+    val vocab = Seq("a", "b", "c", "ab", "abc", "th", "the", "q", "1", "水", "é")
+    val native = call_function("graft_subword_encode", col("text"),
+      array(vocab.map(lit): _*))
+    // the HOF twin from TextAnalysis.subwordIds' fallback branch, inlined
+    // against the same vocab (Native.registered is true in this session,
+    // so calling subwordIds would just take the native path twice)
+    val ordered = vocab.zipWithIndex.sortBy { case (w, i) => (-w.length, i) }
+    val vlit = array(ordered.map { case (w, i) =>
+      struct(lit(w).as("w"), lit(i).as("id"))
+    }: _*)
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val perWord = transform(words, w =>
+      aggregate(
+        sequence(lit(1), length(w)),
+        struct(lit(1).as("cur"), array().cast("array<int>").as("ids")),
+        (st, pos) => {
+          val hit = try_element_at(filter(vlit,
+            v => pos === st.getField("cur") &&
+              substring(w, pos, length(v.getField("w"))) === v.getField("w")), lit(1))
+          when(pos < st.getField("cur"), st)
+            .when(hit.isNotNull,
+              struct((pos + length(hit.getField("w"))).as("cur"),
+                concat(st.getField("ids"), array(hit.getField("id"))).as("ids")))
+            .otherwise(
+              struct((pos + 1).as("cur"),
+                concat(st.getField("ids"), array(lit(-1))).as("ids")))
+        },
+        st => st.getField("ids")))
+    val decl = when(col("text").isNotNull, flatten(perWord))
+    val bad = df.select(native.as("nat"), decl.as("dec"))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
+    // hand-checked greediness: "theatre" = the + a + -1(t) + -1(r) + -1(e)... with
+    // this vocab: t-h-e matches "the"(6); then "atre": a(0), -1(t), -1(r), -1(e)
+    val one = Seq("theatre abc ab").toDF("text")
+      .select(native.as("ids")).collect().head.getSeq[Int](0)
+    assert(one === Seq(6, 0, -1, -1, -1, 4, 3))
+  }
+
   test("graft_set_overlap == array_intersect/array_union sizes on generated arrays") {
     val genArr = Gen.listOf(Gen.chooseNum(0L, 30L)) // small domain → real overlaps
     val pairs = sampled(Gen.zip(genArr, genArr), 300, 13L)

@@ -55,6 +55,24 @@ class PipelineSpec extends SparkSpec {
     assert(out(5L) === ((2L, 1L, false)))
   }
 
+  test("packSequences with a subword vocab: budgets are vocab-REAL token counts") {
+    // vocab: "ab" + single letters a, b → "ababa" = ab ab a = 3 subwords
+    // (5 whitespace-chars, 1 whitespace token — the budget genuinely moves)
+    val d = Seq((0L, "ababa ab", "s"), (1L, "b a", "s")).toDF("doc_id", "text", "shard")
+    val out = Pipeline.packSequences(d, "doc_id", "text", "shard", 4,
+        vocab = Some(Seq("a", "b", "ab")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // doc 0: ababa=3 + ab=1 → 4 subwords, fills bin 0 exactly (no span);
+    // doc 1: 2 subwords starting at 4 → bin 1
+    assert(out(0L) === ((4L, 0L, false)))
+    assert(out(1L) === ((2L, 1L, false)))
+    // whitespace budgets would have been 2 and 2 — different bins entirely
+    val ws = Pipeline.packSequences(d, "doc_id", "text", "shard", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ws(0L) === 2L)
+  }
+
   test("packSequences mega-shard recipe: salt the shard key, then pack") {
     // The shard is the packing unit, so a single mega-shard serializes in
     // one window partition BY CONTRACT — the documented remedy is to

@@ -280,6 +280,29 @@ class SimilaritySpec extends SparkSpec {
       "the storage-side probe must answer identically to the compute-side operator")
   }
 
+  test("ivfIndexTopK maxPlanCells: past the cap the cell filter becomes a semi-join " +
+    "(no literal IN-list, no unbounded driver collect) with identical answers") {
+    val queries = (0L to 40L).toSeq // a batch wide enough to probe > 1 distinct cell
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 4, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cap").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, path)
+    val qs = emb.filter($"vec_id".isin(queries: _*))
+    val literal = Similarity.ivfIndexTopK(spark.read.parquet(path), qs,
+      "vec_id", "embedding", 3, cents, nProbe = 2)
+    val capped = Similarity.ivfIndexTopK(spark.read.parquet(path), qs,
+      "vec_id", "embedding", 3, cents, nProbe = 2, maxPlanCells = 1)
+    assert(capped.orderBy("q_id", "rank").collect().toSeq ===
+      literal.orderBy("q_id", "rank").collect().toSeq)
+    // plan audit: the capped path must carry the semi-join, not an IN-list
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi-join cell filter:\n$plan")
+    assert(!plan.contains("cell#) IN") && !"cell IN \\(".r.findFirstIn(plan).isDefined,
+      s"capped path must not plan a literal cell IN-list:\n$plan")
+    // and the literal path keeps plan-time pruning (IN-list present)
+    val litPlan = literal.queryExecution.executedPlan.toString
+    assert(litPlan.contains("LeftSemi") === false)
+  }
+
   test("appendToIvfIndex: two-batch build == one-shot index, centroids round-trip") {
     val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 4, iters = 3)
     val oneShot = java.nio.file.Files.createTempDirectory("graft_ivf_one").toString
