@@ -1272,6 +1272,60 @@ object SparkEntry {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** [[bpeOracleSql]]'s sibling for chunking in subword space: the same
+    * unrolled greedy encode (shared construction), then the per-doc id
+    * list re-assembled in word order and cut with the pipe_chunks CTE
+    * pattern over SUBWORD positions.
+    */
+  private def bpeChunksOracleSql(vocab: Seq[String], steps: Int,
+                                 chunkTokens: Int, stride: Int): String = {
+    val values = vocab.zipWithIndex
+      .map { case (w, i) => s"('$w', $i)" }.mkString(", ")
+    val stepCtes = (1 to steps).map { k =>
+      s"""s$k AS (
+         |  SELECT w,
+         |    CASE WHEN r = '' THEN r
+         |         ELSE substr(r, 1 + coalesce((SELECT max(length(tok))
+         |                FROM vocab WHERE starts_with(r, tok)), 1)) END AS r,
+         |    CASE WHEN r = '' THEN ids
+         |         ELSE ids || '|' || coalesce(CAST((SELECT arg_max(id, length(tok))
+         |                FROM vocab WHERE starts_with(r, tok)) AS VARCHAR), '-1') END AS ids
+         |  FROM s${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vocab(tok, id) AS (SELECT * FROM (VALUES $values) v(tok, id)),
+       |$TokCte,
+       |words AS (SELECT DISTINCT unnest(ts) AS w FROM tok),
+       |s0 AS (SELECT w, w AS r, CAST('' AS VARCHAR) AS ids FROM words),
+       |$stepCtes,
+       |enc AS (SELECT w, ltrim(ids, '|') AS ids FROM s$steps),
+       |docw AS (
+       |  SELECT doc_id, t.i AS i, ts[t.i] AS w
+       |  FROM tok, unnest(range(1, len(ts) + 1)) AS t(i)
+       |),
+       |docids AS (
+       |  SELECT dw.doc_id,
+       |         string_split(string_agg(e.ids, '|' ORDER BY dw.i), '|') AS ids
+       |  FROM docw dw JOIN enc e ON dw.w = e.w
+       |  GROUP BY dw.doc_id
+       |),
+       |ch AS (
+       |  SELECT doc_id, ids,
+       |         CAST(floor((greatest(len(ids) - $chunkTokens, 0) + ${stride - 1})
+       |                    / $stride.0) AS BIGINT) + 1 AS nch
+       |  FROM docids WHERE len(ids) > 0
+       |),
+       |ex AS (
+       |  SELECT doc_id, ids, unnest(generate_series(0, nch - 1)) AS chunk_id FROM ch
+       |)
+       |SELECT doc_id, chunk_id, chunk_id * $stride AS start_tok,
+       |       CAST(len(list_slice(ids, chunk_id * $stride + 1,
+       |                           chunk_id * $stride + $chunkTokens)) AS BIGINT) AS n_tokens,
+       |       CAST(concat('0x', substr(md5(array_to_string(
+       |         list_slice(ids, chunk_id * $stride + 1,
+       |                    chunk_id * $stride + $chunkTokens), '|')), 1, 8)) AS BIGINT) AS chunk_hash
+       |FROM ex ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   /** The pinned binned-quantile estimator in DuckDB — equal-width bins
     * over [min, max], type-7 rank, uniform interpolation inside the
     * crossing bin (cumBefore <= r < cum picks it uniquely). Shared by
@@ -3501,6 +3555,17 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // -- LLM: chunking in SUBWORD space (rows 50 + 37 composed) --
+    // The retrieval budget measured in the tokens the model sees: greedy
+    // subword ids against the shared BpeVocab, windows of ChunkSize ids
+    // with ChunkStride overlap, chunk identity = hash of the id slice.
+    "pipe_chunks_bpe" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      Pipeline.chunkSubwords(docs, "doc_id", "text", BpeVocab, ChunkSize, ChunkStride)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // -- LLM: SemDeDup semantic near-dup (row 51) --
     "dedup_semantic" -> { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -4870,6 +4935,9 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_tokens_bpe" -> bpeOracleSql(BpeVocab, steps = 10),
+
+    "pipe_chunks_bpe" -> bpeChunksOracleSql(BpeVocab, steps = 10,
+      chunkTokens = ChunkSize, stride = ChunkStride),
 
     "text_tokens" ->
       s"""SELECT doc_id,

@@ -222,6 +222,36 @@ object Pipeline {
       .select(out: _*)
   }
 
+  /** [[chunk]] in SUBWORD space — the budget a retrieval/training
+    * pipeline actually provisions: windows of `chunkTokens` SUBWORD ids
+    * (greedy longest-match against `vocab`,
+    * [[TextAnalysis.subwordIds]]) with `stride` overlap, `chunk_hash` =
+    * md5-32 of the id slice joined with `|` (ids, not words: the chunk
+    * identity is what the model sees). Same plan shape as [[chunk]]:
+    * the id array builds ONCE per row (one native trie pass), the
+    * explode fan-out is bounded by ids/stride — a pure projection +
+    * generator, zero shuffle at any corpus size.
+    */
+  def chunkSubwords(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: Seq[String], chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkSubwords: chunkTokens must be positive")
+    require(stride > 0 && stride <= chunkTokens,
+      "chunkSubwords: stride must be in [1, chunkTokens]")
+    val nChunks = floor((greatest(col("_n") - chunkTokens, lit(0)) + (stride - 1))
+      / lit(stride.toDouble)) + 1
+    val piece = slice(col("_ts"), col("chunk_id") * stride + 1, lit(chunkTokens))
+    docs.select(col(idCol),
+        TextAnalysis.subwordIds(col(textCol), vocab).as("_ts"))
+      .withColumn("_n", size(col("_ts")))
+      .filter(col("_n") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks.cast("long") - 1)))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride).cast("long").as("start_tok"),
+        size(piece).cast("long").as("n_tokens"),
+        Dedup.md5Hash32(array_join(transform(piece, i => i.cast("string")), "|"))
+          .as("chunk_hash"))
+  }
+
   /** End-to-end C4/RefinedWeb-style corpus cleaning — the composition
     * the per-step operators exist for, as ONE library call: keep
     * documents that (1) language-identify as `lang`

@@ -73,6 +73,24 @@ class PipelineSpec extends SparkSpec {
     assert(ws(0L) === 2L)
   }
 
+  test("chunkSubwords: windows cut in subword space, chunk identity hashes the id slice") {
+    // vocab ids: a=0, b=1, ab=2 → "ababa ba x" = [2, 2, 0, 1, 0, -1] (6 subwords)
+    val d = Seq((1L, "ababa ba x")).toDF("doc_id", "text")
+    val out = Pipeline.chunkSubwords(d, "doc_id", "text", Seq("a", "b", "ab"),
+        chunkTokens = 4, stride = 2)
+      .orderBy("chunk_id").collect()
+    // 6 ids, budget 4, stride 2 → chunks at 0 (4 ids) and 2 (4 ids)
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((0L, 0L, 4L), (1L, 2L, 4L)))
+    // hash = md5-32 of the id slice joined with '|' — check chunk 0 directly
+    val expect = Seq(Tuple1("2|2|0|1")).toDF("s")
+      .select(Dedup.md5Hash32(col("s"))).collect().head.getLong(0)
+    assert(out(0).getLong(4) === expect)
+    // a doc with zero subwords (whitespace only) produces no chunks
+    assert(Pipeline.chunkSubwords(Seq((2L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("a"), 4, 2).count() === 0L)
+  }
+
   test("packSequences mega-shard recipe: salt the shard key, then pack") {
     // The shard is the packing unit, so a single mega-shard serializes in
     // one window partition BY CONTRACT — the documented remedy is to
