@@ -2879,6 +2879,31 @@ object SparkEntry {
     // schema with two corrupt lines injected (malformed JSON + a
     // type-violating doc_id) — the good side must round-trip exactly
     // and the quarantine must absorb the rest (count pinned by spec).
+    // -- WARC/WET record extraction (row 72) --
+    // The crawl-side ingest head: docs wrap as WET conversion records
+    // (deterministic URIs; doc_id%11 records declare a WRONG
+    // Content-Length and must surface ok=false), concatenate 8 records
+    // per blob in doc_id order, and the operator splits + parses them
+    // back. Oracle = the closed-form record table.
+    "source_warc" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val uri = concat(lit("https://site"), col("doc_id").cast("string"), lit("/doc"))
+      val declared = when(col("doc_id") % 11 === 0, length(col("text")) + 1)
+        .otherwise(length(col("text")))
+      val rec = graft.sources.Warc.record(uri, col("text"), Some(declared))
+      val blobs = docs
+        .select((col("doc_id") / 8).cast("long").as("g"),
+          struct(col("doc_id"), rec.as("r")).as("sr"))
+        .groupBy("g")
+        .agg(array_join(transform(sort_array(collect_list(col("sr"))),
+          s => s.getField("r")), "").as("blob"))
+      graft.sources.Warc.extractRecords(blobs.select("blob"), "blob")
+        .withColumn("doc_id",
+          regexp_extract(col("uri"), "site([0-9]+)/", 1).cast("long"))
+        .select("doc_id", "uri", "ok", "payload")
+        .orderBy("doc_id")
+    },
+
     "source_jsonl" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val outPath = java.nio.file.Files.createTempDirectory("graft-jsonl")
@@ -4533,6 +4558,17 @@ object SparkEntry {
     "source_jsonl" ->
       // the round-trip identity: everything that left parquet comes back
       """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Closed-form ground truth of the WET wrap: extraction must recover
+    // every record with its exact payload; the %11 wrong-length records
+    // flag ok=false (payload still recovered — framing is the magic
+    // line, Content-Length is verification only).
+    "source_warc" ->
+      """SELECT doc_id,
+        |  'https://site' || CAST(doc_id AS VARCHAR) || '/doc' AS uri,
+        |  doc_id % 11 <> 0 AS ok,
+        |  text AS payload
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "join_salted" ->
