@@ -1326,6 +1326,60 @@ object SparkEntry {
        |FROM ex ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  /** Merge rounds for the BPE-training row (metadata-sized table work
+    * after one corpus pass; 12 rounds over the 26-letter word pool).
+    */
+  private val BpeTrainRounds = 12
+
+  /** The BPE merge loop replayed in DuckDB — each round: adjacent-pair
+    * counts off the `<sym>`-wrapped strings, argmax with the pinned
+    * (count DESC, pattern ASC) tie-break, literal splice. Disjoint
+    * `<l><r>` matches make every engine's left-to-right replace agree;
+    * the coalesce sentinel keeps an exhausted round harmless.
+    */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    // every CTE is MATERIALIZED: each round references its predecessor
+    // several times (pair counts + the splice's scalar subqueries), and
+    // DuckDB re-inlines non-materialized CTEs — 12 chained rounds would
+    // re-open the parquet exponentially (measured: "too many open files")
+    val roundCtes = (1 to rounds).map { k =>
+      s"""x${k - 1} AS MATERIALIZED (
+         |  SELECT freq, s, string_split(substr(s, 2, length(s) - 2), '><') AS sy
+         |  FROM w${k - 1}
+         |), p$k AS MATERIALIZED (
+         |  SELECT pat, sum(freq) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(sy)),
+         |      i -> '<' || sy[i] || '><' || sy[i + 1] || '>')) AS pat
+         |    FROM x${k - 1}
+         |  ) GROUP BY pat
+         |), b$k AS MATERIALIZED (
+         |  SELECT $k AS rank, pat, cnt FROM p$k ORDER BY cnt DESC, pat ASC LIMIT 1
+         |), w$k AS MATERIALIZED (
+         |  SELECT freq, replace(s,
+         |    coalesce((SELECT pat FROM b$k), chr(1)),
+         |    coalesce(replace((SELECT pat FROM b$k), '><', ''), '')) AS s
+         |  FROM w${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(k => s"SELECT rank, pat, cnt FROM b$k").mkString("\nUNION ALL\n")
+    s"""WITH $TokCte,
+       |wf AS (
+       |  SELECT w, count(*) AS freq FROM (SELECT unnest(ts) AS w FROM tok) GROUP BY w
+       |),
+       |w0 AS MATERIALIZED (
+       |  SELECT freq,
+       |         '<' || array_to_string(string_split(w, ''), '><') || '>' AS s
+       |  FROM wf
+       |),
+       |$roundCtes,
+       |m AS ($union)
+       |SELECT CAST(rank AS BIGINT) AS rank,
+       |       regexp_extract(pat, '^<(.*?)><', 1) AS merge_left,
+       |       regexp_extract(pat, '><(.*)>$$', 1) AS merge_right,
+       |       CAST(cnt AS BIGINT) AS pair_count
+       |FROM m ORDER BY rank""".stripMargin
+  }
+
   /** The pinned binned-quantile estimator in DuckDB — equal-width bins
     * over [min, max], type-7 rank, uniform interpolation inside the
     * crossing bin (cumBefore <= r < cum picks it uniquely). Shared by
@@ -3372,6 +3426,19 @@ object SparkEntry {
       Multimodal.audioFeatures(bin).toDF().orderBy("doc_id")
     },
 
+    // BPE vocab TRAINING (row 37's training half): the Sennrich merge
+    // loop — one corpus pass to the word-frequency table, then 12
+    // metadata-sized argmax+splice rounds; graded on the learned merge
+    // table, with DuckDB replaying every round as unrolled CTEs.
+    "text_bpe_train" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(lower(col("text")).as("text"))
+      TextAnalysis.trainBpeMerges(docs, "text", BpeTrainRounds)
+        .select(col("rank"), col("left").as("merge_left"),
+          col("right").as("merge_right"), col("pair_count"))
+        .orderBy("rank")
+    },
+
     // Vocab-driven subword tokenization (row 37, the real-token-budget
     // upgrade): greedy longest-match ids against the shared BpeVocab —
     // native one-trie-pass expression; graded on count + id-sequence
@@ -4969,6 +5036,8 @@ object SparkEntry {
         |            ELSE len(list_filter(range(1, len(sm)),
         |                                 i -> (sm[i] < 0) <> (sm[i + 1] < 0))) END AS BIGINT) AS zero_cross
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_train" -> bpeTrainOracleSql(BpeTrainRounds),
 
     "text_tokens_bpe" -> bpeOracleSql(BpeVocab, steps = 10),
 

@@ -84,6 +84,88 @@ object TextAnalysis {
       when(text.isNotNull, flatten(perWord))
     }
 
+  /** BPE vocab TRAINING — the classic merge loop (Sennrich et al. 2016,
+    * public knowledge), distributed the way the algorithm itself is
+    * structured: the corpus collapses in ONE pass to the word-frequency
+    * table (tiny relative to rows — corpus-vocabulary-sized even at
+    * 100 TB, and cached via `scope`), and every merge round runs over
+    * that table only: count adjacent symbol pairs weighted by word
+    * frequency, take the argmax, splice the winner into every word.
+    * Returns the learned merge table `(rank, left, right, pair_count)`
+    * — feed `left+right` concatenations (plus the base characters) to
+    * [[subwordIds]] for encode.
+    *
+    * Pinned determinism (the cross-engine contract):
+    *  - words = ASCII-whitespace tokens of the text, as-is (lowercase
+    *    upstream if desired);
+    *  - symbols start as single CHARACTERS and are represented
+    *    `<sym>`-wrapped and concatenated (`"ab"` → `"<a><b>"`) — merges
+    *    rewrite by literal `replace(s, "<a><b>", "<ab>")`, whose
+    *    matches are character-DISJOINT by construction, so every
+    *    engine's left-to-right non-overlapping replace agrees (the
+    *    shared-boundary ambiguity of space-separated forms never
+    *    arises). Words must not contain `<` or `>`;
+    *  - pair count = adjacent index pairs (overlapping occurrences both
+    *    count, the reference convention) × word frequency;
+    *  - tie-break = lexicographically smallest pattern string
+    *    `"<l><r>"` at equal count, compared as a plain string in both
+    *    engines;
+    *  - a round with no remaining pair stops early.
+    *
+    * Each round is one aggregation + one 1-row collect on the
+    * metadata-sized table — `nMerges` small jobs after the single
+    * corpus pass, never a corpus-sized shuffle per round.
+    */
+  def trainBpeMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                     scope: graft.core.CacheScope =
+                       graft.core.CacheScope.session): DataFrame = {
+    require(nMerges > 0 && nMerges <= 1000, "trainBpeMerges: nMerges in [1, 1000]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wrapped = concat_ws("",
+      transform(split(col("w"), ""), c => concat(lit("<"), c, lit(">"))))
+    val wf0 = scope.cache(
+      docs.select(explode(filter(split(col(textCol), "\\s+"), w => length(w) > 0)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("freq"), wrapped.as("s")))
+    // adjacent pair patterns of the current symbol string: strip the
+    // outer brackets, split on `><`, window pairs back into patterns
+    def pairPatterns(s: Column): Column = {
+      val syms = split(regexp_replace(s, "^<|>$", ""), "><")
+      filter(
+        zip_with(syms, concat(slice(syms, lit(2), greatest(size(syms) - 1, lit(1))),
+            array(lit(null).cast("string"))), (a, b) =>
+          when(b.isNotNull, concat(lit("<"), a, lit("><"), b, lit(">")))),
+        p => p.isNotNull)
+    }
+    var wf = wf0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    var rank = 1
+    while (rank <= nMerges && !done) {
+      val top = wf
+        .select(explode(pairPatterns(col("s"))).as("pat"), col("freq"))
+        .groupBy("pat").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pat").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val pat = top.head.getString(0)
+        val cnt = top.head.getLong(1)
+        val inner = pat.stripPrefix("<").stripSuffix(">") // "l><r"
+        val Array(l, r) = inner.split("><", 2)
+        merges += ((rank, l, r, cnt))
+        wf = wf.select(col("freq"),
+          call_function("replace", col("s"), lit(pat),
+            lit(s"<$l$r>")).as("s"))
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+      .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+        col("pair_count"))
+  }
+
   /** Per-language stopword lists for the language-ID heuristic. Order is
     * the deterministic tie-break order.
     */

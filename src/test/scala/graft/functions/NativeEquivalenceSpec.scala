@@ -199,6 +199,20 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(one === Seq(6, 0, -1, -1, -1, 4, 3))
   }
 
+  test("trainBpeMerges: hand-checked merge sequence, frequency-weighted, stops when dry") {
+    // wf: "aba" x2, "ab" x1 → round 1: (a,b) = 2+1 = 3 beats (b,a) = 2;
+    // round 2: (ab,a) = 2; round 3: nothing left → early stop
+    val docs = Seq("aba aba", "ab").toDF("text")
+    val out = graft.llm.TextAnalysis.trainBpeMerges(docs, "text", nMerges = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, "a", "b", 3L), (2L, "ab", "a", 2L)))
+    // tie-break: "xy" x1 + "yx" x1 → (x,y) and (y,x) both 1; "<x><y>" wins
+    val tie = graft.llm.TextAnalysis.trainBpeMerges(
+      Seq("xy yx").toDF("text"), "text", 1).collect().head
+    assert((tie.getString(1), tie.getString(2)) === (("x", "y")))
+  }
+
   test("graft_set_overlap == array_intersect/array_union sizes on generated arrays") {
     val genArr = Gen.listOf(Gen.chooseNum(0L, 30L)) // small domain → real overlaps
     val pairs = sampled(Gen.zip(genArr, genArr), 300, 13L)
