@@ -131,7 +131,15 @@ object Bench {
         names.foreach { name =>
           val t0 = System.nanoTime()
           try {
-            SparkEntry.queries(name)(spark, sfDir).count()
+            // Force FULL-COLUMN evaluation, not `count()`: under a bare
+            // count Catalyst prunes every deterministic projection and
+            // eliminates the sort, so a pure-projection query (the
+            // text_*/url_* class) would time the row-group METADATA scan
+            // while the DuckDB side fetches fully materialized rows —
+            // asymmetric in graft's favor (caught round 14: text_extract
+            // "ran" 500k docs in 0.13 s). toRdd materializes every output
+            // column into UnsafeRows on the executors without collecting.
+            SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
             val sec = (System.nanoTime() - t0) / 1e9
             times(name) = times.getOrElse(name, Nil) :+ sec
             metrics.foreach { l =>

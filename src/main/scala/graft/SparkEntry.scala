@@ -1706,13 +1706,18 @@ object SparkEntry {
     */
   @volatile private var semCentsExport: Option[Array[Array[Double]]] = None
 
-  /** DuckDB CTE: lowercased whitespace tokens of each document. */
-  private val TokCte =
-    """tok AS (
-      |  SELECT doc_id,
-      |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS ts
-      |  FROM documents
-      |)""".stripMargin
+  /** DuckDB CTE: lowercased whitespace tokens of each document —
+    * parameterized on the source relation so a composed oracle (e.g.
+    * pipe_clean_html's extracted-text CTE) can tokenize its own table.
+    */
+  private def tokCteFor(rel: String): String =
+    s"""tok AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS ts
+       |  FROM $rel
+       |)""".stripMargin
+
+  private val TokCte = tokCteFor("documents")
 
   /** DuckDB CTEs: embeddings as DOUBLE lists + their L2 norms (left-fold
     * sums, matching [[Similarity.dot]]/[[Similarity.norm]] exactly).
@@ -3571,6 +3576,23 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // The WHOLE funnel from markup (rows 71 + 54 composed): crawl-shaped
+    // HTML in, cleaned corpus out — stage 0 extraction inside
+    // cleanCorpus(fromHtml = true), then the identical filter/dedup/
+    // decon/redact funnel over the EXTRACTED text. The bench side is
+    // extracted too (decontamination grams live in text space).
+    "pipe_clean_html" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val html = docs.select(col("doc_id"), htmlInjected.as("text"))
+      val bench = docs
+        .select(col("doc_id"), Html.extractText(htmlInjected).as("text"))
+        .filter(col("doc_id") % DecBenchMod === 0)
+      Pipeline.cleanCorpus(html, bench, "doc_id", "text",
+          CleanLang, CleanMinQuality, CleanMaxTwf, DecN, DecMinHits,
+          fromHtml = true)
+        .orderBy("doc_id")
+    },
+
     "pipe_pack" -> { (s, dir) =>
       Pipeline.packSequences(s.read.parquet(s"$dir/documents.parquet"),
           "doc_id", "text", "source", PipeBudget)
@@ -5092,6 +5114,18 @@ object SparkEntry {
 
     "pipe_clean" -> pipeCleanOracle,
 
+    // The identical funnel over the closed-form EXTRACTED text of the
+    // htmlInjected template (the text_extract ground truth as a CTE).
+    "pipe_clean_html" -> pipeCleanOracleFrom("xsrc",
+      """xsrc AS (
+        |  SELECT doc_id,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' heading words' || chr(10) ||
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '5 & 10 <tags> block'
+        |         ELSE '' END AS text
+        |  FROM documents
+        |), """.stripMargin),
+
     "url_normalize" ->
       s"""WITH $UrlCte
          |SELECT doc_id, url_norm,
@@ -5527,7 +5561,13 @@ object SparkEntry {
     * projection = survivors with the rolling-hash fingerprint of the
     * PII-redacted text.
     */
-  private def pipeCleanOracle: String = {
+  private def pipeCleanOracle: String = pipeCleanOracleFrom("documents", "")
+
+  /** [[pipeCleanOracle]] with the doc source swapped: `rel` must expose
+    * (doc_id, text); `prefix` is an optional leading CTE block defining
+    * it (e.g. the closed-form HTML extraction).
+    */
+  private def pipeCleanOracleFrom(rel: String, prefix: String): String = {
     val stopEn = TextAnalysis.LangStopwords.head._2.mkString("\\b(", "|", ")\\b")
     val scoreExprs = TextAnalysis.LangStopwords.map { case (lg, words) =>
       val pat = words.mkString("\\b(", "|", ")\\b")
@@ -5539,7 +5579,7 @@ object SparkEntry {
     val red = TextAnalysis.PiiPatterns.foldLeft("text") { case (e, (_, pat, rep)) =>
       s"regexp_replace($e, '$pat', '$rep', 'g')"
     }
-    s"""WITH $TokCte, cq AS (
+    s"""WITH $prefix${tokCteFor(rel)}, cq AS (
        |  SELECT doc_id, text,
        |         CASE $caseArm ELSE 'und' END AS lang_id,
        |         round(least(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.4
@@ -5559,7 +5599,7 @@ object SparkEntry {
        |      len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
        |      len(regexp_extract_all(text, '[0-9]')) AS digit,
        |      len(regexp_extract_all(lower(text), '$stopEn')) AS stop
-       |    FROM documents
+       |    FROM $rel
        |  )
        |), ct2 AS (SELECT doc_id, unnest(ts) AS w FROM tok
        |), cwc AS (SELECT doc_id, w, count(*) AS c FROM ct2 GROUP BY doc_id, w
