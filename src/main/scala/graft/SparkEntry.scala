@@ -3652,6 +3652,18 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Link extraction (row 71 family): the htmlInjected template's known
+    // anchor set — nav (3), conditional read-more (doc_id%3), footer
+    // (2) — recovered as an exploded (href, anchor text) edge list in
+    // page order; the oracle states the closed-form edge table.
+    "text_links" -> { (s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), posexplode(Html.links(htmlInjected)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col.href").as("href"), col("col.text").as("anchor_text"))
+        .orderBy("doc_id", "pos")
+    },
+
     "text_pii" -> { (s, dir) =>
       val base = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), piiInjected.as("_t"))
@@ -5389,6 +5401,27 @@ object SparkEntry {
         |  CASE WHEN doc_id % 5 = 0 THEN chr(10) || '5 & 10 <tags> block'
         |       ELSE '' END AS extracted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Closed-form edge table of the htmlInjected template's anchors, in
+    // page order (the conditional read-more slots in before the footer).
+    "text_links" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      [{'h': '/', 't': 'Home'}, {'h': '/about', 't': 'About'},
+        |       {'h': '/more', 't': 'More'}, {'h': '/r', 't': 'Read more here'},
+        |       {'h': '/c', 't': 'Contact'}, {'h': '/t', 't': 'Terms'}]
+        |    ELSE
+        |      [{'h': '/', 't': 'Home'}, {'h': '/about', 't': 'About'},
+        |       {'h': '/more', 't': 'More'},
+        |       {'h': '/c', 't': 'Contact'}, {'h': '/t', 't': 'Terms'}]
+        |    END AS ls
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos,
+        |       ls[t.i].h AS href, ls[t.i].t AS anchor_text
+        |FROM l, unnest(range(1, len(ls) + 1)) AS t(i)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "text_pii" -> {
       val Seq(email, phone, ip) = TextAnalysis.PiiPatterns.map(_._2)

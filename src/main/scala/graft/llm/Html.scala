@@ -120,6 +120,24 @@ object Html {
     array_join(transform(kept, s => s.getField("t")), "\n")
   }
 
+  /** Outgoing links of one HTML string: `array<struct<href, text>>`,
+    * one entry per `<a …>…</a>` pair in page order — the edge list a
+    * web-graph (PageRank over [[graft.graph.Graph]], link-spam scoring,
+    * crawl frontier) is built from. `href` is the double-quoted
+    * attribute value (empty when absent — anchors without hrefs are
+    * still text-bearing nodes); `text` is the anchor's visible text by
+    * the same pinned measure as the extraction pipeline (inner tags
+    * stripped, entities decoded, whitespace collapsed). Pure codegen'd
+    * projection — zero shuffle; explode + groupBy(href) downstream
+    * builds the site graph with one exchange.
+    */
+  def links(html: Column): Column =
+    transform(
+      regexp_extract_all(html, lit("(?is)<a[^>]*>.*?</a>"), lit(0)),
+      a => struct(
+        regexp_extract(a, "(?i)href\\s*=\\s*\"([^\"]*)\"", 1).as("href"),
+        blockText(regexp_extract(a, "(?is)<a[^>]*>(.*?)</a>", 1)).as("text")))
+
   /** Per-block diagnostics (one output row per BLOCK via the caller's
     * explode): the (text, words, link_density, kept) table an extraction
     * threshold is tuned on. Same pinned pipeline as [[extractText]] —

@@ -79,6 +79,23 @@ class HtmlSpec extends SparkSpec {
     assert(nav.isDefined) // nav block measured, judged, dropped
   }
 
+  test("links: page-order (href, text) pairs; missing hrefs empty; nested tags and " +
+    "entities resolve through the shared text measure") {
+    val html = "<p><a href=\"/x\">First <b>bold</b> link</a> and " +
+      "<a class='c'>no href &amp; entity</a></p><div><a href=\"/y\">Second</a></div>"
+    val out = Seq(html).toDF("h")
+      .select(explode(Html.links(col("h"))).as("l"))
+      .select("l.href", "l.text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq === Seq(
+      ("/x", "First bold link"),
+      ("", "no href & entity"),
+      ("/y", "Second")))
+    // a page with no anchors yields an empty edge list, never null
+    assert(Seq("<p>plain</p>").toDF("h")
+      .select(size(Html.links(col("h")))).collect().head.getInt(0) === 0)
+  }
+
   test("cleanCorpus fromHtml: stage-0 extraction feeds the funnel — an HTML page " +
     "whose extracted text passes yields the same row as the pre-extracted text") {
     val text = "the quick brown fox jumps over the lazy dog again and again " * 3
