@@ -1230,8 +1230,11 @@ object SparkEntry {
   /** Unrolled greedy longest-match encode in DuckDB (the
     * [[graft.functions.SubwordEncode]] rule replayed step-for-step):
     * every step consumes ≥ 1 character, so `steps` ≥ the longest word
-    * bounds the iteration; encoding runs over DISTINCT words (the rule
-    * is word-local) and joins back in document order.
+    * bounds the iteration — and the s0 CTE ASSERTS that bound (a
+    * regenerated corpus with a longer word raises loudly instead of
+    * silently truncating the id list; advisor, round 14); encoding runs
+    * over DISTINCT words (the rule is word-local) and joins back in
+    * document order.
     */
   private def bpeOracleSql(vocab: Seq[String], steps: Int): String = {
     val values = vocab.zipWithIndex
@@ -1250,7 +1253,11 @@ object SparkEntry {
     s"""WITH vocab(tok, id) AS (SELECT * FROM (VALUES $values) v(tok, id)),
        |$TokCte,
        |words AS (SELECT DISTINCT unnest(ts) AS w FROM tok),
-       |s0 AS (SELECT w, w AS r, CAST('' AS VARCHAR) AS ids FROM words),
+       |s0 AS (SELECT w,
+       |  CASE WHEN length(w) > $steps
+       |       THEN error('bpe oracle: word longer than unrolled steps=' || $steps)
+       |       ELSE w END AS r,
+       |  CAST('' AS VARCHAR) AS ids FROM words),
        |$stepCtes,
        |enc AS (
        |  SELECT w, ltrim(ids, '|') AS ids,
@@ -1295,7 +1302,11 @@ object SparkEntry {
     s"""WITH vocab(tok, id) AS (SELECT * FROM (VALUES $values) v(tok, id)),
        |$TokCte,
        |words AS (SELECT DISTINCT unnest(ts) AS w FROM tok),
-       |s0 AS (SELECT w, w AS r, CAST('' AS VARCHAR) AS ids FROM words),
+       |s0 AS (SELECT w,
+       |  CASE WHEN length(w) > $steps
+       |       THEN error('bpe oracle: word longer than unrolled steps=' || $steps)
+       |       ELSE w END AS r,
+       |  CAST('' AS VARCHAR) AS ids FROM words),
        |$stepCtes,
        |enc AS (SELECT w, ltrim(ids, '|') AS ids FROM s$steps),
        |docw AS (

@@ -360,7 +360,13 @@ object Stats {
     // long tick range (~9.2e12 after ×1e6) would silently overflow the
     // cast (advisor, round 13).
     val wRaw = weightCol.cast("double")
-    val wTicks = when(wRaw < 0,
+    // NaN first: both range comparisons are false for NaN, so without
+    // this branch a NaN weight would quantize to 0 ticks and silently
+    // drop its row's mass despite the loud-guard contract (advisor,
+    // round 14).
+    val wTicks = when(isnan(wRaw),
+        raise_error(lit("weightedQuantiles: NaN weight")))
+      .when(wRaw < 0,
         raise_error(concat(lit("weightedQuantiles: negative weight "),
           wRaw.cast("string"))))
       .when(wRaw > 9.0e12,

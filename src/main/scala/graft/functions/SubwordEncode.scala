@@ -52,35 +52,76 @@ case class SubwordEncode(child: Expression, vocab: Seq[String])
   override def nullable: Boolean = true
   override def prettyName: String = "graft_subword_encode"
 
-  /** Byte-level trie: flat node arrays (child table 256-wide per node,
-    * acceptance = vocab id or −1). Vocab sizes here are tokenizer-scale
-    * (≤ ~100k entries, bounded total bytes), so the table stays small;
-    * byte-level means multi-byte UTF-8 vocab entries match exactly.
+  /** Byte-level trie in a flattened CSR layout: per-node edge RANGES
+    * into two flat arrays (sorted edge byte, target node) plus an
+    * acceptance array (vocab id or −1). Memory is O(nodes + edges) —
+    * ~9 bytes per trie edge — so a 100k-entry tokenizer vocab with
+    * little prefix sharing costs single-digit MB per expression
+    * instance, not the hundreds of MB a dense 256-wide child table per
+    * node would (advisor, round 14). Lookup is a binary search over the
+    * node's edge range (tokenizer fan-outs are small — typically < 8 —
+    * so this is 2-3 probes). Byte-level means multi-byte UTF-8 vocab
+    * entries match exactly.
     */
-  @transient private lazy val trie: (Array[Array[Int]], Array[Int]) = {
-    val children = scala.collection.mutable.ArrayBuffer(Array.fill(256)(-1))
-    val accept = scala.collection.mutable.ArrayBuffer(-1)
+  @transient private lazy val trie: (Array[Int], Array[Byte], Array[Int], Array[Int]) = {
+    // build phase: one sorted map per node (cheap, vocab-sized)
+    val edges = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.TreeMap.empty[Int, Int])
+    val acceptB = scala.collection.mutable.ArrayBuffer(-1)
     vocab.zipWithIndex.foreach { case (w, id) =>
       var node = 0
       w.getBytes("UTF-8").foreach { b =>
         val c = b & 0xff
-        if (children(node)(c) == -1) {
-          children(node)(c) = children.size
-          children += Array.fill(256)(-1)
-          accept += -1
-        }
-        node = children(node)(c)
+        node = edges(node).getOrElse(c, {
+          val nn = edges.size
+          edges(node).update(c, nn)
+          edges += scala.collection.mutable.TreeMap.empty[Int, Int]
+          acceptB += -1
+          nn
+        })
       }
-      accept(node) = id
+      acceptB(node) = id
     }
-    (children.toArray, accept.toArray)
+    // freeze phase: flatten to CSR (start offsets, sorted bytes, targets)
+    val nNodes = edges.size
+    val start = new Array[Int](nNodes + 1)
+    var total = 0
+    var n = 0
+    while (n < nNodes) { start(n) = total; total += edges(n).size; n += 1 }
+    start(nNodes) = total
+    val eByte = new Array[Byte](total)
+    val eNode = new Array[Int](total)
+    n = 0
+    while (n < nNodes) {
+      var k = start(n)
+      edges(n).foreach { case (c, t) => eByte(k) = c.toByte; eNode(k) = t; k += 1 }
+      n += 1
+    }
+    (start, eByte, eNode, acceptB.toArray)
+  }
+
+  /** Target of the edge labelled `c` (unsigned byte) out of `node`, or
+    * −1 — binary search over the node's sorted CSR edge range.
+    */
+  private def step(start: Array[Int], eByte: Array[Byte], eNode: Array[Int],
+                   node: Int, c: Int): Int = {
+    var lo = start(node)
+    var hi = start(node + 1) - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val mc = eByte(mid) & 0xff
+      if (mc == c) return eNode(mid)
+      else if (mc < c) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
   }
 
   private def isAsciiSpace(b: Byte): Boolean =
     b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
 
   override def nullSafeEval(input: Any): Any = {
-    val (children, accept) = trie
+    val (start, eByte, eNode, accept) = trie
     val bytes = input.asInstanceOf[UTF8String].getBytes
     val n = bytes.length
     val out = new scala.collection.mutable.ArrayBuffer[Any](n)
@@ -96,7 +137,7 @@ case class SubwordEncode(child: Expression, vocab: Seq[String])
           var bestId = -1
           var bestEnd = i
           while (j < end && node != -1) {
-            node = children(node)(bytes(j) & 0xff)
+            node = step(start, eByte, eNode, node, bytes(j) & 0xff)
             if (node != -1) {
               j += 1
               if (accept(node) != -1) { bestId = accept(node); bestEnd = j }

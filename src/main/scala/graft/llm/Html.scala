@@ -81,7 +81,7 @@ object Html {
   private def anchorMass(b: Column): Column =
     when(instr(b, "<a") > 0,
       aggregate(
-        regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+        regexp_extract_all(b, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)),
         lit(0),
         (acc, a) => acc + length(blockText(a))))
       .otherwise(lit(0))
@@ -123,9 +123,10 @@ object Html {
   /** Outgoing links of one HTML string: `array<struct<href, text>>`,
     * one entry per `<a …>…</a>` pair in page order — the edge list a
     * web-graph (PageRank over [[graft.graph.Graph]], link-spam scoring,
-    * crawl frontier) is built from. `href` is the double-quoted
-    * attribute value (empty when absent — anchors without hrefs are
-    * still text-bearing nodes); `text` is the anchor's visible text by
+    * crawl frontier) is built from. `href` is the attribute value in any
+    * of the three HTML forms — double-quoted, single-quoted, or unquoted
+    * (empty when absent — anchors without hrefs are still text-bearing
+    * nodes); `text` is the anchor's visible text by
     * the same pinned measure as the extraction pipeline (inner tags
     * stripped, entities decoded, whitespace collapsed). Pure codegen'd
     * projection — zero shuffle; explode + groupBy(href) downstream
@@ -133,10 +134,15 @@ object Html {
     */
   def links(html: Column): Column =
     transform(
-      regexp_extract_all(html, lit("(?is)<a[^>]*>.*?</a>"), lit(0)),
+      regexp_extract_all(html, lit("(?is)<a(?:\\s[^>]*)?>.*?</a>"), lit(0)),
       a => struct(
-        regexp_extract(a, "(?i)href\\s*=\\s*\"([^\"]*)\"", 1).as("href"),
-        blockText(regexp_extract(a, "(?is)<a[^>]*>(.*?)</a>", 1)).as("text")))
+        // the raw value keeps its delimiters so one extract covers all
+        // three attribute forms; the strip then removes exactly one
+        // layer of matching quotes
+        regexp_replace(
+          regexp_extract(a, "(?i)\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>\"']+)", 1),
+          "^[\"']|[\"']$", "").as("href"),
+        blockText(regexp_extract(a, "(?is)<a(?:\\s[^>]*)?>(.*?)</a>", 1)).as("text")))
 
   /** Per-block diagnostics (one output row per BLOCK via the caller's
     * explode): the (text, words, link_density, kept) table an extraction

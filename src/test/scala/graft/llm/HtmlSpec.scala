@@ -66,6 +66,29 @@ class HtmlSpec extends SparkSpec {
     assert(extract(html, maxLinkDensity = 0.2) === "")
   }
 
+  test("extractText: tags merely STARTING with 'a' (abbr/aside/audio) are not " +
+    "anchors — their text never counts as anchor mass") {
+    // old defect: `<a[^>]*>` matched `<abbr>` too, so everything from it to
+    // the real `</a>` was counted as anchor text, inflating link density
+    // and dropping the whole content block
+    val html = "<p><abbr>HTML</abbr> is a markup language with many words " +
+      "<a href='/x'>ref</a> here</p>"
+    assert(extract(html) === "HTML is a markup language with many words ref here")
+    // same guard inside links(): an <abbr>…</a>-less page yields no edges
+    assert(Seq("<p><abbr>SQL</abbr> text</p>").toDF("h")
+      .select(size(Html.links(col("h")))).collect().head.getInt(0) === 0)
+  }
+
+  test("links: single-quoted and unquoted hrefs extract like double-quoted ones") {
+    val html = "<p><a href='/sq'>single</a> <a href=/uq>unquoted</a> " +
+      "<a HREF=\"/dq\">double</a></p>"
+    val out = Seq(html).toDF("h")
+      .select(explode(Html.links(col("h"))).as("l"))
+      .select("l.href", "l.text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq === Seq(("/sq", "single"), ("/uq", "unquoted"), ("/dq", "double")))
+  }
+
   test("blockDiagnostics agrees with extractText (kept blocks == extracted lines)") {
     val html =
       "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>" +
