@@ -1106,6 +1106,54 @@ object SparkEntry {
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
 
+  /** DuckDB twin of [[Profile.profileApprox]] (p=9): per column, the
+    * pinned canonical hash string (numerics as 1e-6 tick longs,
+    * timestamps as epoch micros, strings as themselves), the exact
+    * hllSql register derivation, and the estimator with the same 1e-6
+    * quantization — one UNION ALL arm per profiled column.
+    */
+  private def profileApproxSql: String = {
+    val a = Sketches.alphaNumerator(9)
+    ProfileCols.map { case (c, kind) =>
+      val canon = kind match {
+        case "num" => s"CAST(CAST(floor($c * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)"
+        case "ts" => s"CAST(epoch_us($c) AS VARCHAR)"
+        case _ => c
+      }
+      val (minN, maxN) = kind match {
+        case "num" => (s"round(CAST(min($c) AS DOUBLE), 6)", s"round(CAST(max($c) AS DOUBLE), 6)")
+        case "ts" => (s"round(CAST(min(epoch_us($c)) AS DOUBLE), 6)",
+          s"round(CAST(max(epoch_us($c)) AS DOUBLE), 6)")
+        case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      }
+      val (minL, maxL) =
+        if (kind == "str") (s"CAST(min(length($c)) AS BIGINT)", s"CAST(max(length($c)) AS BIGINT)")
+        else ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
+      s"""SELECT '$c' AS "column", b.n_rows, b.n_null,
+         |  CASE WHEN s.zeros > 0 AND $a / s.s_fixed <= 1280.0
+         |       THEN floor(512.0 * ln(512.0 / s.zeros) * 1000000.0 + 0.5) / 1000000.0
+         |       ELSE floor($a / s.s_fixed * 1000000.0 + 0.5) / 1000000.0 END AS distinct_est,
+         |  b.min_num, b.max_num, b.min_len, b.max_len
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |         $minN AS min_num, $maxN AS max_num,
+         |         $minL AS min_len, $maxL AS max_len
+         |  FROM lineitem) b
+         |CROSS JOIN (
+         |  SELECT CAST(512 - count(*) AS BIGINT) AS zeros,
+         |         coalesce(sum(CAST(1 AS BIGINT) << (24 - mj)), 0)
+         |           + (512 - count(*)) * 16777216 AS s_fixed
+         |  FROM (
+         |    SELECT hv >> 23 AS bucket,
+         |           max(CASE WHEN hv & 8388607 = 0 THEN 24
+         |                    ELSE 24 - length(bin(hv & 8388607)) END) AS mj
+         |    FROM (SELECT CAST(concat('0x', substr(md5($canon), 1, 8)) AS BIGINT) AS hv
+         |          FROM lineitem WHERE $c IS NOT NULL)
+         |    GROUP BY bucket)) s""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   /** DuckDB CTE chain re-deriving [[Pipeline.importanceWeights]]:
     * `dsg` (unigram+bigram bucket instances), `dtg` (target slice),
     * `drw`/`dtc` (raw/target bucket counts), `dj`+`dtot` (full-outer
@@ -3202,6 +3250,14 @@ object SparkEntry {
         .orderBy("column")
     },
 
+    // The one-pass wide-table twin: per-column HLL distinct estimates
+    // (pinned Sketches register contract) — register-sized shuffle
+    // regardless of table width or size.
+    "profile_table_approx" -> { (s, dir) =>
+      Profile.profileApprox(s.read.parquet(s"$dir/lineitem.parquet"))
+        .orderBy("column")
+    },
+
     // -- LLM: SimHash near-dedup (row 29) --
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -4817,6 +4873,7 @@ object SparkEntry {
          |ORDER BY l.event_id""".stripMargin,
 
     "profile_table" -> profileSql,
+    "profile_table_approx" -> profileApproxSql,
 
     "stream_argmax" ->
       // batch twin of the streaming detector's final state: per record the

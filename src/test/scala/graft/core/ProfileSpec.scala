@@ -54,6 +54,43 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.profile(df).collect().map(_.getString(0)).toSeq === Seq("aa", "zz"))
   }
 
+  test("profileApprox: estimates track exact counts; bounds/nulls exact; " +
+    "unsupported types get null estimate") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(2000)
+      .select(col("id"), (col("id") % 37).as("small"),
+        concat(lit("s"), (col("id") % 500).cast("string")).as("s"),
+        when(col("id") % 10 === 0, lit(null).cast("double"))
+          .otherwise(col("id").cast("double") / 4).as("x"),
+        array(col("id")).as("arr")) // unsupported type
+    val out = Profile.profileApprox(df).collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("arr", "id", "s", "small", "x"))
+    // HLL at p=9 has rse ~1.04/sqrt(512) ≈ 4.6%; allow 4 sigma
+    def estOf(c: String): Double = out(c).getAs[Double]("distinct_est")
+    assert(math.abs(estOf("id") - 2000) <= 2000 * 0.20)
+    assert(math.abs(estOf("small") - 37) <= 8)
+    assert(math.abs(estOf("s") - 500) <= 500 * 0.20)
+    assert(out("x").getAs[Long]("n_null") === 200L)
+    assert(out("x").getAs[Double]("max_num") === 1999.0 / 4)
+    assert(out("s").getAs[Long]("min_len") === 2L)
+    assert(out("s").getAs[Long]("max_len") === 4L)
+    assert(out("arr").isNullAt(out("arr").fieldIndex("distinct_est")))
+    assert(out("arr").getAs[Long]("n_rows") === 2000L)
+  }
+
+  test("profileApprox: numeric distinctness is at 1e-6 tick resolution, " +
+    "and an empty table still yields one row per column") {
+    import org.apache.spark.sql.functions._
+    // two values closer than 1e-6 collapse to one tick
+    val df = Seq(1.0000001, 1.00000011, 2.0).toDF("v")
+    val est = Profile.profileApprox(df).collect().head.getAs[Double]("distinct_est")
+    assert(est === 2.003916) // 2 ticks through the pinned estimator
+    val empty = Profile.profileApprox(Seq.empty[(Long, String)].toDF("id", "s")).collect()
+    assert(empty.length === 2)
+    assert(empty.forall(_.getAs[Long]("n_rows") == 0L))
+    assert(empty.forall(_.getAs[Double]("distinct_est") == 0.0))
+  }
+
   test("TIMESTAMP_NTZ bounds are naive-as-UTC micros, session-zone-independent") {
     import org.apache.spark.sql.functions._
     // 2024-01-15 12:00:00 naive → 1705320000000000 µs when read as UTC

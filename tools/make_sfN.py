@@ -50,7 +50,8 @@ Usage: python3 tools/make_sfN.py <srcdir> <outdir> <factor>
 fixture for events-table-only rows (events_retention's 100M-event read)
 without paying documents/embeddings replication or disk for tables the
 row never touches. --docs-only is the documents.parquet twin (the
-url_*/text_* decade fixture).
+url_*/text_* decade fixture), --lineitem-only the lineitem.parquet one
+(the profile_table decade fixture; key columns shift per copy).
 """
 import sys, os, shutil, string
 import duckdb
@@ -82,13 +83,33 @@ def main():
     # --events-only/--docs-only early-return before the --tpch branch and
     # the plain-table copies, so combining them with --tpch would silently
     # ignore --tpch; reject the combination loudly instead of half-obeying
-    only = [f for f in ("--events-only", "--docs-only") if f in sys.argv]
+    only = [f for f in ("--events-only", "--docs-only", "--lineitem-only")
+            if f in sys.argv]
     if len(only) > 1 or (only and "--tpch" in sys.argv):
         sys.exit(f"make_sfN.py: {' + '.join(only + ['--tpch'] if '--tpch' in sys.argv else only)} "
                  "are mutually exclusive (the *-only fixtures write a single table)")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
+
+    if "--lineitem-only" in sys.argv:
+        # the profile_table decade fixture: key columns shift per copy
+        # (distinct counts genuinely scale), value columns replicate
+        # (bounded domains stay bounded — the real wide-table shape)
+        lc0 = f"read_parquet('{src}/lineitem.parquet')"
+        ok_shift0 = con.sql(f"SELECT max(l_orderkey) + 1 FROM {lc0}").fetchone()[0]
+        pk_shift0 = con.sql(f"SELECT max(l_partkey) + 1 FROM {lc0}").fetchone()[0]
+        l_cols0 = [c for c in con.sql(f"SELECT * FROM {lc0} LIMIT 0").columns
+                   if c not in ("l_orderkey", "l_partkey")]
+        l_extra0 = (", " + ", ".join(l_cols0)) if l_cols0 else ""
+        arms0 = "\nUNION ALL\n".join(
+            f"SELECT l_orderkey + {k * ok_shift0} AS l_orderkey,"
+            f" l_partkey + {k * pk_shift0} AS l_partkey{l_extra0} FROM {lc0}"
+            for k in range(factor))
+        con.execute(f"COPY ({arms0}) TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/lineitem.parquet')").fetchone()[0]
+        print(f"lineitem: {n} rows")
+        return
 
     if "--docs-only" in sys.argv:
         dc0 = f"read_parquet('{src}/documents.parquet')"
