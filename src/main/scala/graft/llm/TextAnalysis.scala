@@ -88,7 +88,8 @@ object TextAnalysis {
     * public knowledge), distributed the way the algorithm itself is
     * structured: the corpus collapses in ONE pass to the word-frequency
     * table (tiny relative to rows — corpus-vocabulary-sized even at
-    * 100 TB, and cached via `scope`), and every merge round runs over
+    * 100 TB; cached via `scope` on the distributed fallback path), and
+    * every merge round runs over
     * that table only: count adjacent symbol pairs weighted by word
     * frequency, take the argmax, splice the winner into every word.
     * Returns the learned merge table `(rank, left, right, pair_count)`
@@ -112,22 +113,36 @@ object TextAnalysis {
     *    engines;
     *  - a round with no remaining pair stops early.
     *
-    * Each round is one aggregation + one 1-row collect on the
-    * metadata-sized table — `nMerges` small jobs after the single
-    * corpus pass, never a corpus-sized shuffle per round.
+    * Execution: the corpus pass is distributed (one scan to the cached
+    * word-frequency table); the merge ROUNDS run driver-locally when
+    * the vocabulary fits `maxDriverWords` — the table is
+    * corpus-vocabulary-sized by its own construction, and paying
+    * `nMerges` sequential Spark jobs of scheduler latency to argmax a
+    * driver-memory-sized table was pure apparatus (measured: ~all of
+    * the row's 7.4 s at docs×100 was the 12 job round-trips, not
+    * work). The tie-break compares UTF-8 BYTES, exactly the binary
+    * string order the distributed `orderBy` and an independent
+    * engine's binary collation use. Above the cap the rounds fall back
+    * to the distributed per-round aggregation (one aggregation + one
+    * 1-row collect each — never a corpus-sized shuffle), so a
+    * pathological vocabulary degrades to slow, not to OOM.
     */
   def trainBpeMerges(docs: DataFrame, textCol: String, nMerges: Int,
                      scope: graft.core.CacheScope =
-                       graft.core.CacheScope.session): DataFrame = {
+                       graft.core.CacheScope.session,
+                     maxDriverWords: Int = 2000000): DataFrame = {
     require(nMerges > 0 && nMerges <= 1000, "trainBpeMerges: nMerges in [1, 1000]")
     val spark = docs.sparkSession
     import spark.implicits._
     val wrapped = concat_ws("",
       transform(split(col("w"), ""), c => concat(lit("<"), c, lit(">"))))
-    val wf0 = scope.cache(
+    // uncached here: the driver path consumes this exactly once (the
+    // capped collect IS its materialization); only the distributed
+    // fallback — which re-reads it every round — pays the cache
+    val wfPlain =
       docs.select(explode(filter(split(col(textCol), "\\s+"), w => length(w) > 0)).as("w"))
         .groupBy("w").agg(count(lit(1)).as("freq"))
-        .select(col("freq"), wrapped.as("s")))
+        .select(col("freq"), wrapped.as("s"))
     // adjacent pair patterns of the current symbol string: strip the
     // outer brackets, split on `><`, window pairs back into patterns
     def pairPatterns(s: Column): Column = {
@@ -138,8 +153,59 @@ object TextAnalysis {
           when(b.isNotNull, concat(lit("<"), a, lit("><"), b, lit(">")))),
         p => p.isNotNull)
     }
-    var wf = wf0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+
+    // capped collect: limit(cap+1) bounds the driver transfer BEFORE we
+    // know the count — one row over the cap = distributed fallback
+    val head = wfPlain.limit(maxDriverWords + 1).collect()
+    if (head.length <= maxDriverWords) {
+      // driver-local rounds over the collected (freq, s) table — same
+      // pinned pair count / argmax / byte-order tie-break / literal
+      // left-to-right replace as the distributed twin (spec-pinned equal)
+      var words = head.map(r => (r.getLong(0), r.getString(1)))
+      def byteLt(a: String, b: String): Boolean = {
+        val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+        var i = 0
+        while (i < x.length && i < y.length) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        x.length < y.length
+      }
+      var rank = 1
+      var done = false
+      while (rank <= nMerges && !done) {
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        words.foreach { case (freq, s) =>
+          val syms = s.stripPrefix("<").stripSuffix(">").split("><", -1)
+          var i = 0
+          while (i < syms.length - 1) {
+            val pat = s"<${syms(i)}><${syms(i + 1)}>"
+            counts.update(pat, counts.getOrElse(pat, 0L) + freq)
+            i += 1
+          }
+        }
+        // a one-symbol word contributes no pairs but its single symbol
+        // still splits to itself, so guard on genuinely empty counts
+        val live = counts.filter(_._2 > 0)
+        if (live.isEmpty) done = true
+        else {
+          val (pat, cnt) = live.reduce { (a, b) =>
+            if (a._2 > b._2 || (a._2 == b._2 && byteLt(a._1, b._1))) a else b
+          }
+          val Array(l, r) = pat.stripPrefix("<").stripSuffix(">").split("><", 2)
+          merges += ((rank, l, r, cnt))
+          words = words.map { case (freq, s) => (freq, s.replace(pat, s"<$l$r>")) }
+          rank += 1
+        }
+      }
+      return merges.toSeq.toDF("rank", "left", "right", "pair_count")
+        .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+          col("pair_count"))
+    }
+
+    var wf = scope.cache(wfPlain)
     var done = false
     var rank = 1
     while (rank <= nMerges && !done) {

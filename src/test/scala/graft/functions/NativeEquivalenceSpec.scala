@@ -213,6 +213,17 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert((tie.getString(1), tie.getString(2)) === (("x", "y")))
   }
 
+  test("trainBpeMerges: driver-local rounds == distributed rounds (maxDriverWords=0 " +
+    "forces the fallback) on a multi-round corpus with ties") {
+    val docs = Seq("the theme there", "then the them", "ab ab ba theme")
+      .toDF("text")
+    def run(cap: Int) = graft.llm.TextAnalysis.trainBpeMerges(
+        docs, "text", nMerges = 8, maxDriverWords = cap)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(run(2000000) === run(0))
+  }
+
   test("graft_set_overlap == array_intersect/array_union sizes on generated arrays") {
     val genArr = Gen.listOf(Gen.chooseNum(0L, 30L)) // small domain → real overlaps
     val pairs = sampled(Gen.zip(genArr, genArr), 300, 13L)
