@@ -21,21 +21,55 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  /** The Stats-family broadcast escape hatch (mirrors `decontaminate`'s
-    * `broadcastBench`): every per-group metadata table in this file
-    * (bounds, bin counts, located targets, needed bins, clip/scale
-    * bounds, bucket boundaries) is one-to-few rows PER GROUP, so for the
-    * usual dozens-to-thousands of groups a forced `broadcast()` is
-    * right — the corpus never shuffles for a lookup. But the tables grow
-    * with group cardinality (worst: groups × nBins cumulative rows), and
-    * with MILLIONS of group keys (per-domain, per-user) a forced
-    * broadcast is a driver/executor OOM where a shuffle join merely
-    * slows down. Callers in that regime pass
-    * `broadcastBounds = false`: the hint is dropped and Catalyst/AQE
-    * picks the join (which degrades gracefully to shuffle). Results are
-    * bit-identical either way — the hint is a plan device, never
-    * semantics (pinned by StatsSpec's many-groups twin).
+  /** The Stats-family broadcast switch: every per-group metadata table
+    * in this file (bounds, bin counts, located targets, needed bins,
+    * clip/scale bounds, bucket boundaries) is one-to-few rows PER
+    * GROUP, so for the usual dozens-to-thousands of groups a forced
+    * `broadcast()` is right — the corpus never shuffles for a lookup.
+    * But the tables grow with group cardinality (worst: groups × nBins
+    * cumulative rows), and with MILLIONS of group keys (per-domain,
+    * per-user) a forced broadcast is a driver/executor OOM where a
+    * shuffle join merely slows down.
+    *
+    * `Auto` — the default since round 15 — derives the flip from the
+    * data: ONE capped distinct-count probe of the group columns at plan
+    * build (`limit(max+1)`, so the probe job transfers at most
+    * [[AutoBroadcastMaxGroups]]+1 rows), broadcast iff the cardinality
+    * fits. The probe is an EAGER narrow job (group columns only,
+    * map-side-combined distinct) — callers who know their cardinality
+    * pass `Force`/`Never` and pay nothing. Results are bit-identical
+    * under all three modes — the hint is a plan device, never
+    * semantics (pinned by StatsSpec's three-mode twin).
     */
+  sealed trait Bcast
+  object Bcast {
+    /** Probe group cardinality once, broadcast iff ≤ [[AutoBroadcastMaxGroups]]. */
+    case object Auto extends Bcast
+    /** Always hint broadcast (the pre-round-15 default). */
+    case object Force extends Bcast
+    /** Never hint; Catalyst/AQE picks the join. */
+    case object Never extends Bcast
+  }
+
+  /** `Auto` flip point. 32k groups keeps the O(groups) tables (bounds,
+    * targets) at single-digit MB; the O(groups × occupied-bins)
+    * cumulative tables are the real risk and they grow past broadcast
+    * comfort right around this cardinality at the default nBins.
+    */
+  val AutoBroadcastMaxGroups: Int = 32768
+
+  private def resolveBcast(mode: Bcast, probe: DataFrame,
+                           groupCols: Seq[String]): Boolean = mode match {
+    case Bcast.Force => true
+    case Bcast.Never => false
+    case Bcast.Auto =>
+      groupCols.isEmpty || {
+        val n = probe.select(groupCols.map(col): _*).distinct()
+          .limit(AutoBroadcastMaxGroups + 1).count()
+        n <= AutoBroadcastMaxGroups
+      }
+  }
+
   private def hint(df: DataFrame, bcast: Boolean): DataFrame =
     if (bcast) broadcast(df) else df
 
@@ -71,15 +105,14 @@ object Stats {
     * thousands of ps on thousands of bins would make locating cost what
     * sorting saved — use [[quantilesSorted]] there.
     *
-    * `broadcastBounds` (default true) forces the broadcast hint on the
-    * per-group metadata tables; pass false when group cardinality is
-    * high (≳ 10⁵ keys — the cumulative table is groups × ≤nBins rows)
-    * so the lookups run as ordinary joins instead of an OOM-risk
-    * broadcast. Same result either way (see [[hint]]).
+    * `broadcastBounds` (default [[Bcast.Auto]]) picks the join plan for
+    * the per-group metadata tables from a one-job cardinality probe;
+    * `Force`/`Never` skip the probe when the caller knows the group
+    * cardinality. Same result under every mode (see [[Bcast]]).
     */
   def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                 ps: Seq[Double], nBins: Int = 4096,
-                broadcastBounds: Boolean = true): DataFrame = {
+                broadcastBounds: Bcast = Bcast.Auto): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "quantiles: ps must be within [0, 1]")
     require(nBins >= 2 && nBins <= 65536,
@@ -89,6 +122,7 @@ object Stats {
     val clash = groupCols.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
       s"quantiles: group column(s) ${clash.mkString(", ")} collide with working names")
+    val bb = resolveBcast(broadcastBounds, df, groupCols)
     val gs = groupCols.map(col)
     val v = df.select(gs :+ valueCol.cast("double").as("_v"): _*)
       .filter(col("_v").isNotNull)
@@ -101,7 +135,7 @@ object Stats {
       .otherwise(least(floor((col("_v") - col("_mn")) / width).cast("long"),
         lit(nBins - 1L)))
     // Pass 2: bin counts (map-side combined to ≤ groups × nBins rows).
-    val cnts = v.join(hint(bounds, broadcastBounds), groupCols)
+    val cnts = v.join(hint(bounds, bb), groupCols)
       .withColumn("_bin", binOf)
       .groupBy(gs :+ col("_bin"): _*).agg(count(lit(1)).as("_c"))
     val cum = cnts.withColumn("_cum",
@@ -129,7 +163,7 @@ object Stats {
     val cumR = cum.select(
       (groupCols.map(g => col(g).as(s"__g_$g")) ++
         Seq(col("_bin"), col("_c"), col("_cum"))): _*)
-    val located = targets.join(hint(cumR, broadcastBounds),
+    val located = targets.join(hint(cumR, bb),
         groupCols.map(g => col(g) === col(s"__g_$g")).reduce(_ && _) &&
           (col("_cum") - col("_c")) <= col("_idx") && col("_idx") < col("_cum"))
       .withColumn("_j", col("_idx") - (col("_cum") - col("_c")))
@@ -139,12 +173,12 @@ object Stats {
     // join), sort ONLY those rows under a (group, bin) window, and pull
     // the located offsets.
     val wBin = Window.partitionBy(gs :+ col("_bin"): _*).orderBy(col("_v"))
-    val crossing = v.join(hint(bounds, broadcastBounds), groupCols)
+    val crossing = v.join(hint(bounds, bb), groupCols)
       .withColumn("_bin", binOf)
-      .join(hint(needed, broadcastBounds), groupCols :+ "_bin")
+      .join(hint(needed, bb), groupCols :+ "_bin")
       .withColumn("_j", row_number().over(wBin) - lit(1L))
       .select(gs ++ Seq(col("_bin"), col("_j"), col("_v")): _*)
-    crossing.join(hint(located, broadcastBounds), groupCols ++ Seq("_bin", "_j"))
+    crossing.join(hint(located, bb), groupCols ++ Seq("_bin", "_j"))
       .groupBy(gs :+ col("p"): _*)
       .agg(
         min(when(col("_w") === "a", col("_v"))).as("_a"),
@@ -239,20 +273,22 @@ object Stats {
 
   def binnedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                       ps: Seq[Double], nBins: Int = 4096,
-                      broadcastBounds: Boolean = true): DataFrame = {
+                      broadcastBounds: Bcast = Bcast.Auto): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "binnedQuantiles: ps must be within [0, 1]")
     require(nBins >= 2 && nBins <= 65536,
       "binnedQuantiles: nBins must be in [2, 65536]")
+    val bb = resolveBcast(broadcastBounds, df, groupCols)
     val gs = groupCols.map(col)
     val v = df.select(gs :+ valueCol.cast("double").as("_v"): _*)
       .filter(col("_v").isNotNull)
     val bounds = v.groupBy(gs: _*)
       .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
-    val cnts = v.join(hint(bounds, broadcastBounds), groupCols)
+    val cnts = v.join(hint(bounds, bb), groupCols)
       .withColumn("_bin", binIndex(nBins))
       .groupBy(gs :+ col("_bin"): _*).agg(count(lit(1)).as("_c"))
-    binnedQuantilesFromCounts(cnts, bounds, groupCols, ps, nBins, broadcastBounds)
+    binnedQuantilesFromCounts(cnts, bounds, groupCols, ps, nBins,
+      if (bb) Bcast.Force else Bcast.Never)
   }
 
   /** The estimator half of [[binnedQuantiles]], answering from an
@@ -268,9 +304,10 @@ object Stats {
   def binnedQuantilesFromCounts(cnts: DataFrame, bounds: DataFrame,
                                 groupCols: Seq[String], ps: Seq[Double],
                                 nBins: Int,
-                                broadcastBounds: Boolean = true): DataFrame = {
+                                broadcastBounds: Bcast = Bcast.Auto): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "binnedQuantilesFromCounts: ps must be within [0, 1]")
+    val bb = resolveBcast(broadcastBounds, cnts, groupCols)
     val gs = groupCols.map(col)
     val width = (col("_mx") - col("_mn")) / lit(nBins.toDouble)
     val wOrd = Window.partitionBy(gs: _*).orderBy(col("_bin"))
@@ -286,7 +323,7 @@ object Stats {
       // from the count table, so cnt > 0 in the kept row by construction)
       .filter((col("_cum") - col("_c")).cast("double") <= col("_r") &&
         col("_r") < col("_cum").cast("double"))
-      .join(hint(bounds, broadcastBounds), groupCols)
+      .join(hint(bounds, bb), groupCols)
       .withColumn("q", round(col("_mn") + width *
         (col("_bin").cast("double") +
           (col("_r") - (col("_cum") - col("_c")).cast("double")) /
@@ -338,7 +375,7 @@ object Stats {
   def weightedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                         weightCol: Column, ps: Seq[Double],
                         nBins: Int = 4096,
-                        broadcastBounds: Boolean = true,
+                        broadcastBounds: Bcast = Bcast.Auto,
                         scope: graft.core.CacheScope =
                           graft.core.CacheScope.session): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
@@ -386,6 +423,10 @@ object Stats {
       .select(gs ++ Seq(valueCol.cast("double").as("_v"), wTicks.as("_w")): _*)
       .filter(col("_v").isNotNull && col("_w").isNotNull)
       .groupBy(gs :+ col("_v"): _*).agg(sum(col("_w")).as("_cv")))
+    // Auto-probe over the CACHED per-(group, value) table: its
+    // materialization is the corpus pass the plan pays anyway, so the
+    // cardinality probe costs one metadata-sized job on top
+    val bb = resolveBcast(broadcastBounds, pv, groupCols)
     val bounds = pv.groupBy(gs: _*)
       .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
         sum(col("_cv")).as("_tw"))
@@ -394,7 +435,7 @@ object Stats {
     val binOf = when(col("_mx") === col("_mn"), lit(0L))
       .otherwise(least(floor((col("_v") - col("_mn")) / width).cast("long"),
         lit(nBins - 1L)))
-    val cnts = pv.join(hint(bounds, broadcastBounds), groupCols)
+    val cnts = pv.join(hint(bounds, bb), groupCols)
       .withColumn("_bin", binOf)
       .groupBy(gs :+ col("_bin"): _*).agg(sum(col("_cv")).as("_c"))
     val cum = cnts.withColumn("_cum",
@@ -408,7 +449,7 @@ object Stats {
     val cumR = cum.select(
       (groupCols.map(g => col(g).as(s"__g_$g")) ++
         Seq(col("_bin"), col("_c"), col("_cum"))): _*)
-    val located = targets.join(hint(cumR, broadcastBounds),
+    val located = targets.join(hint(cumR, bb),
         groupCols.map(g => col(g) === col(s"__g_$g")).reduce(_ && _) &&
           (col("_cum") - col("_c")).cast("double") < col("_t") &&
           col("_t") <= col("_cum").cast("double"))
@@ -418,11 +459,11 @@ object Stats {
     // final stage: the in-bin cumulative over ONLY the crossing-bin
     // slice of the per-value table
     val wVal = Window.partitionBy(gs :+ col("_bin"): _*).orderBy(col("_v"))
-    val crossing = pv.join(hint(bounds, broadcastBounds), groupCols)
+    val crossing = pv.join(hint(bounds, bb), groupCols)
       .withColumn("_bin", binOf)
-      .join(hint(needed, broadcastBounds), groupCols :+ "_bin")
+      .join(hint(needed, bb), groupCols :+ "_bin")
       .withColumn("_j", sum(col("_cv")).over(wVal))
-    crossing.join(hint(located, broadcastBounds), groupCols :+ "_bin")
+    crossing.join(hint(located, bb), groupCols :+ "_bin")
       .filter((col("_base") + col("_j")).cast("double") >= col("_t"))
       .groupBy(gs :+ col("p"): _*)
       .agg(round(min(col("_v")), 6).as("q"))
@@ -447,7 +488,7 @@ object Stats {
     */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                 outCol: String, pLo: Double, pHi: Double,
-                broadcastBounds: Boolean = true): DataFrame = {
+                broadcastBounds: Bcast = Bcast.Auto): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"winsorize: need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
     require(!df.columns.contains(outCol),
@@ -455,13 +496,14 @@ object Stats {
     val wClash = df.columns.toSet.intersect(Set("_qlo", "_qhi"))
     require(wClash.isEmpty,
       s"winsorize: input column(s) ${wClash.mkString(", ")} collide with working names")
+    val bb = resolveBcast(broadcastBounds, df, groupCols)
     val gs = groupCols.map(col)
     val qs = quantiles(df, groupCols, valueCol, Seq(pLo, pHi),
-        broadcastBounds = broadcastBounds)
+        broadcastBounds = if (bb) Bcast.Force else Bcast.Never)
       .groupBy(gs: _*)
       .agg(min(when(col("p") === pLo, col("q"))).as("_qlo"),
         max(when(col("p") === pHi, col("q"))).as("_qhi"))
-    df.join(hint(qs, broadcastBounds), groupCols)
+    df.join(hint(qs, bb), groupCols)
       .withColumn(outCol,
         when(valueCol.isNotNull,
           least(greatest(valueCol.cast("double"), col("_qlo")), col("_qhi"))))
@@ -485,20 +527,21 @@ object Stats {
     */
   def robustScale(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                   outCol: String,
-                  broadcastBounds: Boolean = true): DataFrame = {
+                  broadcastBounds: Bcast = Bcast.Auto): DataFrame = {
     require(!df.columns.contains(outCol),
       s"robustScale: output column $outCol already exists in the input")
     val rClash = df.columns.toSet.intersect(Set("_q1", "_med", "_q3"))
     require(rClash.isEmpty,
       s"robustScale: input column(s) ${rClash.mkString(", ")} collide with working names")
+    val bb = resolveBcast(broadcastBounds, df, groupCols)
     val gs = groupCols.map(col)
     val qs = quantiles(df, groupCols, valueCol, Seq(0.25, 0.5, 0.75),
-        broadcastBounds = broadcastBounds)
+        broadcastBounds = if (bb) Bcast.Force else Bcast.Never)
       .groupBy(gs: _*)
       .agg(min(when(col("p") === 0.25, col("q"))).as("_q1"),
         min(when(col("p") === 0.5, col("q"))).as("_med"),
         max(when(col("p") === 0.75, col("q"))).as("_q3"))
-    df.join(hint(qs, broadcastBounds), groupCols)
+    df.join(hint(qs, bb), groupCols)
       .withColumn(outCol,
         when(valueCol.isNotNull && col("_q3") =!= col("_q1"),
           round((valueCol.cast("double") - col("_med")) / (col("_q3") - col("_q1")), 6)))
@@ -525,7 +568,7 @@ object Stats {
     */
   def equiDepthHistogram(df: DataFrame, groupCols: Seq[String],
                          valueCol: Column, nBuckets: Int,
-                         broadcastBounds: Boolean = true): DataFrame = {
+                         broadcastBounds: Bcast = Bcast.Auto): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 4096,
       "equiDepthHistogram: nBuckets must be in [2, 4096]")
     val reserved = Seq("_v", "_qs", "bucket", "n", "lo", "hi")
@@ -533,13 +576,14 @@ object Stats {
     require(clash.isEmpty,
       s"equiDepthHistogram: group column(s) ${clash.mkString(", ")} collide with output/working names")
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bb = resolveBcast(broadcastBounds, df, groupCols)
     val gs = groupCols.map(col)
     val bounds = quantiles(df, groupCols, valueCol, ps,
-        broadcastBounds = broadcastBounds)
+        broadcastBounds = if (bb) Bcast.Force else Bcast.Never)
       .groupBy(gs: _*).agg(sort_array(collect_list(col("q"))).as("_qs"))
     df.select(gs :+ valueCol.cast("double").as("_v"): _*)
       .filter(col("_v").isNotNull)
-      .join(hint(bounds, broadcastBounds), groupCols)
+      .join(hint(bounds, bb), groupCols)
       .withColumn("bucket",
         size(filter(col("_qs"), b => col("_v") >= b)).cast("long"))
       .groupBy(gs :+ col("bucket"): _*)

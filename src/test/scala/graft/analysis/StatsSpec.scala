@@ -168,7 +168,7 @@ class StatsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("overflows")))
   }
 
-  test("broadcastBounds = false: every Stats operator is bit-identical on both plan " +
+  test("broadcastBounds = Never: every Stats operator is bit-identical on both plan " +
     "shapes at high group cardinality, with zero broadcast exchanges in the plan") {
     // 2,000 group keys × a handful of rows each — the per-domain/per-user
     // regime where a forced broadcast of the groups × nBins cumulative
@@ -183,7 +183,7 @@ class StatsSpec extends SparkSpec {
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val hinted = Stats.quantiles(df, Seq("k"), col("v"), ps, 64).collect().toSet
       val plain = Stats.quantiles(df, Seq("k"), col("v"), ps, 64,
-        broadcastBounds = false)
+        broadcastBounds = Stats.Bcast.Never)
       assert(plain.collect().toSet === hinted)
       val plan = plain.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastExchange"),
@@ -191,15 +191,37 @@ class StatsSpec extends SparkSpec {
       val wq = Stats.weightedQuantiles(df, Seq("k"), col("v"), col("w"), ps, 64)
         .collect().toSet
       assert(Stats.weightedQuantiles(df, Seq("k"), col("v"), col("w"), ps, 64,
-        broadcastBounds = false).collect().toSet === wq)
+        broadcastBounds = Stats.Bcast.Never).collect().toSet === wq)
       val win = Stats.winsorize(df, Seq("k"), col("v"), "vw", 0.1, 0.9)
         .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(3))).toSet
       assert(Stats.winsorize(df, Seq("k"), col("v"), "vw", 0.1, 0.9,
-          broadcastBounds = false)
+          broadcastBounds = Stats.Bcast.Never)
         .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(3))).toSet === win)
       val hist = Stats.equiDepthHistogram(df, Seq("k"), col("v"), 4).collect().toSet
       assert(Stats.equiDepthHistogram(df, Seq("k"), col("v"), 4,
-        broadcastBounds = false).collect().toSet === hist)
+        broadcastBounds = Stats.Bcast.Never).collect().toSet === hist)
+      // the third mode: Force == Auto == Never on values (Auto is the
+      // default used in the unsuffixed calls above)
+      assert(Stats.quantiles(df, Seq("k"), col("v"), ps, 64,
+        broadcastBounds = Stats.Bcast.Force).collect().toSet === hinted)
+    }
+  }
+
+  test("Bcast.Auto flips the plan on group cardinality: broadcast below the " +
+    "threshold, shuffle join above it") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // 100 groups — far below AutoBroadcastMaxGroups: hints applied
+      val small = spark.range(1000)
+        .select((col("id") % 100).as("k"), (col("id") % 17).cast("double").as("v"))
+      val planSmall = Stats.quantiles(small, Seq("k"), col("v"), Seq(0.5), 16)
+        .queryExecution.executedPlan.toString
+      assert(planSmall.contains("BroadcastExchange"), planSmall)
+      // 40,000 groups — above the 32,768 threshold: no broadcast anywhere
+      val big = spark.range(40000)
+        .select(col("id").as("k"), (col("id") % 17).cast("double").as("v"))
+      val planBig = Stats.quantiles(big, Seq("k"), col("v"), Seq(0.5), 16)
+        .queryExecution.executedPlan.toString
+      assert(!planBig.contains("BroadcastExchange"), planBig)
     }
   }
 
