@@ -1527,6 +1527,88 @@ object SparkEntry {
       .otherwise(lit("")),
     lit("<div><a href=\"/c\">Contact</a> <a href=\"/t\">Terms</a> page</div></body></html>"))
 
+  /** Gradient-PNG fixture shared by mm_phash/dedup_phash: pixel (x, y)
+    * of doc `id` is a closed form of (base = id − id%4, off = id%4) —
+    * quad members share dims and differ by a small constant channel
+    * offset (near-identical images, the near-dup ground truth), while
+    * different quads get different gradients. Bytes travel the REAL
+    * PNG encoder here and the real decoder in [[Multimodal.imageHashes]].
+    */
+  private def phashFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = id - id % 4
+        val off = id % 4
+        val w = (9 + base % 12).toInt
+        val h = (7 + base % 9).toInt
+        // gradient SLOPES derive from base too: different quads get
+        // different comparison patterns (distinct dHashes), while quad
+        // members still differ only by the constant channel offset —
+        // without per-quad slopes every image shares one dHash and the
+        // pair table degenerates to all-pairs
+        // STEEP per-quad slopes (wrap every 2-8 pixels): a shallow
+        // monotone gradient makes every row-adjacent luma comparison
+        // false and collapses dHash to 0 corpus-wide (measured: 127 of
+        // 500 identical hashes, a degenerate all-pairs table); steep
+        // wrapping slopes make the comparison pattern pseudo-random per
+        // quad while quad members still differ only by the constant
+        // channel offset
+        (id, Multimodal.pixelPng(w, h, (x, y) => (
+          ((base + (29 + base % 151) * x + (17 + base % 113) * y + off) % 256).toInt,
+          ((3 * base + (41 + base % 127) * x + (23 + base % 89) * y + 2 * off) % 256).toInt,
+          ((7 * base + (53 + base % 101) * x + (31 + base % 71) * y + off) % 256).toInt)))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** DuckDB twin of the [[phashFixture]] pixel closed forms + the pinned
+    * luma: SQL text for luma(xExpr, yExpr) over the `phd` CTE columns
+    * (base, off, w, h).
+    */
+  private def phashLumaSql(x: String, y: String): String =
+    s"((299 * ((base + (29 + base % 151)*($x) + (17 + base % 113)*($y) + off) % 256)" +
+      s" + 587 * ((3*base + (41 + base % 127)*($x) + (23 + base % 89)*($y) + 2*off) % 256)" +
+      s" + 114 * ((7*base + (53 + base % 101)*($x) + (31 + base % 71)*($y) + off) % 256)) // 1000)"
+
+  /** CTE chain re-deriving [[Multimodal.imageHashes]] analytically over
+    * the fixture: `phd` (per-doc base/off/dims), `phh` (dhash via the
+    * 9×7 sample grid, ahash via the 8×7 grid against the floored mean).
+    */
+  private def phashCtes: String = {
+    val cols = graft.llm.Multimodal.PhashCols
+    val rows = graft.llm.Multimodal.PhashRows
+    // dHash: 56 CASE terms over the 9×7 nearest-neighbor sample grid
+    val dTerms = (for (j <- 0 until rows; i <- 0 until cols) yield {
+      val y = s"(($j * h) // $rows)"
+      val x1 = s"(($i * w) // ${cols + 1})"
+      val x2 = s"((${i + 1} * w) // ${cols + 1})"
+      s"(CASE WHEN ${phashLumaSql(x1, y)} > ${phashLumaSql(x2, y)} " +
+        s"THEN ${1L << (j * cols + i)} ELSE 0 END)"
+    }).mkString("\n      + ")
+    // aHash: the 56 grid lumas as a list, mean floored, bit per sample
+    val aList = (for (j <- 0 until rows; i <- 0 until cols) yield
+      phashLumaSql(s"(($i * w) // $cols)", s"(($j * h) // $rows)")).mkString(",\n      ")
+    val aTerms = (0 until rows * cols).map(k =>
+      s"(CASE WHEN als[${k + 1}] > amean THEN ${1L << k} ELSE 0 END)")
+      .mkString("\n      + ")
+    s"""phd AS (
+       |  SELECT doc_id, doc_id - doc_id % 4 AS base, doc_id % 4 AS off,
+       |         9 + (doc_id - doc_id % 4) % 12 AS w,
+       |         7 + (doc_id - doc_id % 4) % 9 AS h
+       |  FROM documents
+       |), pha AS (
+       |  SELECT doc_id, [$aList] AS als FROM phd
+       |), phm AS (
+       |  SELECT doc_id, als, list_sum(als) // ${rows * cols} AS amean FROM pha
+       |), phh AS (
+       |  SELECT phd.doc_id,
+       |    CAST($dTerms AS BIGINT) AS dhash,
+       |    CAST($aTerms AS BIGINT) AS ahash
+       |  FROM phd JOIN phm ON phd.doc_id = phm.doc_id
+       |)""".stripMargin
+  }
+
   // Per-domain cap shared by the url_domcap query/oracle (row 55).
   private val DomCapK = 5
   private val DomCapSeed = 17L
@@ -3498,6 +3580,26 @@ object SparkEntry {
       Multimodal.audioFeatures(bin).toDF().orderBy("doc_id")
     },
 
+    // Image perceptual hashes (dHash + aHash) off REAL PNG decode: each
+    // doc gets a gradient PNG whose pixel (x, y) is a closed form of
+    // doc_id — docs in the same quad (doc_id - doc_id % 4) share dims
+    // and differ by a small constant channel offset, so quads are
+    // genuine image near-dups (few dHash bits flip, only at %256 wrap
+    // seams). The oracle replays the pinned sample-grid/luma/bit
+    // construction analytically; a decode or grid-arithmetic bug breaks
+    // the hash match.
+    "mm_phash" -> { (s, dir) =>
+      Multimodal.imageHashes(phashFixture(s, dir)).toDF().orderBy("doc_id")
+    },
+
+    // Image near-dup pairs (the Dedup banding doctrine on the image
+    // modality): 8 Hamming bands over the 56-bit dHash, band-local
+    // candidates only, exact bit_count(xor) re-rank, hot-band cap.
+    "dedup_phash" -> { (s, dir) =>
+      Multimodal.phashDup(Multimodal.imageHashes(phashFixture(s, dir)).toDF())
+        .orderBy("id_a", "id_b")
+    },
+
     // BPE vocab TRAINING (row 37's training half): the Sennrich merge
     // loop — one corpus pass to the word-frequency table, then 12
     // metadata-sized argmax+splice rounds; graded on the learned merge
@@ -5099,6 +5201,26 @@ object SparkEntry {
         |       CAST((doc_id % 7 + 1) * (doc_id % 5 + 1) * (doc_id * 3 % 256) AS BIGINT) AS sum_g,
         |       CAST((doc_id % 7 + 1) * (doc_id % 5 + 1) * (doc_id * 7 % 256) AS BIGINT) AS sum_b
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_phash" ->
+      s"""WITH $phashCtes
+         |SELECT doc_id, TRUE AS ok, dhash, ahash
+         |FROM phh ORDER BY doc_id""".stripMargin,
+
+    "dedup_phash" ->
+      s"""WITH $phashCtes, phb AS (
+         |  SELECT doc_id, dhash, t.b AS b, (dhash >> (7 * t.b)) & 127 AS bv
+         |  FROM phh, unnest(range(0, ${graft.llm.Multimodal.PhashBands})) AS t(b)
+         |), phhot AS (
+         |  SELECT b, bv FROM phb GROUP BY b, bv HAVING count(*) > 256
+         |), phcold AS (
+         |  SELECT phb.* FROM phb ANTI JOIN phhot USING (b, bv)
+         |)
+         |SELECT DISTINCT id_a, id_b, hamming FROM (
+         |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         |         CAST(bit_count(xor(a.dhash, c.dhash)) AS BIGINT) AS hamming
+         |  FROM phcold a JOIN phcold c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+         |) WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
 
     "mm_frames" ->
       """WITH fr AS (

@@ -341,6 +341,155 @@ object Multimodal {
       }
   }
 
+  // --- image perceptual hashing (near-dup over the IMAGE modality) ---
+  //
+  // dHash / aHash (public knowledge: the standard perceptual-hash
+  // family) with every step PINNED so an independent engine reproduces
+  // the bits from a closed-form pixel function:
+  //   - sample grid = NEAREST-NEIGHBOR floor coordinates
+  //     (x_i = ⌊i·w/cols⌋, y_j = ⌊j·h/rows⌋) — no interpolation, no
+  //     float resize kernel an oracle can't replay;
+  //   - grayscale = integer luma ⌊(299·r + 587·g + 114·b) / 1000⌋;
+  //   - dHash bit (j·8+i) = luma(x_i, y_j) > luma(x_{i+1}, y_j) over a
+  //     9×7 sample grid → 56 bits; aHash bit = luma > ⌊mean⌋ over 8×7.
+  // 56 bits, not 64, on purpose: bit 63 of a BIGINT overflows an ANSI
+  // engine's CHECKED left shift (the Bloom-words precedent), and 56
+  // bits Hamming-band evenly into 8 × 7.
+
+  val PhashCols = 8   // dHash compares 9 x-samples pairwise → 8 bits/row
+  val PhashRows = 7
+  val PhashBits: Int = PhashCols * PhashRows // 56
+  val PhashBands = 8  // 7 bits per band; dist ≤ 6 < 8 bands ⇒ candidate guaranteed
+
+  /** Per-image perceptual hashes off a REAL decode; `ok = false` (hashes
+    * 0) marks undecodable payloads.
+    */
+  final case class ImageHashes(doc_id: Long, ok: Boolean, dhash: Long, ahash: Long)
+
+  /** Encode a PNG whose pixel (x, y) is `f(x, y)` — the generator half
+    * for gradient fixtures: content is a pure function of the closure,
+    * so expected luma/hash values are closed forms while the bytes
+    * travel the real PNG encoder + decoder.
+    */
+  def pixelPng(w: Int, h: Int, f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0, "pixelPng: bad dims")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = f(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** dHash + aHash per image (the pinned construction above): one decode
+    * per row per partition, no shuffle — the signature table a near-dup
+    * pass ([[phashDup]]) bands over.
+    */
+  def imageHashes(bin: DataFrame, idCol: String = "doc_id"): Dataset[ImageHashes] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          decodeImage(payload) match {
+            case None => ImageHashes(id, ok = false, 0L, 0L)
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              def luma(x: Int, y: Int): Int = {
+                val p = img.getRGB(x, y)
+                (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+                  114 * (p & 0xff)) / 1000
+              }
+              // dHash: 9 x-samples × 7 y-samples, row-adjacent compares
+              var dh = 0L
+              var j = 0
+              while (j < PhashRows) {
+                val y = j * h / PhashRows
+                var i = 0
+                while (i < PhashCols) {
+                  val l1 = luma(i * w / (PhashCols + 1), y)
+                  val l2 = luma((i + 1) * w / (PhashCols + 1), y)
+                  if (l1 > l2) dh |= 1L << (j * PhashCols + i)
+                  i += 1
+                }
+                j += 1
+              }
+              // aHash: 8×7 grid against the floored mean
+              val samples = new Array[Int](PhashBits)
+              j = 0
+              while (j < PhashRows) {
+                val y = j * h / PhashRows
+                var i = 0
+                while (i < PhashCols) {
+                  samples(j * PhashCols + i) = luma(i * w / PhashCols, y)
+                  i += 1
+                }
+                j += 1
+              }
+              val mean = (samples.map(_.toLong).sum / PhashBits).toInt
+              var ah = 0L
+              var k = 0
+              while (k < PhashBits) {
+                if (samples(k) > mean) ah |= 1L << k
+                k += 1
+              }
+              ImageHashes(id, ok = true, dh, ah)
+          }
+        }
+      }
+  }
+
+  /** Image near-dup pairs by Hamming-banded blocking over a perceptual
+    * hash column — the [[Dedup]] banding doctrine applied to the image
+    * modality: the 56-bit hash splits into [[PhashBands]] 7-bit bands,
+    * a pair is a candidate iff SOME band matches exactly (pigeonhole:
+    * Hamming distance ≤ bands−1 guarantees a shared band, so
+    * `maxDist` ≤ [[PhashBands]]−1 loses nothing), candidates pay one
+    * exact `bit_count(xor)` re-rank. Only band-local pairs are ever
+    * formed; a band value shared by more than `maxBandFreq` images
+    * (solid-color boilerplate — every bit 0) is dropped like
+    * ngramJaccard's stop-gram cap, since that bucket IS the O(df²)
+    * blow-up. Undecodable rows (`ok = false`) never pair.
+    *
+    * Output: `(id_a, id_b, hamming)`, id_a < id_b, hamming ≤ maxDist.
+    */
+  def phashDup(hashes: DataFrame, idCol: String = "doc_id",
+               hashCol: String = "dhash", maxDist: Int = 6,
+               maxBandFreq: Int = 256): DataFrame = {
+    require(maxDist >= 0 && maxDist < PhashBands,
+      s"phashDup: maxDist must be in [0, ${PhashBands - 1}] for banding to guarantee recall")
+    val bandBits = PhashBits / PhashBands // 7
+    val mask = (1L << bandBits) - 1
+    val bd = hashes.filter(col("ok"))
+      .select(col(idCol).cast("long").as("_id"), col(hashCol).as("_h"))
+      .select(col("_id"), col("_h"),
+        explode(array((0 until PhashBands).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("_h"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))): _*))
+          .as("_bd"))
+      .select(col("_id"), col("_h"), col("_bd.b").as("_b"), col("_bd.bv").as("_bv"))
+    val hot = bd.groupBy(col("_b"), col("_bv")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > maxBandFreq)
+      .select(col("_b").as("_hb"), col("_bv").as("_hbv"))
+    val cold = bd.join(broadcast(hot),
+        col("_b") === col("_hb") && col("_bv") === col("_hbv"), "left_anti")
+    val l = cold.select(col("_b"), col("_bv"), col("_id").as("id_a"), col("_h").as("_ha"))
+    val r = cold.select(col("_b"), col("_bv"), col("_id").as("id_b"), col("_h").as("_hb2"))
+    l.join(r, Seq("_b", "_bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_ha").bitwiseXOR(col("_hb2"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Distributed thumbnailing: decode, area-preserving nearest-neighbor
     * resize to `tw × th`, re-encode PNG. Undecodable rows drop (a media
     * pipeline filters, it doesn't crash). Output: (idCol, payload).

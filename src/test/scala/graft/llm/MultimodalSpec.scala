@@ -94,4 +94,45 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0) === Multimodal.AudioFeatures(1L, ok = true, 1L, 8000L, 5L, 17L, 7L, 4L))
     assert(out(1) === Multimodal.AudioFeatures(2L, ok = false, 0L, 0L, 0L, 0L, 0L, 0L))
   }
+
+  test("imageHashes: pinned dHash/aHash bits on a hand-checkable image; " +
+    "corrupt payloads degrade to ok=false") {
+    // 9x7 image, luma = x * 30 wrapping nowhere: row-adjacent samples
+    // strictly increase, so NO dHash bit sets (l1 > l2 never); aHash:
+    // samples x=0..7 luma 0,30,..210, mean = 105 -> bits for x in 4..7
+    // (luma 120,150,180,210 > 105), i.e. bits i in {4,5,6,7} of every row
+    val grad = Multimodal.pixelPng(9, 7, (x, _) => (x * 30, x * 30, x * 30))
+    val bin = Seq((1L, grad), (2L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    val out = Multimodal.imageHashes(bin).collect().sortBy(_.doc_id)
+    assert(out(0).ok && out(0).dhash === 0L)
+    val expectA = (0 until Multimodal.PhashRows).map { j =>
+      Seq(4, 5, 6, 7).map(i => 1L << (j * Multimodal.PhashCols + i)).sum
+    }.sum
+    assert(out(0).ahash === expectA)
+    assert(out(1) === Multimodal.ImageHashes(2L, ok = false, 0L, 0L))
+  }
+
+  test("phashDup: near-identical images pair with small hamming, distant ones " +
+    "don't; corrupt rows never pair; the hot-band cap drops boilerplate") {
+    def png(seed: Int, off: Int) = Multimodal.pixelPng(12, 9, (x, y) =>
+      (((seed * 37 + 71 * x + 43 * y + off) % 256),
+        ((seed * 11 + 97 * x + 29 * y + off) % 256),
+        ((seed * 53 + 61 * x + 83 * y + off) % 256)))
+    val bin = Seq(
+      1L -> png(1, 0), 2L -> png(1, 1),   // near-dup pair
+      3L -> png(9, 0),                     // unrelated
+      4L -> Array[Byte](1, 2, 3)           // corrupt
+    ).toDF("doc_id", "payload")
+    val hashes = Multimodal.imageHashes(bin).toDF()
+    val pairs = Multimodal.phashDup(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // boilerplate cap: N solid images all hash to 0 in every band; with
+    // maxBandFreq below N the clique produces ZERO candidate pairs
+    val solid = (1L to 10L).map(i => i -> Multimodal.solidPng(8, 8, 200, 10, 10))
+      .toDF("doc_id", "payload")
+    val sh = Multimodal.imageHashes(solid).toDF()
+    assert(Multimodal.phashDup(sh, maxBandFreq = 5).count() === 0L)
+    assert(Multimodal.phashDup(sh, maxBandFreq = 100).count() === 45L)
+  }
 }
