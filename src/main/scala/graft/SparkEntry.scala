@@ -143,6 +143,16 @@ object SparkEntry {
   private val TubeFitSeed = 42L
   @volatile private var tubeFitExport: Option[Seq[Tube.TubeModel]] = None
 
+  /** text_classifier: hashed-gram dim, the heuristic-quality label
+    * threshold (~the corpus median, so labels split evenly), and the
+    * trained model exported at Verify time so the oracle re-scores every
+    * document from the quantized tick weights (the tubeFitExport
+    * pattern).
+    */
+  private val ClsDim = 512
+  private val ClsLabelThreshold = 0.78
+  @volatile private var clsExport: Option[graft.llm.Classifier.TextClassifierModel] = None
+
   /** pca_circle's eigenvectors (rows) + row count, exported at Verify
     * time; eigenVALUES are deliberately NOT exported — the oracle
     * re-derives them from its own correlation matrix.
@@ -725,6 +735,30 @@ object SparkEntry {
            |)
            |$arms
            |ORDER BY model_id""".stripMargin)
+  }
+
+  /** The text_classifier oracle: re-score every document from the
+    * exported quantized tick weights — integer-tick gram-instance sum,
+    * the exact [[graft.llm.Classifier.logitTicks]] contract in SQL.
+    */
+  private def clsOracle: Map[String, String] = clsExport match {
+    case None => Map.empty
+    case Some(m) =>
+      val values = m.coefTicks.zipWithIndex
+        .map { case (v, b) => s"($b, $v)" }.mkString(", ")
+      Map("text_classifier" ->
+        s"""WITH cticks(b, v) AS (SELECT * FROM (VALUES $values) t(b, v)),
+           |$TokCte, cgb AS (
+           |  SELECT doc_id, unnest(list_concat(${gramListSql(1, m.dim)}, ${gramListSql(2, m.dim)})) AS b
+           |  FROM tok
+           |), csum AS (
+           |  SELECT g.doc_id, CAST(${m.interceptTicks} + coalesce(sum(t.v), 0) AS BIGINT) AS lt
+           |  FROM cgb g JOIN cticks t ON g.b = t.b
+           |  GROUP BY g.doc_id
+           |)
+           |SELECT d.doc_id, c.lt AS logit_ticks, c.lt / 1000000.0 AS score, c.lt > 0 AS pred
+           |FROM documents d JOIN csum c ON d.doc_id = c.doc_id
+           |ORDER BY d.doc_id""".stripMargin)
   }
 
   // MinHash-LSH parameters shared by the dedup_minhash_* queries/oracles.
@@ -3645,6 +3679,25 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Learned quality classifier (fastText-style, the stack's third
+    // filter after heuristics and LM perplexity): labels distill the
+    // heuristic quality score (>= ~median), spark.ml LogisticRegression
+    // fits over hashed unigram+bigram count features (the DSIR gram
+    // space), and scoring is the pinned integer-tick logit — one
+    // codegen'd projection, zero shuffle. The oracle RE-SCORES every doc
+    // from the exported tick weights (the tube_fit pattern), grading the
+    // gram hashing, bucket lookup, and tick arithmetic end to end.
+    "text_classifier" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val quality = TextAnalysis.qualityCols(col("text"))
+        .find(_._1 == "quality").get._2
+      val labeled = docs.withColumn("label",
+        (quality >= ClsLabelThreshold).cast("double"))
+      val model = graft.llm.Classifier.fit(labeled, "doc_id", "text", "label", ClsDim)
+      clsExport = Some(model)
+      graft.llm.Classifier.score(docs, "doc_id", "text", model).orderBy("doc_id")
+    },
+
     "text_langid" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.select(col("doc_id") +:
@@ -5764,7 +5817,7 @@ object SparkEntry {
          |SELECT record, t, 'value' AS variable, 'value' AS name, '-' AS unit,
          |       CAST(value AS DOUBLE) AS y
          |FROM opset ORDER BY record, t""".stripMargin,
-  ) ++ treeOracles ++ ivfOracle ++ pqOracle ++ semOracle ++ tubeFitOracle ++ pcaCircleOracle
+  ) ++ treeOracles ++ ivfOracle ++ pqOracle ++ semOracle ++ tubeFitOracle ++ pcaCircleOracle ++ clsOracle
 
   // ----- long oracle bodies ----------------------------------------------
 

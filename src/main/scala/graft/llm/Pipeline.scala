@@ -325,7 +325,7 @@ object Pipeline {
     * short-text convention as [[Dedup.wordNgramHashes]]), so every
     * document receives a weight.
     */
-  private def gramBuckets(text: Column, ns: Seq[Int], buckets: Int): Column =
+  private[llm] def gramBuckets(text: Column, ns: Seq[Int], buckets: Int): Column =
     if (graft.functions.Native.registered)
       call_function("graft_gram_buckets", text, lit(ns.mkString(",")), lit(buckets))
     else {
