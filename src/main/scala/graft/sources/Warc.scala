@@ -62,6 +62,51 @@ object Warc {
         Seq(col("_rec.uri").as("uri"), col("_rec.ok").as("ok"),
           col("_rec.payload").as("payload")): _*)
 
+  /** Read `.warc.wet.gz`-style files into `(path, ok, blob)` — the
+    * COMPRESSED crawl head: real CommonCrawl drops ship one gzip file
+    * per WET segment, and gzip is not splittable, so the unit of
+    * parallelism is the FILE (Spark's `binaryFile` source reads one
+    * whole file per row — the same one-file-one-task contract as the
+    * HDF5 migration path, sources/Hdf5Opset.scala). Parallelism at
+    * 100 TB comes from the segment count (CommonCrawl ships ~72k
+    * segments per crawl), not from splitting within a member.
+    *
+    * The gunzip is the justified per-partition codec call (the
+    * [[graft.llm.Multimodal]] exception): `GZIPInputStream` reads
+    * CONCATENATED members transparently, which matters because real
+    * `.warc.gz` files are per-RECORD gzip members back to back —
+    * either layout inflates to the same record stream. Truncated or
+    * non-gzip bytes degrade to `ok = false` with whatever prefix
+    * inflated (never throw); compose [[extractRecords]] on `blob`,
+    * whose per-record Content-Length check then bounds any damage to
+    * the affected tail records.
+    */
+  def readGzip(spark: org.apache.spark.sql.SparkSession, path: String,
+               maxInflatedBytes: Int = 1 << 30): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (p, bytes) =>
+        val out = new java.io.ByteArrayOutputStream()
+        var ok = true
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n > 0 && out.size <= maxInflatedBytes) {
+            out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+          if (out.size > maxInflatedBytes) ok = false // bomb guard: truncate loudly
+        } catch {
+          case _: java.io.IOException => ok = false // truncated/corrupt member
+        }
+        (p, ok, new String(out.toByteArray, "UTF-8"))
+      }).toDF("path", "ok_gzip", "blob")
+  }
+
   /** Build one WARC/WET conversion record — the generator half for
     * specs/oracles (content is a pure function of the arguments, the
     * [[graft.llm.Multimodal.pcmWav]] pattern). `declaredLength`

@@ -49,4 +49,41 @@ class WarcSpec extends SparkSpec {
       .collect().head.getString(0)
     assert(out === "actual page content words here")
   }
+
+  test("readGzip: one file = one row; single-member and CONCATENATED-member " +
+    "gzip inflate to the same record stream; corrupt bytes degrade") {
+    import java.util.zip.GZIPOutputStream
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new GZIPOutputStream(bo)
+      g.write(s.getBytes("UTF-8")); g.close(); bo.toByteArray
+    }
+    val rec1 = "WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: u1\n" +
+      "Content-Length: 5\n\nhello\n\n"
+    val rec2 = "WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: u2\n" +
+      "Content-Length: 5\n\nworld\n\n"
+    val dir = java.nio.file.Files.createTempDirectory("warcgz").toFile
+    try {
+      // file A: ONE member holding both records; file B: one member PER
+      // record, concatenated (the real .warc.gz layout); file C: garbage
+      java.nio.file.Files.write(new java.io.File(dir, "a.wet.gz").toPath, gz(rec1 + rec2))
+      java.nio.file.Files.write(new java.io.File(dir, "b.wet.gz").toPath, gz(rec1) ++ gz(rec2))
+      java.nio.file.Files.write(new java.io.File(dir, "c.wet.gz").toPath,
+        Array[Byte](1, 2, 3, 4))
+      val blobs = Warc.readGzip(spark, dir.getAbsolutePath + "/*.wet.gz")
+      val byFile = blobs.collect().map(r =>
+        (r.getString(0).split('/').last, (r.getBoolean(1), r.getString(2)))).toMap
+      assert(byFile("a.wet.gz") === ((true, rec1 + rec2)))
+      assert(byFile("b.wet.gz") === ((true, rec1 + rec2))) // members concatenate
+      assert(byFile("c.wet.gz")._1 === false)
+      // end-to-end: gz file -> records table
+      val recs = Warc.extractRecords(
+          blobs.filter(org.apache.spark.sql.functions.col("ok_gzip")), "blob")
+        .select("uri", "ok", "payload").collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
+      assert(recs === Set(("u1", true, "hello"), ("u2", true, "world")))
+    } finally {
+      dir.listFiles.foreach(_.delete()); dir.delete()
+    }
+  }
 }
