@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, GramBuckets, GramCounts, Md5Prefix32, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashes}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, GramBuckets, GramCounts, HtmlExtract, Md5Prefix32, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashes}
 import graft.llm.TextAnalysis
 
 /** Session extensions registering graft's native Catalyst expressions so
@@ -12,6 +12,20 @@ import graft.llm.TextAnalysis
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_html_extract"),
+      new ExpressionInfo(classOf[HtmlExtract].getName, null, "graft_html_extract",
+        "graft_html_extract(html, minWords, maxLinkDensity) - single-pass pinned " +
+          "HTML->text extraction (boilerplate removal)", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"graft_html_extract requires exactly 3 arguments, got ${children.size}")
+        require(children(1).foldable && children(2).foldable,
+          "graft_html_extract: minWords and maxLinkDensity must be literals")
+        HtmlExtract(children(0),
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].doubleValue())
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, null, "graft_dot",

@@ -75,11 +75,14 @@ object Html {
 
   /** A block's anchor mass: total visible-text length inside its
     * `<a …>…</a>` pairs (inner tags stripped, entities decoded — the
-    * same text measure as the denominator). `<a`-probed: a block with
+    * same text measure as the denominator). `<a`-probed on the
+    * LOWERCASED block (the extraction regex is case-insensitive, so a
+    * case-sensitive probe would zero the mass of `<A HREF=…>` anchors —
+    * lowercasing keeps the probe a pure optimization): a block with
     * no anchor open has mass 0 by definition, no extraction pass needed.
     */
   private def anchorMass(b: Column): Column =
-    when(instr(b, "<a") > 0,
+    when(instr(lower(b), "<a") > 0,
       aggregate(
         regexp_extract_all(b, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)),
         lit(0),
@@ -97,6 +100,19 @@ object Html {
     require(minWords >= 0, "extractText: minWords must be >= 0")
     require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
       "extractText: maxLinkDensity must be in [0, 1]")
+    if (graft.functions.Native.registered)
+      call_function("graft_html_extract", html,
+        lit(minWords), lit(maxLinkDensity))
+    else extractTextDeclarative(html, minWords, maxLinkDensity)
+  }
+
+  /** The declarative twin — identical pinned semantics (the native
+    * expression is spec-pinned bit-equal; this form runs in sessions
+    * without GraftExtensions, and is the semantics REFERENCE the
+    * native scanner is audited against).
+    */
+  private[graft] def extractTextDeclarative(html: Column, minWords: Int,
+                                            maxLinkDensity: Double): Column = {
     // step 1 in ONE alternation pass: the leftmost container opener
     // wins and its branch consumes non-greedily to its OWN closer (a
     // stray `</style>` can never close a `<script>`), so well-formed

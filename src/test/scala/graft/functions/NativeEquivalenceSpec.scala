@@ -199,6 +199,40 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(one === Seq(6, 0, -1, -1, -1, 4, 3))
   }
 
+  // markup-rich strings: block tags, anchors (all casings/quotings),
+  // containers (closed and unclosed), entities (incl. double-encoded),
+  // almost-tags, stray brackets, multibyte text — the edge surface the
+  // imperative scanner must agree with the regex pipeline on
+  private val genHtml: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar.map(_.toString),
+    3 -> Gen.const(" "),
+    2 -> Gen.oneOf("<p>", "</p>", "<div class='x'>", "</div>", "<br/>", "<h1>",
+      "</h1>", "<li>", "<td x=1>", "<TABLE>", "<pre>"),
+    2 -> Gen.oneOf("<a href='/x'>", "<a>", "</a>", "<A HREF=\"/y\">", "link"),
+    1 -> Gen.oneOf("<script>var x=1;</script>", "<style>p{}</style>",
+      "<head><title>t</title></head>", "<!-- c -->", "<script>unclosed",
+      "<header x>", "<SCRIPT a>y</script>"),
+    1 -> Gen.oneOf("&amp;", "&lt;", "&nbsp;", "&amp;lt;", "&#39;", "&gt;"),
+    1 -> Gen.oneOf("<", ">", "</", "<ph>", "<abbr>", "<h7>", "<h1-x>", "<a/>",
+      "<aside>", "< p>", "<p", "\t", "\n"),
+    1 -> Gen.oneOf("水", "😀", "é"),
+  )).map(_.mkString)
+
+  test("graft_html_extract == declarative regex pipeline on generated markup " +
+    "(multiple thresholds)") {
+    val df = (sampled(genHtml, 300, 53L) ++ Seq(null, "", "   ",
+      "plain words only here", "<p>a b c</p><nav><a href='/'>x</a></nav>"))
+      .toDF("h")
+    for ((mw, mld) <- Seq((3, 0.33), (0, 1.0), (1, 0.0), (2, 0.5))) {
+      val nat = call_function("graft_html_extract", col("h"), lit(mw), lit(mld))
+      val dec = graft.llm.Html.extractTextDeclarative(col("h"), mw, mld)
+      val bad = df.select(col("h"), nat.as("nat"), dec.as("dec"))
+        .filter(not(col("nat") <=> col("dec")))
+      assert(bad.count() === 0L,
+        s"(minWords=$mw, mld=$mld):\n" + bad.collect().take(3).mkString("\n"))
+    }
+  }
+
   test("trainBpeMerges: hand-checked merge sequence, frequency-weighted, stops when dry") {
     // wf: "aba" x2, "ab" x1 → round 1: (a,b) = 2+1 = 3 beats (b,a) = 2;
     // round 2: (ab,a) = 2; round 3: nothing left → early stop
