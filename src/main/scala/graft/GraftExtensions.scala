@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, GramBuckets, GramCounts, HtmlExtract, Md5Prefix32, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashes}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, GramBuckets, GramCounts, HtmlExtract, Md5Prefix32, PiiScan, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashes}
 import graft.llm.TextAnalysis
 
 /** Session extensions registering graft's native Catalyst expressions so
@@ -25,6 +25,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HtmlExtract(children(0),
           children(1).eval().asInstanceOf[Number].intValue(),
           children(2).eval().asInstanceOf[Number].doubleValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pii_scan"),
+      new ExpressionInfo(classOf[PiiScan].getName, null, "graft_pii_scan",
+        "graft_pii_scan(text) - PII counts + sequentially-redacted text in one " +
+          "native scan family", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_pii_scan requires exactly 1 argument, got ${children.size}")
+        PiiScan(children(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),

@@ -3889,11 +3889,7 @@ object SparkEntry {
     "text_pii" -> { (s, dir) =>
       val base = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), piiInjected.as("_t"))
-      base.select(
-        col("doc_id") +:
-          TextAnalysis.piiCols(col("_t")).map { case (n, c) => c.as(n) } :+
-          TextAnalysis.fingerprint(TextAnalysis.redactPii(col("_t"))).as("red_fp"): _*)
-        .orderBy("doc_id")
+      TextAnalysis.piiAnalysis(base, "doc_id", "_t").orderBy("doc_id")
     },
 
     // -- LLM: document chunking (row 50) --

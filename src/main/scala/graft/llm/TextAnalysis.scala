@@ -594,12 +594,39 @@ object TextAnalysis {
   /** Text with every PII match replaced by its placeholder, applied in
     * [[PiiPatterns]] order (email first: an IP-shaped string inside an
     * email domain is redacted as part of the email, never double-hit).
-    * Pure per-row projection — zero shuffle at any corpus size.
+    * Pure per-row projection — zero shuffle at any corpus size. Native
+    * single-scan when the extensions are registered (one struct field
+    * read = one evaluation); the regex chain otherwise.
     */
   def redactPii(text: Column): Column =
-    PiiPatterns.foldLeft(text) { case (t, (_, pat, rep)) =>
-      regexp_replace(t, pat, rep)
-    }
+    if (graft.functions.Native.registered)
+      call_function("graft_pii_scan", text).getField("redacted")
+    else
+      PiiPatterns.foldLeft(text) { case (t, (_, pat, rep)) =>
+        regexp_replace(t, pat, rep)
+      }
+
+  /** The combined PII table over a corpus: `(idCol, n_email, n_phone,
+    * n_ip, red_fp)` — counts over the original text, fingerprint of the
+    * sequentially-redacted text. Native path: ONE `graft_pii_scan`
+    * struct aliased in its own projection (the SubwordEncode CSE rule —
+    * four getFields of an inlined non-cheap expression would evaluate
+    * the scan four times), then the fingerprint over the redacted
+    * field. Declarative path: the regex chain (6 regex passes).
+    */
+  def piiAnalysis(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    if (graft.functions.Native.registered)
+      df.select(col(idCol),
+          call_function("graft_pii_scan", col(textCol)).as("_pii"))
+        .select(col(idCol),
+          col("_pii.n_email").as("n_email"),
+          col("_pii.n_phone").as("n_phone"),
+          col("_pii.n_ip").as("n_ip"),
+          fingerprint(col("_pii.redacted")).as("red_fp"))
+    else
+      df.select(col(idCol) +:
+        piiCols(col(textCol)).map { case (n, c) => c.as(n) } :+
+        fingerprint(redactPii(col(textCol))).as("red_fp"): _*)
 
   /** The full analysis DataFrame over a `documents`-shaped table. Safe in
     * ANY session: [[fingerprint]] probes [[graft.functions.Native]] and

@@ -218,6 +218,44 @@ class NativeEquivalenceSpec extends SparkSpec {
     1 -> Gen.oneOf("水", "😀", "é"),
   )).map(_.mkString)
 
+  // fragments that stress every backtracking edge of the three PII
+  // patterns: runs longer than the quantifier bounds, boundary digits,
+  // dots in wrong places, '+' inside email locals, overlapping spans
+  private val genPii: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar.map(_.toString),
+    3 -> Gen.const(" "),
+    2 -> Gen.oneOf("user@example.com", "a@b.cd", "x@y.z", "a.b@c-d.ef",
+      "@nope", "no@tld", "x@.ab", "x@a.", "a@b@c.de", "u%+-@d9.ab9",
+      "@@", "a@b.c"),
+    2 -> Gen.oneOf("+33 555 123 214", "+1 234 567 890", "+1234 555 666 777",
+      "+12 34 567 890", "+33 555 123 2145", "+33  555 123 214", "+ 33", "+"),
+    2 -> Gen.oneOf("10.0.3.44", "1.2.3.4", "1234.5.6.7", "1.2.3.4567",
+      "1.2.3.45.6", "10.0.3.44x", "a1.2.3.4", ".1.2.3.4", "1.2.3", "..."),
+    1 -> Gen.oneOf(".", "-", "_", "%", "+", "@", "水", "😀"),
+  )).map(_.mkString)
+
+  test("graft_pii_scan == declarative regex counts + sequential redaction " +
+    "chain on generated adversarial text") {
+    import graft.llm.TextAnalysis
+    val df = (sampled(genPii, 300, 61L) ++ Seq(null, "",
+      "+123 456 789 012@abc.de", // email swallows the phone's tail
+      "x@1.2.3.4.de 1.2.3.4"))   // ip inside a redacted email domain
+      .toDF("text")
+    val Seq(email, phone, ip) = TextAnalysis.PiiPatterns.map(_._2)
+    val declRed = TextAnalysis.PiiPatterns.foldLeft(col("text")) {
+      case (t, (_, pat, rep)) => regexp_replace(t, pat, rep)
+    }
+    val nat = call_function("graft_pii_scan", col("text"))
+    val bad = df.select(col("text"), nat.as("n"),
+        when(col("text").isNotNull, struct(
+          regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
+          regexp_count(col("text"), lit(phone)).cast("long").as("n_phone"),
+          regexp_count(col("text"), lit(ip)).cast("long").as("n_ip"),
+          declRed.as("redacted"))).as("d"))
+      .filter(not(col("n") <=> col("d")))
+    assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
+  }
+
   test("graft_html_extract == declarative regex pipeline on generated markup " +
     "(multiple thresholds)") {
     val df = (sampled(genHtml, 300, 53L) ++ Seq(null, "", "   ",
