@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, GramBuckets, GramCounts, HtmlExtract, Md5Prefix32, PiiScan, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashes}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeCount, GramBuckets, GramCounts, HtmlExtract, Md5Prefix32, PiiScan, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashes}
 import graft.llm.TextAnalysis
 
 /** Session extensions registering graft's native Catalyst expressions so
@@ -25,6 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HtmlExtract(children(0),
           children(1).eval().asInstanceOf[Number].intValue(),
           children(2).eval().asInstanceOf[Number].doubleValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, null, "graft_bpe_count",
+        "graft_bpe_count(text) - BpePattern pre-tokenizer segment count, one scan", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_bpe_count requires exactly 1 argument, got ${children.size}")
+        BpeCount(children(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_pii_scan"),

@@ -38,7 +38,10 @@ object TextAnalysis {
     * vocabulary (e.g. `don't stop` → `don`, `'t`, ` stop` = 3).
     */
   def bpeTokenCount(text: Column): Column =
-    regexp_count(text, lit(BpePattern)).cast("long")
+    if (graft.functions.Native.registered)
+      call_function("graft_bpe_count", text)
+    else
+      regexp_count(text, lit(BpePattern)).cast("long")
 
   /** REAL vocab-driven subword ids — greedy longest-match against a
     * broadcast-literal `vocab` (the WordPiece inference rule; −1 =

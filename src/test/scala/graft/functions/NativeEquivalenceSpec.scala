@@ -256,6 +256,26 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
   }
 
+  test("graft_bpe_count == regexp_count(BpePattern) on generated text " +
+    "(contractions, optional-space runs, non-ASCII merging)") {
+    import graft.llm.TextAnalysis
+    val genBpe: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      3 -> Gen.oneOf(" ", "  ", "\t", "\n"),
+      2 -> Gen.oneOf("don't", "we're", "I'll", "it's", "I'd", "you've", "I'm",
+        "'x", "''", "'", "'re", "'l"),
+      2 -> Gen.oneOf(",", ".", "?!", "--", "a1", "1a", " 5", " .", "+"),
+      1 -> Gen.oneOf("水", "😀", "é", "\ud83d", "a水b"),
+    )).map(_.mkString)
+    val df = (sampled(genBpe, 300, 71L) ++ Seq(null, "", "   ",
+      "don't stop", "'s't're've'm'll'd")).toDF("text")
+    val bad = df.select(col("text"),
+        call_function("graft_bpe_count", col("text")).as("nat"),
+        regexp_count(col("text"), lit(TextAnalysis.BpePattern)).cast("long").as("dec"))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(bad.count() === 0L, bad.collect().take(5).mkString("\n"))
+  }
+
   test("graft_html_extract == declarative regex pipeline on generated markup " +
     "(multiple thresholds)") {
     val df = (sampled(genHtml, 300, 53L) ++ Seq(null, "", "   ",
