@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeCount, GramBuckets, GramCounts, HtmlExtract, Md5Prefix32, PiiScan, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashes}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeCount, CharSetCount, GramBuckets, GramCounts, HtmlExtract, LangScores, Md5Prefix32, PiiScan, WordSetCount, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashes, WsTokenCount}
 import graft.llm.TextAnalysis
+import org.apache.spark.sql.types.DataTypes
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `functions.call_function`. Enable with
@@ -25,6 +27,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HtmlExtract(children(0),
           children(1).eval().asInstanceOf[Number].intValue(),
           children(2).eval().asInstanceOf[Number].doubleValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lang_scores"),
+      new ExpressionInfo(classOf[LangScores].getName, null, "graft_lang_scores",
+        "graft_lang_scores(text, wordLists) - fused per-language stopword-hit counts", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_lang_scores requires exactly 2 arguments, got ${children.size}")
+        require(children(1).foldable, "graft_lang_scores: word lists must be literal")
+        val arr = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val langs = (0 until arr.numElements()).map { k =>
+          arr.getArray(k).toArray[UTF8String](DataTypes.StringType).toSeq.map(_.toString)
+        }
+        LangScores(children(0), langs)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_charset_count"),
+      new ExpressionInfo(classOf[CharSetCount].getName, null, "graft_charset_count",
+        "graft_charset_count(text, chars) - count of characters from a literal ASCII set", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_charset_count requires exactly 2 arguments, got ${children.size}")
+        require(children(1).foldable, "graft_charset_count: chars must be a literal")
+        CharSetCount(children(0), children(1).eval().toString)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_count"),
+      new ExpressionInfo(classOf[WordSetCount].getName, null, "graft_word_count",
+        "graft_word_count(text, words) - count of boundary-delimited literal-word matches", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_word_count requires exactly 2 arguments, got ${children.size}")
+        require(children(1).foldable, "graft_word_count: words must be a literal")
+        WordSetCount(children(0),
+          children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toArray[UTF8String](DataTypes.StringType).toSeq.map(_.toString))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ws_count"),
+      new ExpressionInfo(classOf[WsTokenCount].getName, null, "graft_ws_count",
+        "graft_ws_count(text) - whitespace token count (the pinned trim+split semantics)", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_ws_count requires exactly 1 argument, got ${children.size}")
+        WsTokenCount(children(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_bpe_count"),

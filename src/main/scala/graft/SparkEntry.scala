@@ -3699,10 +3699,19 @@ object SparkEntry {
     },
 
     "text_langid" -> { (s, dir) =>
+      // three projections on purpose (the CSE aliasing rule): lower
+      // once, run each language scan once, argmax over the score REFS —
+      // the single-select form evaluated every scan twice and the
+      // lowercase pass eight times
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      docs.select(col("doc_id") +:
-          TextAnalysis.langScores(col("text")).map { case (l, c) => c.as(s"s_$l") } :+
-          TextAnalysis.langId(col("text")).as("lang_id"): _*)
+      val langs = TextAnalysis.LangStopwords.map(_._1)
+      val scores = langs.zipWithIndex.map { case (l, k) =>
+        l -> element_at(col("_ls"), k + 1) }
+      docs.select(col("doc_id"), lower(col("text")).as("_lt"))
+        .select(col("doc_id"), TextAnalysis.langScoresArray(col("_lt")).as("_ls"))
+        .select(col("doc_id") +:
+          scores.map { case (l, c) => c.as(s"s_$l") } :+
+          TextAnalysis.langIdFromScores(scores).as("lang_id"): _*)
         .orderBy("doc_id")
     },
 

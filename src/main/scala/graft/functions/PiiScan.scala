@@ -85,7 +85,7 @@ object PiiScan {
     * UnicodeProp.WORD: alphabetic, digits, marks, connector
     * punctuation, join controls.
     */
-  private def isWordCp(cp: Int): Boolean =
+  private[functions] def isWordCp(cp: Int): Boolean =
     Character.isAlphabetic(cp) || Character.isDigit(cp) || cp == 0x200C ||
       cp == 0x200D || {
         val t = Character.getType(cp)

@@ -15,10 +15,17 @@ object TextAnalysis {
 
   val FpMod = 1000000007L // fingerprint modulus (fits 31*mod+cp in a long)
 
-  /** Whitespace token count; empty/blank text counts 0. */
+  /** Whitespace token count; empty/blank text counts 0. Native
+    * one-scan expression when the extensions are registered
+    * ([[graft.functions.WsTokenCount]], spec-pinned equal); the
+    * trim+split form otherwise.
+    */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0L))
-      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+    if (graft.functions.Native.registered)
+      call_function("graft_ws_count", text)
+    else
+      when(length(trim(text)) === 0, lit(0L))
+        .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
   /** Count of regex matches (codegen'd). */
   def matchCount(text: Column, pattern: String): Column =
@@ -248,17 +255,60 @@ object TextAnalysis {
   private def stopwordPattern(words: Seq[String]): String =
     words.mkString("\\b(", "|", ")\\b")
 
+  /** `matchCount(lowered, stopwordPattern(words))` — native
+    * boundary-delimited literal-word scan when registered.
+    */
+  private def stopwordCount(lowered: Column, words: Seq[String]): Column =
+    if (graft.functions.Native.registered)
+      call_function("graft_word_count", lowered, array(words.map(lit): _*))
+    else matchCount(lowered, stopwordPattern(words))
+
+  /** `matchCount(text, "[<chars>]")` for a plain ASCII char set —
+    * native set-membership scan when registered.
+    */
+  private def charSetCount(text: Column, chars: String, pattern: String): Column =
+    if (graft.functions.Native.registered)
+      call_function("graft_charset_count", text, lit(chars))
+    else matchCount(text, pattern)
+
   /** Per-language stopword-hit counts over lowercased text. */
   def langScores(text: Column): Seq[(String, Column)] =
+    langScoresLowered(lower(text))
+
+  /** ALL language scores as ONE array column (order = [[LangStopwords]]
+    * order) — the fused single-scan native expression when registered
+    * (alias the result ONCE in its own projection, then `element_at` —
+    * the CSE rule), an array of the per-language scans otherwise.
+    */
+  def langScoresArray(lowered: Column): Column =
+    if (graft.functions.Native.registered)
+      call_function("graft_lang_scores", lowered,
+        array(LangStopwords.map { case (_, ws) => array(ws.map(lit): _*) }: _*))
+    else array(langScoresLowered(lowered).map(_._2): _*)
+
+  /** [[langScores]] over a PRE-LOWERED column — alias `lower(text)`
+    * once in its own projection when scoring several languages: the
+    * lowercase pass is a full string copy, and CollapseProject keeps a
+    * non-cheap alias used by all four scans from being inlined
+    * four times (the SubwordEncode CSE rule).
+    */
+  def langScoresLowered(lowered: Column): Seq[(String, Column)] =
     LangStopwords.map { case (lang, words) =>
-      lang -> matchCount(lower(text), stopwordPattern(words))
+      lang -> stopwordCount(lowered, words)
     }
 
   /** Language ID: argmax of [[langScores]] with first-listed tie-break;
     * "und" when every score is zero.
     */
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
+  def langId(text: Column): Column = langIdFromScores(langScores(text))
+
+  /** The argmax half over already-computed score COLUMNS — pass
+    * attribute references to score columns aliased in a previous
+    * projection so each language scan evaluates ONCE for scores AND
+    * argmax (inlining `langId(text)` next to `langScores(text)`
+    * evaluates every scan twice).
+    */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
       when(best > 0 && s === best, lit(lang)).otherwise(acc)
@@ -274,10 +324,16 @@ object TextAnalysis {
     val nTokens = tokenCount(text)
     val safeTok = when(nTokens === 0, lit(1L)).otherwise(nTokens)
     val safeChr = when(nChars === 0, lit(1L)).otherwise(nChars)
-    val meanTokLen = length(regexp_replace(text, "\\s", "")).cast("double") / safeTok
-    val punct = matchCount(text, "[.,;:!?]").cast("double") / safeChr
-    val digit = matchCount(text, "[0-9]").cast("double") / safeChr
-    val stop  = matchCount(lower(text), stopwordPattern(LangStopwords.head._2)).cast("double") / safeTok
+    // non-ws codepoint count: length minus the ASCII \s chars (each one
+    // codepoint) — native path skips the regex strip's full string copy
+    val nonWs =
+      if (graft.functions.Native.registered)
+        nChars - call_function("graft_charset_count", text, lit(" \t\n\u000B\f\r"))
+      else length(regexp_replace(text, "\\s", "")).cast("long")
+    val meanTokLen = nonWs.cast("double") / safeTok
+    val punct = charSetCount(text, ".,;:!?", "[.,;:!?]").cast("double") / safeChr
+    val digit = charSetCount(text, "0123456789", "[0-9]").cast("double") / safeChr
+    val stop  = stopwordCount(lower(text), LangStopwords.head._2).cast("double") / safeTok
     val lenScore = least(nChars.cast("double") / lit(200.0), lit(1.0))
     val score = lenScore * 0.4 +
       least(stop * 5.0, lit(1.0)) * 0.3 +

@@ -276,6 +276,70 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(bad.count() === 0L, bad.collect().take(5).mkString("\n"))
   }
 
+  test("graft_ws_count == trim+split token count on generated whitespace-heavy " +
+    "text (leading/trailing empty-segment quirks included)") {
+    val df = (sampled(genText, 300, 83L) ++ Seq(null, "", " ", "\t", "  \t  ",
+      "\ta b", "a \t", " a ", "a\u000Bb", "\n\n")).toDF("text")
+    val decl = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val bad = df.select(col("text"),
+        call_function("graft_ws_count", col("text")).as("nat"), decl.as("dec"))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(bad.count() === 0L, bad.collect().take(5).mkString("\n"))
+  }
+
+  test("graft_charset_count and graft_word_count == their regex twins on " +
+    "generated text (boundary quirks, alternation order, overlap-adjacent words)") {
+    import graft.llm.TextAnalysis
+    val genWordy: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.oneOf("the", "a", "and", "that", "it", "for", "theand", "athe",
+        "x", "q7", "_the", "the_", "thé"),
+      3 -> Gen.oneOf(" ", ",", ".", "-", "!", "?", ";", ":"),
+      1 -> Gen.oneOf("水the水", "😀a😀", "éandé", "1the2"),
+    )).map(_.mkString(""))
+    val words = TextAnalysis.LangStopwords.head._2
+    val df = (sampled(genWordy, 300, 89L) ++ Seq(null, "", "the", "thethe",
+      "the,the", "a a a", "\ud835\udd18the", "\ud835\udd18 the", "😀the")).toDF("text")
+    val pat = words.mkString("\\b(", "|", ")\\b")
+    val bad = df.select(col("text"),
+        call_function("graft_word_count", lower(col("text")),
+          array(words.map(lit): _*)).as("nw"),
+        regexp_count(lower(col("text")), lit(pat)).cast("long").as("dw"),
+        call_function("graft_charset_count", col("text"), lit(".,;:!?")).as("np"),
+        regexp_count(col("text"), lit("[.,;:!?]")).cast("long").as("dp"),
+        call_function("graft_charset_count", col("text"), lit("0123456789")).as("nd"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("dd"))
+      .filter(not(col("nw") <=> col("dw")) || not(col("np") <=> col("dp")) ||
+        not(col("nd") <=> col("dd")))
+    assert(bad.count() === 0L, bad.collect().take(5).mkString("\n"))
+  }
+
+  test("graft_lang_scores == per-language regexp counts on generated text " +
+    "(fused scan, per-language cursors)") {
+    import graft.llm.TextAnalysis
+    val genWordy2: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.oneOf("the", "la", "der", "el", "und", "de", "los", "for",
+        "that", "es", "est", "ist", "in", "en"),
+      3 -> Gen.oneOf(" ", ",", ".", "-", "水", "é"),
+    )).map(_.mkString(""))
+    val df = (sampled(genWordy2, 300, 101L) ++
+      Seq(null, "", "the la der el", "dela derde")).toDF("text")
+    val arrays = call_function("graft_lang_scores", lower(col("text")),
+      array(TextAnalysis.LangStopwords.map { case (_, ws) =>
+        array(ws.map(lit): _*) }: _*))
+    val decl = array(TextAnalysis.LangStopwords.map { case (_, ws) =>
+      regexp_count(lower(col("text")),
+        lit(ws.mkString("\\b(", "|", ")\\b"))).cast("long") }: _*)
+    // null text: native yields a null ARRAY, the declarative an array of
+    // nulls — element_at makes them indistinguishable downstream, so the
+    // comparison normalizes (the query-level results are pinned by the
+    // text_langid oracle)
+    val bad = df.select(col("text"), arrays.as("nat"),
+        when(col("text").isNotNull, decl).as("dec"))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(bad.count() === 0L, bad.collect().take(5).mkString("\n"))
+  }
+
   test("graft_html_extract == declarative regex pipeline on generated markup " +
     "(multiple thresholds)") {
     val df = (sampled(genHtml, 300, 53L) ++ Seq(null, "", "   ",
