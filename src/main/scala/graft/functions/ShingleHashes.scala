@@ -289,3 +289,66 @@ case class SetOverlap(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SetOverlap =
     copy(left = newLeft, right = newRight)
 }
+
+/** Linear-model tick logit in ONE text pass — the fused closed form of
+  * `aggregate(graft_gram_buckets(text, ns, buckets), intercept,
+  * (acc, b) => acc + element_at(ticks, b + 1))`, which is the pinned
+  * [[graft.llm.Classifier]] scoring contract. The HOF fold pays an
+  * interpreted lambda frame plus a generic array probe per gram
+  * INSTANCE (a document has hundreds); here each gram digests straight
+  * off the token array into a primitive `long[]` table lookup.
+  *
+  * Tokenization and the fewer-than-n / empty / null conventions are
+  * [[GramBuckets]]'s exactly (null text folds the empty-string gram
+  * once per n — `nullable = false`, never a null logit), and the result
+  * is spec-pinned bit-equal to the HOF twin over generated text with
+  * random tick tables (NativeEquivalenceSpec).
+  */
+case class GramTickSum(child: Expression, ns: Seq[Int], buckets: Int,
+                       interceptTicks: Long, coefTicks: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  require(ns.nonEmpty && ns.forall(_ >= 1),
+    s"graft_gram_tick_sum: ns must be non-empty positive, got $ns")
+  require(buckets >= 1, s"graft_gram_tick_sum: buckets must be >= 1, got $buckets")
+  require(coefTicks.length == buckets,
+    s"graft_gram_tick_sum: ticks length ${coefTicks.length} != buckets $buckets")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_gram_tick_sum expects string, got $t")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_gram_tick_sum"
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val toks: Array[String] =
+      if (v == null) Array.empty[String]
+      else v.asInstanceOf[UTF8String].toLowerCase.trim()
+        .toString.split("\\s+", -1).filter(_.nonEmpty)
+    var acc = interceptTicks
+    ns.foreach { n =>
+      val positions = math.max(toks.length - (n - 1), 1)
+      var p = 0
+      while (p < positions) {
+        val gram = toks.slice(p, math.min(p + n, toks.length)).mkString(" ")
+        md.reset()
+        val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        acc += coefTicks((h % buckets).toInt)
+        p += 1
+      }
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramTickSum =
+    copy(child = newChild)
+}

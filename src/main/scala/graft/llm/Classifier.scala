@@ -41,16 +41,88 @@ object Classifier {
                                        interceptTicks: Long,
                                        coefTicks: Array[Long])
 
-  /** Fit a logistic-regression quality classifier on `labelCol` (0/1)
-    * over hashed-gram count features. Standardization off — the exported
-    * coefficients must apply to RAW counts (standardized fits fold the
-    * scaling into unexported per-feature factors).
+  /** Deterministic per-label training sample: the `capPerLabel` docs per
+    * label value with the smallest `(md5(id|seed), id)` — the
+    * [[Pipeline.sampleExactK]] construction stratified on the label, so
+    * class balance survives the cap and the sample is a pure function of
+    * ids (reproducible across re-runs and partitionings). The label is
+    * taken as an EXPRESSION over the doc row and lands as column
+    * `labelCol` in the output.
+    *
+    * Scale shape, in corpus-pass order: (1) a uniform id-only exact-k
+    * pre-sample of `capPerLabel · presampleFactor` docs — the one pass
+    * that touches every row reads the id COLUMN alone (a derived label
+    * heuristic is never computed corpus-wide; you don't label 100 TB to
+    * pick a 4k training set); (2) the pre-sampled id set (metadata-sized
+    * by construction) comes back as a BROADCAST semi-join fetching the
+    * pre-sample rows in one scan, where `label` is evaluated — applied
+    * HERE, structurally above the join, rather than relying on
+    * PushDownLeftSemiAntiJoin to hoist a caller-side projection (it
+    * does not: measured corpus-wide label evaluation under the joined
+    * form); (3) the per-label exact-k runs over the pre-sample pool,
+    * which is already budget-sized. `presampleFactor = 0` disables the
+    * pre-sample — the label evaluates corpus-wide and the per-label
+    * exact-k scans everything (the labels-already-materialized case).
+    *
+    * A label value with fewer than `capPerLabel` docs IN THE PRE-SAMPLE
+    * contributes what it has; size the factor for the rarest class
+    * (uniform sampling preserves class rates in expectation).
     */
-  def fit(docs: DataFrame, idCol: String, textCol: String, labelCol: String,
+  def trainingSample(docs: DataFrame, idCol: String, label: Column,
+                     labelCol: String, capPerLabel: Int, seed: Long = 0L,
+                     presampleFactor: Int = 8): DataFrame = {
+    require(capPerLabel >= 1, "Classifier.trainingSample: capPerLabel must be >= 1")
+    require(presampleFactor >= 0,
+      "Classifier.trainingSample: presampleFactor must be >= 0")
+    // One counting job (metadata-speed on a bare scan) probes whether the
+    // pre-sample budget even binds — a covering pre-sample keeps every id,
+    // so skipping it is result-identical and saves two window stages and
+    // a join at small corpus sizes (the Stats Bcast.Auto precedent: a
+    // cheap probe picks the plan shape, never the answer).
+    val budget = capPerLabel.toLong * presampleFactor
+    val pool =
+      if (presampleFactor == 0 || docs.count() <= budget)
+        docs.withColumn(labelCol, label)
+      else {
+        val preIds = Pipeline.sampleExactK(
+            docs.select(col(idCol)).withColumn("_cls_all", lit(1)),
+            idCol, "_cls_all", capPerLabel * presampleFactor, seed)
+          .select(col(idCol).as("_cls_pid"))
+        docs.join(broadcast(preIds), col(idCol) === col("_cls_pid"), "left_semi")
+          .withColumn(labelCol, label)
+      }
+    Pipeline.sampleExactK(pool, idCol, labelCol, capPerLabel, seed)
+      .drop("sample_rank")
+  }
+
+  /** Fit a logistic-regression quality classifier on `label` (a 0/1
+    * expression over the doc row) with hashed-gram count features.
+    * Standardization off — the exported coefficients must apply to RAW
+    * counts (standardized fits fold the scaling into unexported
+    * per-feature factors).
+    *
+    * `trainCapPerLabel > 0` bounds the training set via
+    * [[trainingSample]] (labels are the scarce thing — the fit's cost
+    * should be a function of the labeling budget, not the corpus size),
+    * and the label expression then evaluates on the pre-sample only;
+    * 0 labels and fits on every row.
+    */
+  def fit(docs: DataFrame, idCol: String, textCol: String, label: Column,
           dim: Int = 512, ns: Seq[Int] = Seq(1, 2),
-          maxIter: Int = 50, regParam: Double = 1e-4): TextClassifierModel = {
+          maxIter: Int = 50, regParam: Double = 1e-4,
+          trainCapPerLabel: Int = 0,
+          sampleSeed: Long = 0L,
+          presampleFactor: Int = 8): TextClassifierModel = {
     require(dim > 0 && dim <= (1 << 20), "Classifier.fit: dim must be in (0, 2^20]")
     require(ns.nonEmpty && ns.forall(_ > 0), "Classifier.fit: ns must be positive")
+    require(trainCapPerLabel >= 0, "Classifier.fit: trainCapPerLabel must be >= 0")
+    graft.core.Salting.requireFreeColumns(docs, Seq("_cls_label"),
+      "Classifier.fit")
+    val fitDocs =
+      if (trainCapPerLabel > 0)
+        trainingSample(docs, idCol, label, "_cls_label", trainCapPerLabel,
+          sampleSeed, presampleFactor)
+      else docs.withColumn("_cls_label", label)
     // bucket-instance array → sparse count vector; row-local, so the one
     // UDF in this file runs on the labeled SAMPLE only, never the corpus
     val toVec = udf((bs: Seq[Long]) => {
@@ -58,8 +130,8 @@ object Classifier {
       bs.foreach(b => m.update(b.toInt, m.getOrElse(b.toInt, 0.0) + 1.0))
       Vectors.sparse(dim, m.toSeq.sortBy(_._1))
     })
-    val train = docs.select(
-      col(labelCol).cast("double").as("label"),
+    val train = fitDocs.select(
+      col("_cls_label").cast("double").as("label"),
       toVec(Pipeline.gramBuckets(col(textCol), ns, dim)).as("features"))
     val lr = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
@@ -73,23 +145,40 @@ object Classifier {
   /** Integer-tick logit of `text` under `model` — the pinned scoring
     * contract (see object doc). Exposed as a Column so callers can
     * compose it into any projection.
+    *
+    * Execution: the fused native scan `graft_gram_tick_sum` when the
+    * extensions are registered (one tokenize + one digest + one
+    * primitive table probe per gram instance); the HOF fold twin
+    * otherwise — spec-pinned bit-equal (NativeEquivalenceSpec).
     */
-  def logitTicks(text: Column, model: TextClassifierModel): Column = {
-    val ticksArr = array(model.coefTicks.map(lit): _*)
-    aggregate(
-      Pipeline.gramBuckets(text, model.ns, model.dim),
-      lit(model.interceptTicks),
-      (acc, b) => acc + element_at(ticksArr, (b + 1).cast("int")))
-  }
+  def logitTicks(text: Column, model: TextClassifierModel): Column =
+    if (graft.functions.Native.registered)
+      call_function("graft_gram_tick_sum", text,
+        lit(model.ns.mkString(",")), lit(model.dim),
+        lit(model.interceptTicks), lit(model.coefTicks))
+    else {
+      val ticksArr = array(model.coefTicks.map(lit): _*)
+      aggregate(
+        Pipeline.gramBuckets(text, model.ns, model.dim),
+        lit(model.interceptTicks),
+        (acc, b) => acc + element_at(ticksArr, (b + 1).cast("int")))
+    }
 
   /** Score a corpus: `(idCol, logit_ticks, score, pred)` — `score` the
     * tick logit as a double (ticks/1e6), `pred` the logit>0 decision.
-    * One codegen'd projection, zero shuffle.
+    * One projection over the text scan, zero shuffle.
+    *
+    * The logit is aliased in its OWN projection and the derived columns
+    * reference it — the round-15 CSE aliasing rule: inlining the scan
+    * expression into all three outputs makes the interpreted projection
+    * evaluate it three times per row (measured 3× the whole query), and
+    * CollapseProject never merges a non-cheap alias referenced more
+    * than once, so the two-projection form is stable.
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            model: TextClassifierModel): DataFrame = {
-    val lt = logitTicks(col(textCol), model)
-    docs.select(col(idCol), lt.as("logit_ticks"),
-      (lt / 1e6).as("score"), (lt > 0).as("pred"))
-  }
+            model: TextClassifierModel): DataFrame =
+    docs.select(col(idCol), logitTicks(col(textCol), model).as("logit_ticks"))
+      .select(col(idCol), col("logit_ticks"),
+        (col("logit_ticks") / 1e6).as("score"),
+        (col("logit_ticks") > 0).as("pred"))
 }

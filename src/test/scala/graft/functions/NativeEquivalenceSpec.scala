@@ -84,6 +84,25 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
   }
 
+  test("graft_gram_tick_sum == HOF fold over graft_gram_buckets with a random " +
+    "tick table on generated strings") {
+    val rnd = new scala.util.Random(99L)
+    val ticks = Array.fill(512)(rnd.nextLong() % 2000000L)
+    val intercept = 314159L
+    val ticksArr = array(ticks.map(lit): _*)
+    val hof = aggregate(
+      call_function("graft_gram_buckets", col("text"), lit("1,2"), lit(512)),
+      lit(intercept),
+      (acc, b) => acc + element_at(ticksArr, (b + 1).cast("int")))
+    val df = (sampled(genText, 300, 43L) :+ null).toDF("text")
+    val bad = df.select(col("text"),
+        call_function("graft_gram_tick_sum", col("text"), lit("1,2"), lit(512),
+          lit(intercept), lit(ticks)).as("nat"),
+        hof.as("dec"))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
+  }
+
   test("graft_gram_counts == declarative per-doc instance counts on generated strings") {
     val df = (sampled(genText, 300, 31L) :+ null).toDF("text")
     val toks = Dedup.tokens(col("text"))
