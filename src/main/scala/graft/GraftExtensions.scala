@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeCount, CharSetCount, GramBuckets, GramCounts, GramTickSum, HtmlExtract, LangScores, Md5Prefix32, PiiScan, WordSetCount, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashes, WsTokenCount}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeCount, CharSetCount, GramBuckets, GramCounts, GramTickSum, HashEmbed, HtmlExtract, LangScores, Md5Prefix32, PiiScan, WordSetCount, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashes, WsTokenCount}
 import graft.llm.TextAnalysis
 import org.apache.spark.sql.types.DataTypes
 import org.apache.spark.unsafe.types.UTF8String
@@ -154,6 +154,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_gram_buckets: ns and buckets must be literals")
         val ns = children(1).eval().toString.split(",").toIndexedSeq.map(_.trim.toInt)
         GramBuckets(children(0), ns,
+          children(2).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash_embed"),
+      new ExpressionInfo(classOf[HashEmbed].getName, null, "graft_hash_embed",
+        "graft_hash_embed(text, ns, dim) - hashing-trick document embedding: " +
+          "dense int[dim] of signed gram-instance votes, one pass", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"graft_hash_embed requires exactly 3 arguments, got ${children.size}")
+        require(children(1).foldable && children(2).foldable,
+          "graft_hash_embed: ns and dim must be literals")
+        val ns = children(1).eval().toString.split(",").toIndexedSeq.map(_.trim.toInt)
+        HashEmbed(children(0), ns,
           children(2).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((

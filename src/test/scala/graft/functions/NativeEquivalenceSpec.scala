@@ -103,6 +103,31 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
   }
 
+  test("graft_hash_embed == HOF scatter twin on generated strings (signed " +
+    "bucket votes, quotient-parity sign)") {
+    import graft.llm.Embeddings
+    val dim = 16
+    // the fallback arm of hashEmbed IS the declarative twin; force it by
+    // building the HOF form explicitly (Native stays registered)
+    val toks = Dedup.tokens(col("text"))
+    val hs = Seq(1, 2).map { n =>
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => declMd5(concat_ws(" ", slice(toks, i, lit(n)))))
+    }.reduce(concat(_, _))
+    val hof = transform(sequence(lit(0), lit(dim - 1)), i =>
+      aggregate(hs, lit(0), (acc, h) =>
+        acc + when((h % dim).cast("int") === i,
+          when(floor(h / dim).cast("long") % 2 === 0, 1).otherwise(-1))
+          .otherwise(0)))
+    val df = (sampled(genText, 300, 57L) :+ null).toDF("text")
+    val bad = df.select(col("text"),
+        Embeddings.hashEmbed(col("text"), Seq(1, 2), dim).as("nat"),
+        hof.as("dec"))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
+  }
+
   test("graft_gram_counts == declarative per-doc instance counts on generated strings") {
     val df = (sampled(genText, 300, 31L) :+ null).toDF("text")
     val toks = Dedup.tokens(col("text"))
