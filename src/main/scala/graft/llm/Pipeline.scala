@@ -283,7 +283,8 @@ object Pipeline {
                   lang: String = "en", minQuality: Double = 0.6,
                   maxTopWordFrac: Double = 0.2,
                   deconN: Int = 8, deconMinHits: Int = 1,
-                  fromHtml: Boolean = false): DataFrame = {
+                  fromHtml: Boolean = false,
+                  classifier: Option[Classifier.TextClassifierModel] = None): DataFrame = {
     // fromHtml: textCol holds crawled HTML — [[Html.extractText]]
     // (pinned defaults) runs as stage 0 IN PLACE, so the whole funnel
     // operates on extracted main text. Still a pure projection fused
@@ -299,7 +300,13 @@ object Pipeline {
       .withColumn("n_tokens", q("n_tokens"))
       .withColumn("_twf", TextAnalysis.repetitionStruct(t).getField("top_word_frac"))
       .filter(col("lang_id") === lang && col("quality") >= minQuality
-        && col("_twf") <= maxTopWordFrac)
+        && col("_twf") <= maxTopWordFrac
+        // the standard third filter (heuristics -> LM/learned): a
+        // trained linear model's pinned integer-tick logit, one more
+        // row-local predicate fused into the same scan — zero added
+        // shuffles, exactly score(...).pred's contract
+        && classifier.map(m => Classifier.logitTicks(col(textCol), m) > 0L)
+          .getOrElse(lit(true)))
     val winners = filtered.groupBy(t).agg(min(col(idCol)).as(idCol)).select(idCol)
     val deduped = filtered.join(winners, Seq(idCol), "left_semi")
     decontaminated(deduped, bench, idCol, textCol, deconN, deconMinHits)

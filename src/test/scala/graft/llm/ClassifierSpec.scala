@@ -113,6 +113,30 @@ class ClassifierSpec extends SparkSpec {
     assert(evals.value <= 240L, s"label evaluated ${evals.value} times")
   }
 
+  test("cleanCorpus with a classifier == cleanCorpus then filtered by the " +
+    "model's pred (the learned stage composes as one more predicate)") {
+    val good = (1L to 30L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog number$i here."))
+    val spam = (31L to 60L).map(i =>
+      (i, s"the best cheap deals buy now click here offer$i win prizes."))
+    val docs = (good ++ spam).toDF("doc_id", "text")
+    val bench = Seq((9999L, "benchmark question text")).toDF("doc_id", "text")
+    val model = Classifier.fit(docs, "doc_id", "text",
+      (col("doc_id") <= 30L).cast("double"), dim = 64)
+    val base = Pipeline.cleanCorpus(docs, bench, "doc_id", "text",
+      minQuality = 0.0, maxTopWordFrac = 1.0)
+    val withCls = Pipeline.cleanCorpus(docs, bench, "doc_id", "text",
+      minQuality = 0.0, maxTopWordFrac = 1.0, classifier = Some(model))
+    val scored = Classifier.score(docs, "doc_id", "text", model)
+      .filter(col("pred")).select("doc_id")
+    val expect = base.join(scored, Seq("doc_id"), "left_semi")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val got = withCls.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === expect)
+    // and the model actually bites: the spam half is gone
+    assert(got.forall(_ <= 30L) && got.nonEmpty)
+  }
+
   test("fit with trainCapPerLabel: bounded training still separates a " +
     "lexically separable label over the FULL corpus") {
     val good = (1L to 200L).map(i => (i, s"alpha beta gamma delta token$i", 1.0))
