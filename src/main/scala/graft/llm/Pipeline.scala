@@ -398,8 +398,24 @@ object Pipeline {
       .select(col("_b"),
         floor((log((col("_ct") + alpha) / (col("_tt") + aB))
           - log((col("_cr") + alpha) / (col("_tr") + aB))) * 1e6 + 0.5).as("_lri"))
-    dg.join(broadcast(ratio), "_b")
-      .groupBy(idCol).agg((sum("_lri") / 1e6).as("weight"))
+    if (graft.functions.Native.registered) {
+      // The log-ratio table is metadata-sized by construction (<= buckets
+      // rows — the sanctioned collect class), so the scoring probe runs
+      // as ONE text-scan projection: per doc, the integer tick sum over
+      // gram instances (graft_gram_tick_sum, intercept 0), never the
+      // exploded gram stream. Buckets absent from BOTH corpora are
+      // unreachable by any document (same hash), so the 0-fill is inert.
+      // Bit-equal to the explode+join plan below: same ticks, same exact
+      // integer sum, same single /1e6 (spec-pinned, PipelineSpec).
+      val ticks = new Array[Long](buckets)
+      ratio.collect().foreach(r => ticks(r.getLong(0).toInt) = r.getLong(1))
+      docs.select(col(idCol),
+        (call_function("graft_gram_tick_sum", col(textCol),
+          lit(ns.mkString(",")), lit(buckets), lit(0L), lit(ticks)) / 1e6)
+          .as("weight"))
+    } else
+      dg.join(broadcast(ratio), "_b")
+        .groupBy(idCol).agg((sum("_lri") / 1e6).as("weight"))
   }
 
   /** DSIR's selection step: Gumbel-top-k resampling — sampling k

@@ -231,6 +231,37 @@ class PipelineSpec extends SparkSpec {
     assert(w === w2, "weights are a pure function of the data, not its partitioning")
   }
 
+  test("importanceWeights: the native tick-sum probe == the explode+join " +
+    "plan, bit-for-bit (same ticks, exact integer sum, one /1e6)") {
+    val target = dsirDocs.filter($"source" === "wiki")
+    val ns = Seq(1, 2); val buckets = 512; val alpha = 1.0
+    // explicit explode+join replica of the fallback scoring probe, fed by
+    // the identical flagged-union count table
+    val dg = dsirDocs.select($"doc_id",
+      explode(Pipeline.gramBuckets($"text", ns, buckets)).as("_b"))
+    val counts = dg.select($"_b", lit(0).as("_t"))
+      .unionAll(target.select(
+        explode(Pipeline.gramBuckets($"text", ns, buckets)).as("_b"),
+        lit(1).as("_t")))
+      .groupBy("_b").agg(
+        count(when($"_t" === 0, 1)).as("_cr"),
+        count(when($"_t" === 1, 1)).as("_ct"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val aB = alpha * buckets
+    val ratio = counts
+      .withColumn("_tr", sum("_cr").over(wAll))
+      .withColumn("_tt", sum("_ct").over(wAll))
+      .select($"_b",
+        floor((log(($"_ct" + alpha) / ($"_tt" + aB))
+          - log(($"_cr" + alpha) / ($"_tr" + aB))) * 1e6 + 0.5).as("_lri"))
+    val replica = dg.join(broadcast(ratio), "_b")
+      .groupBy("doc_id").agg((sum("_lri") / 1e6).as("weight"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = Pipeline.importanceWeights(dsirDocs, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native === replica)
+  }
+
   test("resampleTopK: k >= n keeps everything; selection is deterministic") {
     val target = dsirDocs.filter($"source" === "wiki")
     val w = Pipeline.importanceWeights(dsirDocs, target, "doc_id", "text")
