@@ -408,8 +408,10 @@ object SparkEntry {
       // ann_indexed_append builds that layout in two batches (append under
       // the frozen centroids is result-identical by construction).
       val keys = Seq("ann_ivf", "ann_indexed", "ann_indexed_append")
-      keys.map(_ ->
-        s"""WITH $EmbCte, csc AS (
+      // shared frozen-centroid CTE chain up to the approximate score set —
+      // reused verbatim by the ann_recall composition below
+      val ivfChain =
+        s"""csc AS (
            |  $arms
            |), asg AS (
            |  SELECT vec_id, i AS c FROM (
@@ -434,11 +436,34 @@ object SparkEntry {
            |  SELECT c.q_id, c.vec_id,
            |         round(${dotSql("nrm.v", "q.qv")} / (nrm.n * q.qn), 6) AS cos
            |  FROM cand c JOIN nrm ON nrm.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id
-           |)
+           |)""".stripMargin
+      val ivfTopkSql =
+        s"""WITH $EmbCte, $ivfChain
            |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rank FROM (
            |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
            |  FROM scored
-           |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin).toMap ++
+           |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin
+      val recallSql =
+        s"""WITH $EmbCte, $ivfChain, ivfk AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+           |    FROM scored
+           |  ) WHERE rn <= $AnnK
+           |), bscored AS (
+           |  SELECT q.q_id, nrm.vec_id,
+           |         round(${dotSql("nrm.v", "q.qv")} / (nrm.n * q.qn), 6) AS cos
+           |  FROM nrm CROSS JOIN q WHERE nrm.vec_id <> q.q_id
+           |), bk AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+           |    FROM bscored
+           |  ) WHERE rn <= $AnnK
+           |)
+           |SELECT b.q_id AS q_id, CAST(count(i.vec_id) AS BIGINT) AS hits,
+           |       round(count(i.vec_id) / CAST($AnnK AS DOUBLE), 6) AS recall
+           |FROM bk b LEFT JOIN ivfk i ON i.q_id = b.q_id AND i.vec_id = b.vec_id
+           |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin
+      (keys.map(_ -> ivfTopkSql) :+ ("ann_recall" -> recallSql)).toMap ++
       // the streamed cell-partitioned landing grades against the SAME
       // frozen-centroid assignment, projected to (vec_id, cell)
       Map("stream_ivf_assign" ->
@@ -3480,6 +3505,21 @@ object SparkEntry {
       ivfCentsExport = Some(cents)
       Similarity.ivfTopK(emb, "vec_id", "embedding", AnnQueryIds, AnnK, cents, nProbe = IvfProbe)
         .orderBy("q_id", "rank")
+    },
+
+    // -- ANN recall@k: the measurement that calibrates the approximate
+    // path (probes/cells tuned against THIS number, never asserted).
+    // Exact top-k vs the frozen-centroid IVF top-k over the same query
+    // sample; the oracle composes the two existing SQL constructions.
+    "ann_recall" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = IvfK, iters = IvfIters)
+      ivfCentsExport = Some(cents)
+      val exact = Similarity.topK(emb, "vec_id", "embedding", AnnQueryIds, AnnK)
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", AnnQueryIds,
+        AnnK, cents, nProbe = IvfProbe)
+      Similarity.recallAtK(exact, approx, "q_id", "vec_id", AnnK)
+        .orderBy("q_id")
     },
 
     // -- LLM: IVF-partitioned index layout (row 33, storage path) --

@@ -1018,4 +1018,31 @@ object Similarity {
         Seq("q_id"), Seq(col("adc_ticks").asc, col(idCol)), k)
       .select(col("q_id"), col(idCol), col("adc_ticks"), col("rank"))
   }
+
+  /** Recall@k of an approximate neighbor result against the exact one —
+    * the measurement every ANN deployment runs before trusting an index
+    * (probes/bits/cells are tuned against THIS number, not asserted).
+    * Both inputs are `(qCol, idCol)` neighbor tables (extra columns
+    * ignored); output `(qCol, hits, recall)` — `hits` the intersection
+    * size per query, `recall` = hits / k rounded to 6.
+    *
+    * Scale shape: recall evaluation always runs over a BOUNDED query
+    * sample (the inputs are top-k tables — k·|queries| rows, metadata-
+    * sized by construction), so the join here is never data-sized; the
+    * corpus cost lives in producing the two inputs, and the exact side
+    * is the one brute-force scan you pay to calibrate the cheap path.
+    * A query with no approximate results still reports (its exact rows
+    * drive the left side).
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, qCol: String,
+                idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "Similarity.recallAtK: k must be >= 1")
+    val hit = approx.select(col(qCol), col(idCol))
+      .withColumn("_hit", lit(1))
+    exact.select(col(qCol), col(idCol))
+      .join(hit, Seq(qCol, idCol), "left")
+      .groupBy(qCol).agg(count(col("_hit")).as("hits"))
+      .select(col(qCol), col("hits"),
+        round(col("hits") / k.toDouble, 6).as("recall"))
+  }
 }

@@ -403,4 +403,20 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"the neighbor set must broadcast — the label table never shuffles for the join:\n$plan")
   }
+
+  test("recallAtK: full overlap = 1, disjoint = 0, partial counts hits; " +
+    "a query missing from the approximate side still reports 0") {
+    import spark.implicits._
+    val exact = Seq((0L, 10L), (0L, 11L), (0L, 12L),
+                    (1L, 20L), (1L, 21L), (1L, 22L),
+                    (2L, 30L), (2L, 31L), (2L, 32L)).toDF("q_id", "vec_id")
+    val approx = Seq((0L, 10L), (0L, 11L), (0L, 12L),   // full overlap
+                     (1L, 20L), (1L, 99L), (1L, 98L))   // one hit; q 2 absent
+      .toDF("q_id", "vec_id")
+    val out = Similarity.recallAtK(exact, approx, "q_id", "vec_id", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L) === ((3L, 1.0)))
+    assert(out(1L) === ((1L, 0.333333)))
+    assert(out(2L) === ((0L, 0.0)))
+  }
 }
