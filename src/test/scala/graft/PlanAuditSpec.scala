@@ -276,32 +276,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(badWindows.isEmpty, s"unpartitioned window in ivfTopKAuto:\n$p")
   }
 
-  test("importanceWeights: ratio table broadcasts; corpus gram scan never shuffles before the probe") {
+  test("importanceWeights: the scoring probe is ONE projection over the text " +
+    "scan — no join, no exchange, the native tick-sum (round 15)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.llm.Pipeline.importanceWeights(
       docs, docs.filter(col("source") === "src0"), "doc_id", "text"))
-    val bcasts = collectAll(p) {
+    // the ratio table collects at plan-build (metadata-sized, <= buckets
+    // rows) and scores as a graft_gram_tick_sum literal-table projection:
+    // the OUTPUT plan must be join-free and exchange-free
+    assert(collectAll(p) {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
-    }
-    assert(bcasts.nonEmpty, s"expected the bucket ratio table to broadcast:\n$p")
-    val streamed = bcasts.head.buildSide match {
-      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bcasts.head.left
-      case _ => bcasts.head.right
-    }
-    assert(collectAll(streamed) { case s: ShuffleExchangeExec => s }.isEmpty,
-      s"scoring side must not shuffle below the ratio probe:\n$p")
-    // the only unpartitioned-looking window is the totals pass over the
-    // counts table, whose input is bounded by the buckets aggregation —
-    // assert every window subtree contains that aggregation
-    val windows = collectAll(p) { case w: WindowExec => w }
-    windows.foreach { w =>
-      val bounded = collectAll(w) {
-        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
-          if a.groupingExpressions.nonEmpty => a
-      }
-      assert(bounded.nonEmpty,
-        s"window input must be the buckets-bounded counts table:\n$w")
-    }
+    }.isEmpty, s"native probe must not join:\n$p")
+    assert(collectAll(p) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"native probe must not shuffle:\n$p")
+    assert(p.toString.contains("graft_gram_tick_sum"),
+      s"expected the fused tick-sum scan:\n$p")
   }
 
   test("resampleTopK plans a TakeOrdered top-k, never a global sort") {
