@@ -1927,6 +1927,32 @@ object SparkEntry {
 
   private val TokCte = tokCteFor("documents")
 
+  /** Shared hashing-trick embed CTE chain (tok -> dense int counts per
+    * (doc, bucket)) — the closed form of `graft_hash_embed`, reused by
+    * the text_embed and ann_text oracles.
+    */
+  private def txtEmbChain: String = {
+    def hashList(n: Int): String =
+      s"list_transform(generate_series(1, greatest(len(ts) - ${n - 1}, 1)), " +
+        s"i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(ts, i, i + ${n - 1}), ' ')), 1, 8)) AS BIGINT))"
+    val hs = TxtEmbNs.map(hashList).mkString("list_concat(", ", ", ")")
+    s"""$TokCte, gh AS (
+       |  SELECT doc_id, unnest($hs) AS h FROM tok
+       |), bs AS (
+       |  SELECT doc_id, CAST(h % $TxtEmbDim AS INT) AS b,
+       |         CASE WHEN (h // $TxtEmbDim) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM gh
+       |), cnt AS (
+       |  SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS c FROM bs GROUP BY doc_id, b
+       |), grid AS (
+       |  SELECT d.doc_id, g.b FROM (SELECT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${TxtEmbDim - 1})) AS b) g
+       |), dense AS (
+       |  SELECT grid.doc_id, grid.b, coalesce(cnt.c, 0) AS c
+       |  FROM grid LEFT JOIN cnt ON grid.doc_id = cnt.doc_id AND grid.b = cnt.b
+       |)""".stripMargin
+  }
+
   /** DuckDB CTEs: embeddings as DOUBLE lists + their L2 norms (left-fold
     * sums, matching [[Similarity.dot]]/[[Similarity.norm]] exactly).
     */
@@ -3520,6 +3546,21 @@ object SparkEntry {
         AnnK, cents, nProbe = IvfProbe)
       Similarity.recallAtK(exact, approx, "q_id", "vec_id", AnnK)
         .orderBy("q_id")
+    },
+
+    // -- text -> vector -> search, end to end (rows 75 + 32): brute
+    // cosine top-k over the hashed embeddings derived FROM TEXT — no
+    // pretrained embedding table anywhere; the oracle re-derives every
+    // integer of the vectors from md5 closed form and replays the
+    // identical cosine (dot and norms over exact integer-valued doubles).
+    "ann_text" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val emb = graft.llm.Embeddings
+        .hashedEmbeddings(docs, "doc_id", "text", TxtEmbDim, TxtEmbNs)
+        .select(col("doc_id").as("vec_id"),
+          transform(col("emb"), c => c.cast("double")).as("embedding"))
+      Similarity.topK(emb, "vec_id", "embedding", AnnQueryIds, AnnK)
+        .orderBy("q_id", "rank")
     },
 
     // -- LLM: IVF-partitioned index layout (row 33, storage path) --
@@ -5424,25 +5465,7 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_embed" -> {
-      def hashList(n: Int): String =
-        s"list_transform(generate_series(1, greatest(len(ts) - ${n - 1}, 1)), " +
-          s"i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(ts, i, i + ${n - 1}), ' ')), 1, 8)) AS BIGINT))"
-      val hs = TxtEmbNs.map(hashList).mkString("list_concat(", ", ", ")")
-      s"""WITH $TokCte, gh AS (
-         |  SELECT doc_id, unnest($hs) AS h FROM tok
-         |), bs AS (
-         |  SELECT doc_id, CAST(h % $TxtEmbDim AS INT) AS b,
-         |         CASE WHEN (h // $TxtEmbDim) % 2 = 0 THEN 1 ELSE -1 END AS s
-         |  FROM gh
-         |), cnt AS (
-         |  SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS c FROM bs GROUP BY doc_id, b
-         |), grid AS (
-         |  SELECT d.doc_id, g.b FROM (SELECT doc_id FROM documents) d
-         |  CROSS JOIN (SELECT unnest(generate_series(0, ${TxtEmbDim - 1})) AS b) g
-         |), dense AS (
-         |  SELECT grid.doc_id, grid.b, coalesce(cnt.c, 0) AS c
-         |  FROM grid LEFT JOIN cnt ON grid.doc_id = cnt.doc_id AND grid.b = cnt.b
-         |), nrm AS (
+      s"""WITH $txtEmbChain, nrm AS (
          |  SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS n
          |  FROM dense GROUP BY doc_id
          |), fin AS (
@@ -5458,6 +5481,27 @@ object SparkEntry {
          |SELECT doc_id, array_to_string(embl, ',') AS emb, round(n, 6) AS norm,
          |       array_to_string(tickl, ',') AS vec_ticks
          |FROM fin ORDER BY doc_id""".stripMargin
+    },
+
+    "ann_text" -> {
+      s"""WITH $txtEmbChain, ev AS (
+         |  SELECT doc_id, list(CAST(c AS DOUBLE) ORDER BY b) AS v
+         |  FROM dense GROUP BY doc_id
+         |), evn AS (
+         |  SELECT doc_id, v, sqrt(${dotSql("v", "v")}) AS n FROM ev
+         |), q AS (
+         |  SELECT doc_id AS q_id, v AS qv, n AS qn FROM evn
+         |  WHERE doc_id IN (${AnnQueryIds.mkString(", ")})
+         |), scored AS (
+         |  SELECT q.q_id, evn.doc_id AS vec_id,
+         |         round(${dotSql("evn.v", "q.qv")} / (evn.n * q.qn), 6) AS cos
+         |  FROM evn CROSS JOIN q
+         |  WHERE evn.doc_id <> q.q_id
+         |)
+         |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored
+         |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin
     },
 
     "pipe_sample" -> {
