@@ -555,6 +555,43 @@ object SparkEntry {
            |WHERE cos >= $SemThreshold ORDER BY id_a, id_b""".stripMargin)
   }
 
+  /** [[semOracle]]'s twin over TEXT-derived vectors: the txtEmbChain
+    * re-derives every embedding integer, then the identical
+    * frozen-quantizer assign + cluster-blocked pair chain runs over them.
+    */
+  private def semTextOracle: Map[String, String] = semTextCentsExport match {
+    case None => Map.empty
+    case Some(cents) =>
+      val arms = cents.zipWithIndex.map { case (c, i) =>
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        val clit = c.mkString("[", ", ", "]::DOUBLE[]")
+        s"SELECT vec_id, $i AS i, ${dotSql("v", s"($clit)")} / $cn AS s FROM nrm"
+      }.mkString("\n  UNION ALL\n  ")
+      Map("dedup_text" ->
+        s"""WITH $txtEmbChain, ev AS (
+           |  SELECT doc_id, list(CAST(c AS DOUBLE) ORDER BY b) AS v
+           |  FROM dense GROUP BY doc_id
+           |), nrm AS (
+           |  SELECT doc_id AS vec_id, v, sqrt(${dotSql("v", "v")}) AS n FROM ev
+           |), csc AS (
+           |  $arms
+           |), asg AS (
+           |  SELECT vec_id, i AS c FROM (
+           |    SELECT vec_id, i,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i ASC) AS rn
+           |    FROM csc
+           |  ) WHERE rn = 1
+           |), prs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(la.c AS BIGINT) AS cluster,
+           |         round(${dotSql("a.v", "b.v")} / (a.n * b.n), 6) AS cos
+           |  FROM asg la JOIN asg lb ON la.c = lb.c AND la.vec_id < lb.vec_id
+           |       JOIN nrm a ON a.vec_id = la.vec_id
+           |       JOIN nrm b ON b.vec_id = lb.vec_id
+           |)
+           |SELECT id_a, id_b, cluster, cos FROM prs
+           |WHERE cos >= $TxtSemThreshold ORDER BY id_a, id_b""".stripMargin)
+  }
+
   // Tube parameters shared by the tube_* queries/oracles.
   private val TubeQ = Tube.TubeFactor // 2.0
   private val TubeFactors = Seq("TIME", "TIME2", "SGV")
@@ -1913,6 +1950,12 @@ object SparkEntry {
     * centroids, bit-for-bit.
     */
   @volatile private var semCentsExport: Option[Array[Array[Double]]] = None
+  // SemDeDup over TEXT-derived hashed embeddings (dedup_text): its own
+  // frozen-quantizer export; threshold sits where the synthetic corpus's
+  // shared-vocabulary cosine mass thins (0.84 -> 31 pairs at sf0.01, 856
+  // at sf0.1 — meaningful and non-quadratic, measured).
+  @volatile private var semTextCentsExport: Option[Array[Array[Double]]] = None
+  private val TxtSemThreshold = 0.84
 
   /** DuckDB CTE: lowercased whitespace tokens of each document —
     * parameterized on the source relation so a composed oracle (e.g.
@@ -4051,6 +4094,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // -- SemDeDup from RAW TEXT (rows 51 + 75): the whole semantic-dedup
+    // path with no pretrained embedding table — hashed-gram vectors feed
+    // the same cluster-blocked near-dup operator; oracle re-derives the
+    // vectors closed-form and replays the frozen-quantizer chain.
+    "dedup_text" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val emb = graft.llm.Embeddings
+        .hashedEmbeddings(docs, "doc_id", "text", TxtEmbDim, TxtEmbNs)
+        .select(col("doc_id").as("vec_id"),
+          transform(col("emb"), c => c.cast("double")).as("embedding"))
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", SemK, SemIters)
+      semTextCentsExport = Some(cents)
+      Similarity.semanticDup(emb, "vec_id", "embedding", TxtSemThreshold, cents)
+        .orderBy("id_a", "id_b")
+    },
+
     // -- LLM: IVF search over the auto-scaled quantizer (row 33, scale path) --
     "ann_ivf_auto" -> { (s, dir) =>
       Similarity.ivfTopKAuto(s.read.parquet(s"$dir/embeddings.parquet"),
@@ -5978,7 +6037,7 @@ object SparkEntry {
          |SELECT record, t, 'value' AS variable, 'value' AS name, '-' AS unit,
          |       CAST(value AS DOUBLE) AS y
          |FROM opset ORDER BY record, t""".stripMargin,
-  ) ++ treeOracles ++ ivfOracle ++ pqOracle ++ semOracle ++ tubeFitOracle ++ pcaCircleOracle ++ clsOracle
+  ) ++ treeOracles ++ ivfOracle ++ pqOracle ++ semOracle ++ semTextOracle ++ tubeFitOracle ++ pcaCircleOracle ++ clsOracle
 
   // ----- long oracle bodies ----------------------------------------------
 
