@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeCount, CharSetCount, GramBuckets, GramCounts, GramTickSum, HashEmbed, HtmlExtract, LangScores, Md5Prefix32, PiiScan, WordSetCount, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashes, WsTokenCount}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeCount, CharSetCount, ChunkHashes, GramBuckets, GramCounts, GramTickSum, HashEmbed, HtmlExtract, LangScores, Md5Prefix32, PiiScan, WordSetCount, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashSeq, WordNgramHashes, WsTokenCount}
 import graft.llm.TextAnalysis
 import org.apache.spark.sql.types.DataTypes
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,6 +13,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  // Foldable numeric children arrive as java.lang Numbers from Column
+  // call sites, but a raw-SQL decimal literal (e.g.
+  // `graft_html_extract(h, 3, 0.33)`) evaluates to Catalyst `Decimal`,
+  // which is NOT a java.lang.Number — normalize both forms so SQL
+  // callers get the function instead of a ClassCastException.
+  private def litDouble(e: Expression): Double = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: java.lang.Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric literal, got $other")
+  }
+  private def litLong(e: Expression): Long = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toLong
+    case n: java.lang.Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric literal, got $other")
+  }
+  private def litInt(e: Expression): Int = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toLong.toInt
+    case n: java.lang.Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_html_extract"),
@@ -25,8 +50,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children(1).foldable && children(2).foldable,
           "graft_html_extract: minWords and maxLinkDensity must be literals")
         HtmlExtract(children(0),
-          children(1).eval().asInstanceOf[Number].intValue(),
-          children(2).eval().asInstanceOf[Number].doubleValue())
+          litInt(children(1)),
+          litDouble(children(2)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_lang_scores"),
@@ -120,7 +145,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_shingle_hashes requires exactly 2 arguments, got ${children.size}")
         require(children(1).foldable, "graft_shingle_hashes: n must be a literal")
         ShingleHashes(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())
+          litInt(children(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_md5_32"),
@@ -140,7 +165,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_word_ngram_hashes requires exactly 2 arguments, got ${children.size}")
         require(children(1).foldable, "graft_word_ngram_hashes: n must be a literal")
         WordNgramHashes(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())
+          litInt(children(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_ngram_hash_seq"),
+      new ExpressionInfo(classOf[WordNgramHashSeq].getName, null, "graft_word_ngram_hash_seq",
+        "graft_word_ngram_hash_seq(text, n) - position-ordered word-n-gram " +
+          "md5-prefix hashes (element p = gram starting at token p), one pass", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_word_ngram_hash_seq requires exactly 2 arguments, got ${children.size}")
+        require(children(1).foldable, "graft_word_ngram_hash_seq: n must be a literal")
+        WordNgramHashSeq(children(0), litInt(children(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_gram_buckets"),
@@ -154,7 +190,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_gram_buckets: ns and buckets must be literals")
         val ns = children(1).eval().toString.split(",").toIndexedSeq.map(_.trim.toInt)
         GramBuckets(children(0), ns,
-          children(2).eval().asInstanceOf[Number].intValue())
+          litInt(children(2)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_hash_embed"),
@@ -168,7 +204,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_hash_embed: ns and dim must be literals")
         val ns = children(1).eval().toString.split(",").toIndexedSeq.map(_.trim.toInt)
         HashEmbed(children(0), ns,
-          children(2).eval().asInstanceOf[Number].intValue())
+          litInt(children(2)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_gram_tick_sum"),
@@ -184,8 +220,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val ticks = children(4).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
         GramTickSum(children(0), ns,
-          children(2).eval().asInstanceOf[Number].intValue(),
-          children(3).eval().asInstanceOf[Number].longValue(), ticks)
+          litInt(children(2)),
+          litLong(children(3)), ticks)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_pq_code"),
@@ -205,7 +241,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
             .toDoubleArray())
         PqSubCode(children(0), book,
-          children(2).eval().asInstanceOf[Number].intValue())
+          litInt(children(2)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_term_hits"),
@@ -261,8 +297,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_sg_eps requires exactly 4 arguments, got ${children.size}")
         require(children.drop(1).forall(_.foldable),
           "graft_sg_eps: w, deg and deriv must be literals")
-        def intArg(i: Int) = children(i).eval().asInstanceOf[Number].intValue()
+        def intArg(i: Int) = litInt(children(i))
         SgResidualStddev(children(0), intArg(1), intArg(2), intArg(3))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_chunks"),
+      new ExpressionInfo(classOf[ChunkHashes].getName, null, "graft_chunks",
+        "graft_chunks(text, chunkTokens, stride) - sliding-window chunk " +
+          "descriptors struct(start_tok, n_tokens, chunk_hash), one tokenize pass", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"graft_chunks requires exactly 3 arguments, got ${children.size}")
+        require(children(1).foldable && children(2).foldable,
+          "graft_chunks: chunkTokens and stride must be literals")
+        ChunkHashes(children(0), litInt(children(1)), litInt(children(2)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_subword_encode"),

@@ -812,10 +812,15 @@ object SparkEntry {
     case Some(m) =>
       val values = m.coefTicks.zipWithIndex
         .map { case (v, b) => s"($b, $v)" }.mkString(", ")
+      // The gram arms are a pure function of the EXPORTED model's ns —
+      // if fit ever runs with non-default gram orders, the oracle follows.
+      val arms = m.ns.map(n => gramListSql(n, m.dim))
+      val gramsSql =
+        if (arms.size == 1) arms.head else s"list_concat(${arms.mkString(", ")})"
       Map("text_classifier" ->
         s"""WITH cticks(b, v) AS (SELECT * FROM (VALUES $values) t(b, v)),
            |$TokCte, cgb AS (
-           |  SELECT doc_id, unnest(list_concat(${gramListSql(1, m.dim)}, ${gramListSql(2, m.dim)})) AS b
+           |  SELECT doc_id, unnest($gramsSql) AS b
            |  FROM tok
            |), csum AS (
            |  SELECT g.doc_id, CAST(${m.interceptTicks} + coalesce(sum(t.v), 0) AS BIGINT) AS lt
@@ -1294,6 +1299,15 @@ object SparkEntry {
   private val PassN = 3
   private val PassMinDocs = 2
 
+  // Exact-substring span parameters shared by the dedup_spans[_clean]
+  // queries/oracles (row 76). Same 3-gram granularity as text_passages;
+  // minDocs 4 measured at sf0.01 to flag ~25% of corpus tokens across
+  // ~94% of documents with ~1.8k maximal spans — partial coverage, so
+  // both the merge rule and the doc-end clip are exercised, and docs
+  // with zero spans pass through the clean rewrite untouched.
+  private val SpanN = 3
+  private val SpanMinDocs = 4
+
   // Chunking parameters shared by the pipe_chunks query/oracle (row 50):
   // 32-token chunks advancing by 24 (8-token overlap) — test documents
   // run ~10-120 tokens, yielding one to a handful of chunks each, with
@@ -1319,6 +1333,54 @@ object SparkEntry {
   // ScalaTest recall spec measures against brute force.
   private val AnnAutoProbe1 = 2
   private val AnnAutoProbe2 = 3
+
+  // Target for the recall-calibrated probe search (ann_probe_auto): the
+  // ladder choice itself is ScalaTest-pinned (AutoConfigSpec — the
+  // measurement loop is driver-side library behavior like
+  // minhashAutoConfig); the SEARCH at the chosen config is oracle-graded
+  // via the exported (coarse, fine) literals below.
+  private val ProbeAutoTarget = 0.9
+  @volatile private var probeAutoExport: Option[(Int, Int)] = None
+
+  /** The two-level probed IVF search over the dynamically re-derived
+    * quantizer, parameterized by the probe widths — shared by
+    * ann_ivf_auto (fixed widths) and ann_probe_auto (widths chosen by
+    * [[graft.llm.Similarity.ivfAutoProbe]] at Verify time and exported
+    * as literals, the frozen-artifact oracle pattern of ivfCentsExport).
+    */
+  private def ivfAutoTopkSql(p1: Int, p2: Int): String =
+    s"""WITH $EmbCte, $semAutoCtes, aqv AS (
+       |  SELECT vec_id AS q_id, v AS qv, n AS qn FROM semk
+       |  WHERE vec_id IN (${AnnQueryIds.mkString(", ")})
+       |), aq1 AS (
+       |  SELECT q_id, qv, qn, c1 FROM (
+       |    SELECT aqv.q_id, aqv.qv, aqv.qn, semcs.s1 AS c1,
+       |           row_number() OVER (PARTITION BY aqv.q_id
+       |             ORDER BY ${dotSql("aqv.qv", "semcs.cv")} / semcs.cn DESC, semcs.s1 ASC) AS rn
+       |    FROM aqv CROSS JOIN semcs
+       |  ) WHERE rn <= $p1
+       |), aq2 AS (
+       |  SELECT q_id, qv, qn, cluster FROM (
+       |    SELECT aq1.q_id, aq1.qv, aq1.qn, semfs.s2 AS cluster,
+       |           row_number() OVER (PARTITION BY aq1.q_id
+       |             ORDER BY ${dotSql("aq1.qv", "semfs.fv")} / semfs.fn DESC, semfs.s2 ASC) AS rn
+       |    FROM aq1 JOIN semfs ON aq1.c1 = semfs.c1
+       |  ) WHERE rn <= $p2
+       |), ascored AS (
+       |  SELECT aq2.q_id, a.vec_id,
+       |         round(${dotSql("a.v", "aq2.qv")} / (a.n * aq2.qn), 6) AS cos
+       |  FROM aq2 JOIN sema2 a ON a.cluster = aq2.cluster
+       |  WHERE a.vec_id <> aq2.q_id
+       |)
+       |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM ascored
+       |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin
+
+  private def probeAutoOracle: Map[String, String] = probeAutoExport match {
+    case None => Map.empty
+    case Some((p1, p2)) => Map("ann_probe_auto" -> ivfAutoTopkSql(p1, p2))
+  }
 
   /** DuckDB CTE chain re-deriving the two-level seeded quantizer of
     * [[Similarity.semanticDupAuto]]/[[Similarity.ivfTopKAuto]] DYNAMICALLY
@@ -1496,7 +1558,12 @@ object SparkEntry {
     * `<l><r>` matches make every engine's left-to-right replace agree;
     * the coalesce sentinel keeps an exhausted round harmless.
     */
-  private def bpeTrainOracleSql(rounds: Int): String = {
+  /** The BPE train rounds as a reusable CTE fragment (`w0` + per-round
+    * `x/p/b/w` chain, each `b$k` holding round k's winning pattern) —
+    * shared by the train oracle and the ranked-encode oracle, which
+    * re-derives the merges independently instead of trusting an export.
+    */
+  private def bpeTrainRoundCtes(rounds: Int): String = {
     // every CTE is MATERIALIZED: each round references its predecessor
     // several times (pair counts + the splice's scalar subqueries), and
     // DuckDB re-inlines non-materialized CTEs — 12 chained rounds would
@@ -1519,10 +1586,7 @@ object SparkEntry {
          |    coalesce(replace((SELECT pat FROM b$k), '><', ''), '')) AS s
          |  FROM w${k - 1})""".stripMargin
     }.mkString(",\n")
-    val union = (1 to rounds)
-      .map(k => s"SELECT rank, pat, cnt FROM b$k").mkString("\nUNION ALL\n")
-    s"""WITH $TokCte,
-       |wf AS (
+    s"""wf AS (
        |  SELECT w, count(*) AS freq FROM (SELECT unnest(ts) AS w FROM tok) GROUP BY w
        |),
        |w0 AS MATERIALIZED (
@@ -1530,13 +1594,60 @@ object SparkEntry {
        |         '<' || array_to_string(string_split(w, ''), '><') || '>' AS s
        |  FROM wf
        |),
-       |$roundCtes,
+       |$roundCtes""".stripMargin
+  }
+
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val union = (1 to rounds)
+      .map(k => s"SELECT rank, pat, cnt FROM b$k").mkString("\nUNION ALL\n")
+    s"""WITH $TokCte,
+       |${bpeTrainRoundCtes(rounds)},
        |m AS ($union)
        |SELECT CAST(rank AS BIGINT) AS rank,
        |       regexp_extract(pat, '^<(.*?)><', 1) AS merge_left,
        |       regexp_extract(pat, '><(.*)>$$', 1) AS merge_right,
        |       CAST(cnt AS BIGINT) AS pair_count
        |FROM m ORDER BY rank""".stripMargin
+  }
+
+  /** Merge-order BPE encode replayed in DuckDB with INDEPENDENTLY
+    * re-derived merges: the train chain's `b$k` winners apply to every
+    * distinct corpus word in rank order (the identical literal splice),
+    * then the final symbol strings reassemble per document in word
+    * order. The coalesce/chr(1) sentinel keeps exhausted rounds no-ops,
+    * exactly as in the train chain.
+    */
+  private def bpeRankedOracleSql(rounds: Int): String = {
+    val encCtes = (1 to rounds).map { k =>
+      s"""e$k AS MATERIALIZED (
+         |  SELECT w, replace(s,
+         |    coalesce((SELECT pat FROM b$k), chr(1)),
+         |    coalesce(replace((SELECT pat FROM b$k), '><', ''), '')) AS s
+         |  FROM e${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $TokCte,
+       |${bpeTrainRoundCtes(rounds)},
+       |e0 AS MATERIALIZED (
+       |  SELECT w, '<' || array_to_string(string_split(w, ''), '><') || '>' AS s
+       |  FROM (SELECT DISTINCT unnest(ts) AS w FROM tok)
+       |),
+       |$encCtes,
+       |renc AS (
+       |  SELECT w, string_split(substr(s, 2, length(s) - 2), '><') AS sy FROM e$rounds
+       |),
+       |rdocw AS (
+       |  SELECT doc_id, t.i AS i, ts[t.i] AS w
+       |  FROM tok, unnest(range(1, len(ts) + 1)) AS t(i)
+       |)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(sum(len(e.sy)), 0) AS BIGINT) AS n_ranked,
+       |       CAST(concat('0x', substr(md5(coalesce(
+       |         string_agg(array_to_string(e.sy, '|'), '|' ORDER BY dw.i), '')), 1, 8)) AS BIGINT) AS ranked_fp
+       |FROM documents d
+       |LEFT JOIN rdocw dw ON d.doc_id = dw.doc_id
+       |LEFT JOIN renc e ON dw.w = e.w
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** The pinned binned-quantile estimator in DuckDB — equal-width bins
@@ -1969,6 +2080,47 @@ object SparkEntry {
        |)""".stripMargin
 
   private val TokCte = tokCteFor("documents")
+
+  /** Shared span-location CTE chain (appended after `tok`) — census of
+    * hashed word-SpanN-grams, hot set at document frequency ≥
+    * SpanMinDocs, positional anchors, and the lag/cumsum merge into
+    * maximal runs with the doc-end clip: `spsp(doc_id, span_start,
+    * span_len)` in 0-based token positions. Reused by the dedup_spans
+    * and dedup_spans_clean oracles.
+    */
+  private def spanCtes: String = {
+    def gramHash(posExpr: String) =
+      s"CAST(concat('0x', substr(md5(array_to_string(list_slice(ts, $posExpr, $posExpr + ${SpanN - 1}), ' ')), 1, 8)) AS BIGINT)"
+    s"""spg AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(ts) - ${SpanN - 1}, 1)),
+       |    i -> ${gramHash("i")})) AS gh
+       |  FROM tok
+       |), spe AS (
+       |  SELECT doc_id, unnest(gh) AS g FROM spg
+       |), sphot AS (
+       |  SELECT g FROM spe GROUP BY g HAVING count(*) >= $SpanMinDocs
+       |), sppos AS (
+       |  SELECT doc_id, len(ts) AS nt, ts,
+       |         unnest(generate_series(1, greatest(len(ts) - ${SpanN - 1}, 1))) AS p
+       |  FROM tok WHERE len(ts) > 0
+       |), spanc AS (
+       |  SELECT doc_id, nt, p FROM sppos
+       |  WHERE ${gramHash("p")} IN (SELECT g FROM sphot)
+       |), splg AS (
+       |  SELECT doc_id, nt, p,
+       |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= $SpanN
+       |              THEN 0 ELSE 1 END AS nw
+       |  FROM spanc
+       |), spgr AS (
+       |  SELECT doc_id, nt, p, sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS run
+       |  FROM splg
+       |), spsp AS (
+       |  SELECT doc_id, CAST(min(p) - 1 AS BIGINT) AS span_start,
+       |         CAST(least(max(p) + ${SpanN - 1}, max(nt)) - min(p) + 1 AS BIGINT) AS span_len
+       |  FROM spgr GROUP BY doc_id, run
+       |)""".stripMargin
+  }
 
   /** Shared hashing-trick embed CTE chain (tok -> dense int counts per
     * (doc, bucket)) — the closed form of `graft_hash_embed`, reused by
@@ -3794,6 +3946,24 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Merge-order BPE encode (row 37, the train->encode closure): train
+    // the merge table on the corpus, then apply the merges by RANK (the
+    // Sennrich apply loop — not greedy longest-match); the oracle
+    // re-derives the merges AND the rank-order application in SQL.
+    "text_tokens_ranked" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val merges = TextAnalysis.trainBpeMerges(
+          docs.select("text"), "text", BpeTrainRounds)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val syms = TextAnalysis.bpeApplyRanked(col("text"), merges)
+      docs.select(col("doc_id"),
+          size(syms).cast("long").as("n_ranked"),
+          Dedup.md5Hash32(array_join(syms, "|")).as("ranked_fp"))
+        .orderBy("doc_id")
+    },
+
     // -- LLM: text analysis (rows 35-38) --
     "text_tokens" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -4026,6 +4196,27 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- LLM: exact-substring duplicated spans (row 76) --
+    // Locate the corpus-duplicated passages themselves (Lee et al.
+    // 2022): maximal runs of tokens covered by grams in >= SpanMinDocs
+    // documents, as 0-based (start, len) per doc.
+    "dedup_spans" -> { (s, dir) =>
+      Dedup.dupSpans(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", SpanN, SpanMinDocs)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // The excision rewrite over the same span table: duplicated tokens
+    // drop, survivors re-join; the cleaned stream is graded by
+    // fingerprint (a wrong excision anywhere moves the md5-32).
+    "dedup_spans_clean" -> { (s, dir) =>
+      Dedup.removeDupSpans(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", SpanN, SpanMinDocs)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          Dedup.md5Hash32(col("clean_text")).as("clean_fp"))
+        .orderBy("doc_id")
+    },
+
     // -- LLM: PII detection/redaction (row 49) --
     // Counts per PII kind plus the rolling-hash fingerprint of the
     // redacted text — the fingerprint pins the full redacted string (a
@@ -4115,6 +4306,21 @@ object SparkEntry {
       Similarity.ivfTopKAuto(s.read.parquet(s"$dir/embeddings.parquet"),
           "vec_id", "embedding", AnnQueryIds, AnnK, SemAutoOcc,
           AnnAutoProbe1, AnnAutoProbe2)
+        .orderBy("q_id", "rank")
+    },
+
+    // -- ANN probe widths CHOSEN by the graded recall measurement (row
+    // 33, the calibration loop closed): ivfAutoProbe ladders (coarse,
+    // fine) until mean recall@k over the deterministic calibration
+    // sample reaches ProbeAutoTarget; the search at the chosen config is
+    // what ships — and what the oracle replays from the exported widths.
+    "ann_probe_auto" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cfg = Similarity.ivfAutoProbe(emb, "vec_id", "embedding", AnnK,
+        ProbeAutoTarget, nCalib = 12, targetOccupancy = SemAutoOcc)
+      probeAutoExport = Some((cfg.nProbeCoarse, cfg.nProbeFine))
+      Similarity.ivfTopKAuto(emb, "vec_id", "embedding", AnnQueryIds, AnnK,
+          SemAutoOcc, cfg.nProbeCoarse, cfg.nProbeFine)
         .orderBy("q_id", "rank")
     },
 
@@ -5495,6 +5701,7 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_bpe_train" -> bpeTrainOracleSql(BpeTrainRounds),
+    "text_tokens_ranked" -> bpeRankedOracleSql(BpeTrainRounds),
 
     "text_tokens_bpe" -> bpeOracleSql(BpeVocab, steps = 10),
 
@@ -5853,6 +6060,37 @@ object SparkEntry {
          |FROM pe LEFT JOIN hotg h ON pe.g = h.g
          |GROUP BY pe.doc_id ORDER BY doc_id""".stripMargin,
 
+    // Replay of the span construction: hashed-gram census -> hot set ->
+    // positional anchors -> lag/cumsum run merge (two window CTEs; no
+    // nested windows) -> per-run min/max with the doc-end clip.
+    "dedup_spans" ->
+      s"""WITH $TokCte, $spanCtes
+         |SELECT doc_id, span_start, span_len FROM spsp
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // The rewrite graded independently: explode span coverage to token
+    // positions, anti-join the token stream, re-join survivors in order,
+    // fingerprint. Docs with no spans (or nothing left) still get a row.
+    "dedup_spans_clean" ->
+      s"""WITH $TokCte, $spanCtes, spcov AS (
+         |  SELECT doc_id, unnest(generate_series(span_start + 1, span_start + span_len)) AS i
+         |  FROM spsp
+         |), sptk AS (
+         |  SELECT doc_id, unnest(ts) AS tk, generate_subscripts(ts, 1) AS i FROM tok
+         |), spkeep AS (
+         |  SELECT t.doc_id, t.tk, t.i
+         |  FROM sptk t LEFT JOIN spcov c ON t.doc_id = c.doc_id AND t.i = c.i
+         |  WHERE c.i IS NULL
+         |), spclean AS (
+         |  SELECT doc_id, count(*) AS n_kept, string_agg(tk, ' ' ORDER BY i) AS ct
+         |  FROM spkeep GROUP BY doc_id
+         |)
+         |SELECT k.doc_id AS doc_id, CAST(len(k.ts) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+         |       CAST(concat('0x', substr(md5(coalesce(c.ct, '')), 1, 8)) AS BIGINT) AS clean_fp
+         |FROM tok k LEFT JOIN spclean c ON k.doc_id = c.doc_id
+         |ORDER BY k.doc_id""".stripMargin,
+
     // Ground truth of the htmlInjected template: head/style/script and
     // every high-link-density or below-minWords block drop; what remains
     // is the heading, the (whitespace-normalized) document text, and the
@@ -5936,34 +6174,7 @@ object SparkEntry {
     // Search twin over the same dynamically re-derived quantizer: probe
     // nearest coarse seeds, then nearest fine seeds among those cells,
     // exact re-rank within the probed inverted lists.
-    "ann_ivf_auto" ->
-      s"""WITH $EmbCte, $semAutoCtes, aqv AS (
-         |  SELECT vec_id AS q_id, v AS qv, n AS qn FROM semk
-         |  WHERE vec_id IN (${AnnQueryIds.mkString(", ")})
-         |), aq1 AS (
-         |  SELECT q_id, qv, qn, c1 FROM (
-         |    SELECT aqv.q_id, aqv.qv, aqv.qn, semcs.s1 AS c1,
-         |           row_number() OVER (PARTITION BY aqv.q_id
-         |             ORDER BY ${dotSql("aqv.qv", "semcs.cv")} / semcs.cn DESC, semcs.s1 ASC) AS rn
-         |    FROM aqv CROSS JOIN semcs
-         |  ) WHERE rn <= $AnnAutoProbe1
-         |), aq2 AS (
-         |  SELECT q_id, qv, qn, cluster FROM (
-         |    SELECT aq1.q_id, aq1.qv, aq1.qn, semfs.s2 AS cluster,
-         |           row_number() OVER (PARTITION BY aq1.q_id
-         |             ORDER BY ${dotSql("aq1.qv", "semfs.fv")} / semfs.fn DESC, semfs.s2 ASC) AS rn
-         |    FROM aq1 JOIN semfs ON aq1.c1 = semfs.c1
-         |  ) WHERE rn <= $AnnAutoProbe2
-         |), ascored AS (
-         |  SELECT aq2.q_id, a.vec_id,
-         |         round(${dotSql("a.v", "aq2.qv")} / (a.n * aq2.qn), 6) AS cos
-         |  FROM aq2 JOIN sema2 a ON a.cluster = aq2.cluster
-         |  WHERE a.vec_id <> aq2.q_id
-         |)
-         |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
-         |  FROM ascored
-         |) WHERE rn <= $AnnK ORDER BY q_id, rank""".stripMargin,
+    "ann_ivf_auto" -> ivfAutoTopkSql(AnnAutoProbe1, AnnAutoProbe2),
 
     "pipe_shuffle" ->
       s"""WITH sk AS (
@@ -6037,7 +6248,7 @@ object SparkEntry {
          |SELECT record, t, 'value' AS variable, 'value' AS name, '-' AS unit,
          |       CAST(value AS DOUBLE) AS y
          |FROM opset ORDER BY record, t""".stripMargin,
-  ) ++ treeOracles ++ ivfOracle ++ pqOracle ++ semOracle ++ semTextOracle ++ tubeFitOracle ++ pcaCircleOracle ++ clsOracle
+  ) ++ treeOracles ++ ivfOracle ++ pqOracle ++ semOracle ++ semTextOracle ++ tubeFitOracle ++ pcaCircleOracle ++ clsOracle ++ probeAutoOracle
 
   // ----- long oracle bodies ----------------------------------------------
 

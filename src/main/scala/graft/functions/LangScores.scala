@@ -24,6 +24,10 @@ case class LangScores(child: Expression, langs: Seq[Seq[String]])
 
   require(langs.nonEmpty && langs.forall(ws => ws.nonEmpty && ws.forall(_.nonEmpty)),
     "graft_lang_scores: every language needs non-empty words")
+  // Same precondition as [[WordSetCount]]: \b-equivalence with the
+  // per-language regex twins holds only for word-codepoint-only words.
+  require(langs.forall(_.forall(w => w.codePoints().allMatch(cp => PiiScan.isWordCp(cp)))),
+    "graft_lang_scores: words must consist of word codepoints only")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {

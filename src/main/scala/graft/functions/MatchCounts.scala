@@ -67,6 +67,13 @@ case class WordSetCount(child: Expression, words: Seq[String])
 
   require(words.nonEmpty && words.forall(_.nonEmpty),
     "graft_word_count: words must be non-empty")
+  // The \b-emulation (and equivalence with the regex twin) only holds
+  // for words made of word codepoints: a word ending/starting on a
+  // non-word char inverts real \b semantics, and the declarative twin
+  // would additionally interpret regex metacharacters. Reject such
+  // word lists at construction instead of diverging silently.
+  require(words.forall(w => w.codePoints().allMatch(cp => PiiScan.isWordCp(cp))),
+    "graft_word_count: words must consist of word codepoints only")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {

@@ -176,6 +176,58 @@ case class WordNgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** POSITION-ORDERED (non-distinct) word-n-gram MD5-prefix hashes —
+  * element `p` is the hash of the gram STARTING at token position `p`,
+  * so `posexplode` recovers `(position, gram_hash)` for span-locating
+  * operators (`Dedup.dupSpans`): where [[WordNgramHashes]] answers
+  * "which grams does this doc contain", this answers "what gram starts
+  * at each position". Tokenization, hashing, and the fewer-than-n /
+  * empty / null conventions are exactly [[WordNgramHashes]]'s (fewer
+  * than n tokens → the whole token list as the single position-0 gram;
+  * no tokens → the empty-string gram once); `array_distinct` of this
+  * output equals [[WordNgramHashes]] by construction.
+  */
+case class WordNgramHashSeq(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"graft_word_ngram_hash_seq: n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_word_ngram_hash_seq expects string, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_word_ngram_hash_seq"
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val toks: Array[String] =
+      if (v == null) Array.empty[String]
+      else v.asInstanceOf[UTF8String].toLowerCase.trim()
+        .toString.split("\\s+", -1).filter(_.nonEmpty)
+    val positions = math.max(toks.length - (n - 1), 1)
+    val out = new Array[Any](positions)
+    var p = 0
+    while (p < positions) {
+      val gram = toks.slice(p, math.min(p + n, toks.length)).mkString(" ")
+      md.reset()
+      val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(p) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashSeq =
+    copy(child = newChild)
+}
+
 /** NON-distinct word-n-gram bucket ids for every n in `ns`, concatenated
   * in `ns` order — the one-pass native form of the DSIR feature stream
   * (`Pipeline.gramBuckets`): every gram INSTANCE votes in a count model,

@@ -70,23 +70,32 @@ object Classifier {
     */
   def trainingSample(docs: DataFrame, idCol: String, label: Column,
                      labelCol: String, capPerLabel: Int, seed: Long = 0L,
-                     presampleFactor: Int = 8): DataFrame = {
+                     presampleFactor: Int = 8,
+                     knownCount: Option[Long] = None): DataFrame = {
     require(capPerLabel >= 1, "Classifier.trainingSample: capPerLabel must be >= 1")
     require(presampleFactor >= 0,
       "Classifier.trainingSample: presampleFactor must be >= 0")
-    // One counting job (metadata-speed on a bare scan) probes whether the
-    // pre-sample budget even binds — a covering pre-sample keeps every id,
-    // so skipping it is result-identical and saves two window stages and
-    // a join at small corpus sizes (the Stats Bcast.Auto precedent: a
-    // cheap probe picks the plan shape, never the answer).
+    // The budget is computed ONCE as a Long (an Int product can overflow
+    // negative for large cap·factor while a Long check passes) and must
+    // fit Int because sampleExactK takes an Int k.
     val budget = capPerLabel.toLong * presampleFactor
+    require(presampleFactor == 0 || budget <= Int.MaxValue,
+      s"Classifier.trainingSample: capPerLabel * presampleFactor = $budget overflows Int")
+    // One counting job probes whether the pre-sample budget even binds —
+    // a covering pre-sample keeps every id, so skipping it is
+    // result-identical and saves two window stages and a join at small
+    // corpus sizes (the Stats Bcast.Auto precedent: a cheap probe picks
+    // the plan shape, never the answer). The probe is metadata-speed on
+    // a bare parquet scan but a FULL extra pass on a filtered/derived
+    // corpus (the realistic `cleanCorpus`-survivors input) — callers who
+    // know (or can bound) the row count pass `knownCount` to skip it.
     val pool =
-      if (presampleFactor == 0 || docs.count() <= budget)
+      if (presampleFactor == 0 || knownCount.getOrElse(docs.count()) <= budget)
         docs.withColumn(labelCol, label)
       else {
         val preIds = Pipeline.sampleExactK(
             docs.select(col(idCol)).withColumn("_cls_all", lit(1)),
-            idCol, "_cls_all", capPerLabel * presampleFactor, seed)
+            idCol, "_cls_all", budget.toInt, seed)
           .select(col(idCol).as("_cls_pid"))
         docs.join(broadcast(preIds), col(idCol) === col("_cls_pid"), "left_semi")
           .withColumn(labelCol, label)
@@ -112,7 +121,8 @@ object Classifier {
           maxIter: Int = 50, regParam: Double = 1e-4,
           trainCapPerLabel: Int = 0,
           sampleSeed: Long = 0L,
-          presampleFactor: Int = 8): TextClassifierModel = {
+          presampleFactor: Int = 8,
+          knownCount: Option[Long] = None): TextClassifierModel = {
     require(dim > 0 && dim <= (1 << 20), "Classifier.fit: dim must be in (0, 2^20]")
     require(ns.nonEmpty && ns.forall(_ > 0), "Classifier.fit: ns must be positive")
     require(trainCapPerLabel >= 0, "Classifier.fit: trainCapPerLabel must be >= 0")
@@ -121,7 +131,7 @@ object Classifier {
     val fitDocs =
       if (trainCapPerLabel > 0)
         trainingSample(docs, idCol, label, "_cls_label", trainCapPerLabel,
-          sampleSeed, presampleFactor)
+          sampleSeed, presampleFactor, knownCount)
       else docs.withColumn("_cls_label", label)
     // bucket-instance array → sparse count vector; row-local, so the one
     // UDF in this file runs on the labeled SAMPLE only, never the corpus

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -641,5 +642,114 @@ object Dedup {
         count(col("_hot")).as("dup_grams"))
       .select(col(idCol), col("n_grams"), col("dup_grams"),
         round(col("dup_grams").cast("double") / col("n_grams"), 6).as("dup_frac"))
+  }
+
+  /** POSITION-ORDERED word-n-gram hashes (element p = the gram starting
+    * at token p) — [[wordNgramHashes]] without the distinct, so
+    * `posexplode` recovers `(position, gram)` for span location.
+    */
+  def wordNgramHashSeq(text: Column, n: Int): Column =
+    if (graft.functions.Native.registered)
+      call_function("graft_word_ngram_hash_seq", text, lit(n))
+    else {
+      val toks = tokens(text)
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => md5Hash32(concat_ws(" ", slice(toks, i, lit(n)))))
+    }
+
+  /** Exact-substring duplicated SPANS — where [[dupPassageStats]] only
+    * scores documents by their duplicated-gram fraction, this LOCATES
+    * the duplicated passages themselves (the operator the RefinedWeb /
+    * Dolma pipelines actually run, after Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): one row per maximal
+    * run of tokens covered by corpus-duplicated word n-grams,
+    * `(idCol, span_start, span_len)` in 0-based token positions.
+    *
+    * Construction: a gram is *duplicated* when it appears in ≥ `minDocs`
+    * documents (the [[dupPassageStats]] census, document frequency over
+    * per-doc-distinct grams). Every position whose gram is duplicated is
+    * an ANCHOR covering tokens `[p, p+n-1]` (clipped to the document
+    * end); a *span* is a maximal contiguous run of covered tokens —
+    * consecutive anchors merge iff the gap leaves no uncovered token
+    * (`p_next − p_prev ≤ n`). A duplicated passage of L ≥ n tokens
+    * yields anchors at every start position inside it and comes out as
+    * ONE span of length L; at gram granularity no suffix array is
+    * needed — the census IS the match index.
+    *
+    * Scale shape: two corpus scans, both pure pipelines — (1) the
+    * distinct-gram census (map-side-combined groupBy, duplicated-gram
+    * table small by construction → broadcast, `broadcastHot = false`
+    * for the shuffled escape hatch); (2) the positional re-scan
+    * ([[wordNgramHashSeq]], one native pass) semi-joined against the
+    * census. The ONLY shuffle keyed on documents moves ANCHORS (hot
+    * positions), not tokens — the window that merges runs sorts each
+    * document's anchor list, typically a tiny fraction of the corpus.
+    * Zero-token documents produce no positions and no spans.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 5, minDocs: Int = 2,
+               broadcastHot: Boolean = true): DataFrame = {
+    require(n > 0, "dupSpans: n must be positive")
+    require(minDocs >= 2, "dupSpans: minDocs must be at least 2")
+    val hot = docs.select(explode(wordNgramHashes(col(textCol), n)).as("_g"))
+      .groupBy("_g").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs).select("_g")
+    val probe = if (broadcastHot) broadcast(hot) else hot
+    val anchors = docs
+      .select(col(idCol),
+        graft.llm.TextAnalysis.tokenCount(col(textCol)).as("_nt"),
+        posexplode(wordNgramHashSeq(col(textCol), n)).as(Seq("_p", "_g")))
+      .filter(col("_nt") > 0)
+      .join(probe, Seq("_g"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_p"))
+    val newRun = when(lag(col("_p"), 1).over(w).isNull
+        || col("_p") - lag(col("_p"), 1).over(w) > n, 1L).otherwise(0L)
+    anchors
+      .withColumn("_new", newRun)
+      .withColumn("_run", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_run"))
+      .agg(min(col("_p")).cast("long").as("span_start"),
+        (least(max(col("_p")) + n, max(col("_nt"))) - min(col("_p")))
+          .cast("long").as("span_len"))
+      .select(col(idCol), col("span_start"), col("span_len"))
+  }
+
+  /** Excise every duplicated span located by [[dupSpans]] from every
+    * document: tokens covered by any span are dropped, the survivors
+    * re-join with single spaces. Returns one row per input document —
+    * `(idCol, n_tokens, n_kept, clean_text)` where `n_tokens` counts the
+    * original tokens and `clean_text` is the (lowercased,
+    * whitespace-normalized) cleaned token stream, empty when everything
+    * was duplicated. NOTE this is the symmetric variant (both/all
+    * occurrences go — boilerplate removal); pipelines wanting
+    * keep-one-occurrence compose [[dupSpans]] with their own winner rule.
+    *
+    * Scale shape: [[dupSpans]]' two scans + one aggregation of the
+    * (anchor-sized) span table to per-doc span lists, one join of that
+    * list back to the corpus on `idCol` (docs without spans pass
+    * through the left join untouched), and a pure per-row HOF filter
+    * that walks each token list once against its doc's spans — spans
+    * per doc is small (maximal runs are disjoint), so the rewrite is
+    * linear in corpus tokens, no shuffle beyond the one id-keyed join.
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 5, minDocs: Int = 2,
+                     broadcastHot: Boolean = true): DataFrame = {
+    val spans = dupSpans(docs, idCol, textCol, n, minDocs, broadcastHot)
+      .groupBy(idCol).agg(collect_list(struct(col("span_start"), col("span_len")))
+        .as("_spans"))
+    val sp = coalesce(col("_spans"),
+      array().cast("array<struct<span_start:bigint,span_len:bigint>>"))
+    val kept = filter(col("_ts"), (t, i) =>
+      !exists(sp, s => i.cast("long") >= s("span_start")
+        && i.cast("long") < s("span_start") + s("span_len")))
+    docs.join(spans, Seq(idCol), "left")
+      .select(col(idCol), tokens(col(textCol)).as("_ts"), col("_spans"))
+      .select(col(idCol),
+        size(col("_ts")).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        concat_ws(" ", kept).as("clean_text"))
   }
 }

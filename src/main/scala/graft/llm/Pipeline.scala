@@ -206,20 +206,36 @@ object Pipeline {
     require(chunkTokens > 0, "chunk: chunkTokens must be positive")
     require(stride > 0 && stride <= chunkTokens,
       "chunk: stride must be in [1, chunkTokens]")
-    val nChunks = floor((greatest(col("_n") - chunkTokens, lit(0)) + (stride - 1))
-      / lit(stride.toDouble)) + 1
-    val piece = slice(col("_ts"), col("chunk_id") * stride + 1, lit(chunkTokens))
-    val ctext = concat_ws(" ", piece)
-    val out = Seq(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
-      (col("chunk_id") * stride).cast("long").as("start_tok"),
-      size(piece).cast("long").as("n_tokens"),
-      Dedup.md5Hash32(ctext).as("chunk_hash")) ++
-      (if (withText) Seq(ctext.as("chunk_text")) else Nil)
-    docs.select(col(idCol), Dedup.tokens(col(textCol)).as("_ts"))
-      .withColumn("_n", size(col("_ts")))
-      .filter(col("_n") > 0)
-      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks.cast("long") - 1)))
-      .select(out: _*)
+    // Hot path: one native tokenize-once pass emits every chunk's
+    // (start, len, md5-32) directly ([[graft.functions.ChunkHashes]]);
+    // posexplode's position IS chunk_id. The declarative twin below
+    // re-slices and re-hashes the token array per chunk — spec-pinned
+    // equal, kept for plain sessions and for `withText` (the text
+    // column is only materialized when asked for).
+    if (!withText && graft.functions.Native.registered)
+      docs.select(col(idCol),
+          posexplode(call_function("graft_chunks", col(textCol),
+            lit(chunkTokens), lit(stride))).as(Seq("chunk_id", "_c")))
+        .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+          col("_c.start_tok").as("start_tok"),
+          col("_c.n_tokens").as("n_tokens"),
+          col("_c.chunk_hash").as("chunk_hash"))
+    else {
+      val nChunks = floor((greatest(col("_n") - chunkTokens, lit(0)) + (stride - 1))
+        / lit(stride.toDouble)) + 1
+      val piece = slice(col("_ts"), col("chunk_id") * stride + 1, lit(chunkTokens))
+      val ctext = concat_ws(" ", piece)
+      val out = Seq(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride).cast("long").as("start_tok"),
+        size(piece).cast("long").as("n_tokens"),
+        Dedup.md5Hash32(ctext).as("chunk_hash")) ++
+        (if (withText) Seq(ctext.as("chunk_text")) else Nil)
+      docs.select(col(idCol), Dedup.tokens(col(textCol)).as("_ts"))
+        .withColumn("_n", size(col("_ts")))
+        .filter(col("_n") > 0)
+        .withColumn("chunk_id", explode(sequence(lit(0L), nChunks.cast("long") - 1)))
+        .select(out: _*)
+    }
   }
 
   /** [[chunk]] in SUBWORD space — the budget a retrieval/training

@@ -760,6 +760,17 @@ object Similarity {
     // query-side probe scans; release via `scope`
     val base = scope.cache(withNormHash(emb, idCol, vecCol))
     val (asg, cs, fs) = twoLevelAssign(base, idCol, k1, k2)
+    ivfAutoSearch(base, asg, cs, fs, idCol, queryIds, k, nProbeCoarse, nProbeFine)
+  }
+
+  /** The query-side half of [[ivfTopKAuto]] given an already-built
+    * two-level quantizer — factored out so [[ivfAutoProbe]]'s ladder
+    * re-probes ONE cached assignment instead of rebuilding the quantizer
+    * per candidate config.
+    */
+  private def ivfAutoSearch(base: DataFrame, asg: DataFrame, cs: DataFrame,
+                            fs: DataFrame, idCol: String, queryIds: Seq[Long],
+                            k: Int, nProbeCoarse: Int, nProbeFine: Int): DataFrame = {
     val q = base.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("q_id"), col("_v").as("_qv"), col("_n").as("_qn"))
     val w1 = Window.partitionBy("q_id").orderBy(col("_s").desc, col("_s1").asc)
@@ -778,6 +789,76 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
       .select(col("q_id"), col(idCol), col("cos"), col("_rn").cast("long").as("rank"))
+  }
+
+  /** A chosen IVF probe configuration: the smallest ladder rung whose
+    * measured mean recall@k over the calibration sample met the target
+    * (`recall` is that measurement; `met = false` means even the widest
+    * rung fell short and the caller got the widest).
+    */
+  final case class IvfProbeConfig(nProbeCoarse: Int, nProbeFine: Int,
+                                  recall: Double, met: Boolean)
+
+  /** Recall-TARGETED probe auto-config — turn "I need recall ≥ r" into
+    * `(nProbeCoarse, nProbeFine)` by MEASURING, not asserting: the
+    * [[Dedup.minhashAutoConfig]] doctrine applied to the IVF knobs,
+    * with [[recallAtK]] as the objective (the calibration loop every
+    * ANN deployment runs before trusting an index). Candidate configs
+    * are doubling rungs `(c, f) ∈ {1,2,4,…}²` ordered by candidate
+    * volume `c·f` (then balance — widening the FINE probe first at
+    * equal volume, since fine lists are the smaller unit); the first
+    * rung whose mean recall@k over the calibration queries reaches
+    * `targetRecall` wins. Calibration queries are the `nCalib` corpus
+    * ids with smallest `(md5(id), id)` — the seed-selection hash, so
+    * the sample is deterministic and engine-reproducible.
+    *
+    * Scale shape: ONE quantizer build (the corpus passes: seed probes +
+    * assignment, cached via `scope`), ONE brute-force exact top-k over
+    * the calibration queries (the documented price of ground truth —
+    * nCalib query rows broadcast against the corpus), then per rung
+    * only the QUERY-SIDE probe + inverted-list re-rank re-runs against
+    * the cached assignment (candidate volume `nCalib · c·f ·
+    * occupancy`, never corpus-shaped). The ladder is ≤ log²(maxProbe)
+    * rungs and stops at the first pass. At 100 TB, calibrate on a
+    * corpus sample and carry the config to the full index — the config,
+    * like the centroids, is a frozen artifact of the build.
+    */
+  def ivfAutoProbe(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                   targetRecall: Double, nCalib: Int = 16,
+                   targetOccupancy: Int = 64,
+                   maxProbeCoarse: Int = 8, maxProbeFine: Int = 8,
+                   scope: graft.core.CacheScope = graft.core.CacheScope.session): IvfProbeConfig = {
+    require(k > 0, "ivfAutoProbe: k must be positive")
+    require(targetRecall > 0 && targetRecall <= 1,
+      "ivfAutoProbe: targetRecall must be in (0, 1]")
+    require(nCalib > 0 && maxProbeCoarse > 0 && maxProbeFine > 0,
+      "ivfAutoProbe: nCalib and probe caps must be positive")
+    val (k1, k2) = twoLevelKs(emb.count(), targetOccupancy)
+    val base = scope.cache(withNormHash(emb, idCol, vecCol))
+    val (asgRaw, cs, fs) = twoLevelAssign(base, idCol, k1, k2)
+    val asg = scope.cache(asgRaw)
+    val calIds = base.select(col(idCol), col("_h"))
+      .orderBy(col("_h"), col(idCol)).limit(nCalib)
+      .collect().map(_.getLong(0)).toSeq // nCalib ids — metadata-sized
+    val exact = scope.cache(topK(emb, idCol, vecCol, calIds, k))
+    def rungs(cap: Int) = Iterator.iterate(1)(_ * 2).takeWhile(_ <= cap).toSeq
+    val ladder = (for (c <- rungs(maxProbeCoarse); f <- rungs(maxProbeFine))
+      yield (c, f)).sortBy { case (c, f) => (c.toLong * f, c) }
+    def measure(c: Int, f: Int): Double = {
+      val approx = ivfAutoSearch(base, asg, cs, fs, idCol, calIds, k, c, f)
+      val r = recallAtK(exact, approx, "q_id", idCol, k)
+        .agg(avg(col("recall"))).collect().head
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    var best: Option[IvfProbeConfig] = None
+    val it = ladder.iterator
+    while (best.isEmpty && it.hasNext) {
+      val (c, f) = it.next()
+      val r = measure(c, f)
+      if (r >= targetRecall) best = Some(IvfProbeConfig(c, f, r, met = true))
+      else if (!it.hasNext) best = Some(IvfProbeConfig(c, f, r, met = false))
+    }
+    best.get
   }
 
   /** [[cosineDup]] with the granularity chosen by [[lshAutoConfig]] from

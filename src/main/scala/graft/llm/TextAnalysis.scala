@@ -242,6 +242,48 @@ object TextAnalysis {
         col("pair_count"))
   }
 
+  /** Merge-order BPE ENCODE — apply a [[trainBpeMerges]] merge table to
+    * text by merge RANK (the Sennrich apply loop), closing the
+    * train→encode loop with the trained artifact's OWN semantics:
+    * [[subwordIds]]' greedy longest-match is the WordPiece inference
+    * rule and diverges from rank-order application on real corpora
+    * (e.g. merges [(b,c) then (a,b)] on "abc": greedy over the merged
+    * vocab takes "ab"+"c"; rank order takes "a"+"bc" — spec-pinned).
+    * Returns the final symbol strings per document, word-major in
+    * token order (`array<string>`; map to ids against a vocab table
+    * downstream — the symbols ARE the artifact).
+    *
+    * Application rule pinned to the TRAINER's own rewrite: each word
+    * becomes the `<sym>`-wrapped character string and every merge, in
+    * rank order, splices as the literal left-to-right replacement
+    * `replace(s, "<l><r>", "<lr>")` — exactly the operation
+    * [[trainBpeMerges]] runs on its word table each round, so encoding
+    * a training word reproduces the splitting the trainer ended with,
+    * and matches are character-disjoint so every engine's replace
+    * agrees (the train contract's determinism argument, verbatim).
+    *
+    * Execution: merges are LITERALS (the metadata-sized trained
+    * artifact, the frozen-centroid doctrine), so the whole per-word
+    * loop unrolls at PLAN TIME into a chain of codegen'd `replace`
+    * calls inside one `transform` — a pure zero-shuffle projection at
+    * any corpus size; cost is `nMerges` linear scans of each word,
+    * with no per-row interpretation.
+    */
+  def bpeApplyRanked(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.forall { case (l, r) =>
+      !l.contains("<") && !l.contains(">") && !r.contains("<") && !r.contains(">") },
+      "bpeApplyRanked: merge symbols must not contain < or > (the train contract)")
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    flatten(transform(words, w => {
+      val wrapped = concat_ws("",
+        transform(split(w, ""), c => concat(lit("<"), c, lit(">"))))
+      val merged = merges.foldLeft(wrapped) { case (s, (l, r)) =>
+        call_function("replace", s, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+      }
+      split(regexp_replace(merged, "^<|>$", ""), "><")
+    }))
+  }
+
   /** Per-language stopword lists for the language-ID heuristic. Order is
     * the deterministic tie-break order.
     */

@@ -424,6 +424,33 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(run(2000000) === run(0))
   }
 
+  test("graft_chunks: Pipeline.chunk native path == declarative slice/rehash twin " +
+    "on generated strings") {
+    val df = (sampled(genText, 300, 41L) :+ null).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // the declarative twin, verbatim from the withText branch's plan
+    def decl(chunkTokens: Int, stride: Int) = {
+      val nChunks = floor((greatest(col("_n") - chunkTokens, lit(0)) + (stride - 1))
+        / lit(stride.toDouble)) + 1
+      val piece = slice(col("_ts"), col("chunk_id") * stride + 1, lit(chunkTokens))
+      df.select(col("doc_id"), Dedup.tokens(col("text")).as("_ts"))
+        .withColumn("_n", size(col("_ts")))
+        .filter(col("_n") > 0)
+        .withColumn("chunk_id", explode(sequence(lit(0L), nChunks.cast("long") - 1)))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          (col("chunk_id") * stride).cast("long").as("start_tok"),
+          size(piece).cast("long").as("n_tokens"),
+          declMd5(concat_ws(" ", piece)).as("chunk_hash"))
+    }
+    for ((ct, st) <- Seq((4, 3), (4, 4), (1, 1), (7, 2))) {
+      val nat = graft.llm.Pipeline.chunk(df, "doc_id", "text", ct, st)
+      assert(nat.queryExecution.analyzed.toString.contains("graft_chunks"),
+        "native path must engage under the extensions-enabled test session")
+      assert(nat.exceptAll(decl(ct, st)).count() === 0L)
+      assert(decl(ct, st).exceptAll(nat).count() === 0L)
+    }
+  }
+
   test("graft_set_overlap == array_intersect/array_union sizes on generated arrays") {
     val genArr = Gen.listOf(Gen.chooseNum(0L, 30L)) // small domain → real overlaps
     val pairs = sampled(Gen.zip(genArr, genArr), 300, 13L)

@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{avg, col}
 
 /** Pins the LSH granularity auto-configuration (Similarity.lshAutoConfig,
   * Dedup.bandConfigFor): the pure sizing math, its scaling behavior, and
@@ -234,6 +235,65 @@ class AutoConfigSpec extends SparkSpec {
       assert(noConfig.toSeq === auto.toSeq)
       assert(noConfig.nonEmpty)
     }
+  }
+
+  // ----- recall-targeted IVF probe auto-config (round 16): the knob is
+  // derived from the MEASURED recall@k, minhashAutoConfig-style -----
+
+  /** 800 vectors in 8 looser clusters — a second corpus size at which the
+    * quantizer's (k1, k2) differ from `emb`'s, so the floor assertions
+    * below pin behavior across quantizer shapes, not one lucky config.
+    */
+  private lazy val embBig8 = {
+    val rng2 = new scala.util.Random(23)
+    val centers = Seq.fill(8)(Array.fill(Dim)(rng2.nextGaussian()))
+    (0 until 800).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rng2.nextGaussian() * 0.25).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** The documented calibration-query rule, replicated externally:
+    * the nCalib ids with smallest (md5(id), id).
+    */
+  private def calibIds(df: org.apache.spark.sql.DataFrame, n: Int): Seq[Long] =
+    df.select(col("vec_id"), Dedup.md5Hash32(col("vec_id").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(n)
+      .as[(Long, Long)].collect().map(_._1).toSeq
+
+  test("ivfAutoProbe: the chosen config meets the recall floor at two corpus sizes") {
+    for (corpus <- Seq(emb, embBig8)) {
+      val cfg = Similarity.ivfAutoProbe(corpus, "vec_id", "embedding",
+        k = 5, targetRecall = 0.9, nCalib = 12)
+      assert(cfg.met, s"ladder exhausted at $cfg")
+      assert(cfg.recall >= 0.9, s"reported recall below target: $cfg")
+      // re-measure EXTERNALLY at the chosen config over the documented
+      // calibration sample — the reported number must be real behavior
+      val ids = calibIds(corpus, 12)
+      val exact = Similarity.topK(corpus, "vec_id", "embedding", ids, 5)
+      val approx = Similarity.ivfTopKAuto(corpus, "vec_id", "embedding", ids, 5,
+        nProbeCoarse = cfg.nProbeCoarse, nProbeFine = cfg.nProbeFine)
+      val measured = Similarity.recallAtK(exact, approx, "q_id", "vec_id", 5)
+        .agg(avg(col("recall"))).as[Double].head()
+      assert(math.abs(measured - cfg.recall) < 1e-9,
+        s"reported $cfg vs re-measured $measured")
+    }
+  }
+
+  test("ivfAutoProbe: an easy target stops the ladder at the cheapest rung") {
+    val cfg = Similarity.ivfAutoProbe(emb, "vec_id", "embedding",
+      k = 5, targetRecall = 0.05, nCalib = 8)
+    assert(cfg.met)
+    assert((cfg.nProbeCoarse, cfg.nProbeFine) === ((1, 1)))
+  }
+
+  test("ivfAutoProbe: a capped ladder returns its widest rung with an honest verdict") {
+    val cfg = Similarity.ivfAutoProbe(embBig8, "vec_id", "embedding",
+      k = 5, targetRecall = 1.0, nCalib = 8,
+      maxProbeCoarse = 1, maxProbeFine = 1)
+    assert((cfg.nProbeCoarse, cfg.nProbeFine) === ((1, 1)))
+    // met ⇔ the reported measurement reached the target — never optimism
+    assert(cfg.met === (cfg.recall >= 1.0))
   }
 
   test("no-config lshTopK equals the explicit form at the derived config") {

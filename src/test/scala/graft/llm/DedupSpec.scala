@@ -277,4 +277,73 @@ class DedupSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq
     assert(rows(true) === rows(false))
   }
+
+  // Injected corpus for the span operators: the 5-token passage
+  // "dup1..dup5" repeats in docs 1-3, "rep1..rep5" repeats in docs 1,4;
+  // each doc's filler tokens (uN) are globally unique, so every hot
+  // 3-gram lies strictly inside a repeated passage.
+  private val spanDocs = Seq(
+    // two passages separated by 2 unique tokens -> two spans (the gap
+    // tokens are uncovered; anchors 5 apart > n=3 never merge)
+    (1L, "u1 u2 dup1 dup2 dup3 dup4 dup5 u3 u4 rep1 rep2 rep3 rep4 rep5 u5"),
+    // passage flush at the doc END -> the doc-end clip binds
+    (2L, "u6 u7 u8 dup1 dup2 dup3 dup4 dup5"),
+    // passage at the doc START
+    (3L, "dup1 dup2 dup3 dup4 dup5 u9 u10 u11"),
+    (4L, "u12 rep1 rep2 rep3 rep4 rep5 u13"),
+    // no duplicated content at all -> no spans, rewrite is identity
+    (5L, "u14 u15 u16 u17 u18 u19"),
+  ).toDF("doc_id", "text")
+
+  test("dupSpans: hand-checked maximal spans, doc-end clip, start/middle/end placement") {
+    val spans = Dedup.dupSpans(spanDocs, "doc_id", "text", 3, 2)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    // passage of 5 tokens at position s -> anchors s..s+2 merge into (s, 5)
+    assert(spans === Seq(
+      (1L, 2L, 5L), (1L, 9L, 5L),
+      (2L, 3L, 5L),
+      (3L, 0L, 5L),
+      (4L, 1L, 5L)))
+  }
+
+  test("dupSpans: a whole-doc duplicate (shorter than n) spans the full doc") {
+    val docs = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc dd ee")).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", 3, 2)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // fewer than n tokens -> the whole token list is the single gram at
+    // position 0; coverage clips to the 2-token doc length
+    assert(spans === Seq((1L, 0L, 2L), (2L, 0L, 2L)))
+  }
+
+  test("dupSpans: adjacent duplicated passages with no uncovered gap merge into one span") {
+    // "p1..p4" and "q1..q4" each repeat; in doc 1 they abut, so coverage
+    // is contiguous and the runs merge into a single 8-token span
+    val docs = Seq(
+      (1L, "u1 p1 p2 p3 p4 q1 q2 q3 q4 u2"),
+      (2L, "p1 p2 p3 p4 z1 z2 z3"),
+      (3L, "q1 q2 q3 q4 z4 z5 z6"),
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", 3, 2)
+      .filter(col("doc_id") === 1L).as[(Long, Long, Long)].collect().toSeq
+    assert(spans === Seq((1L, 1L, 8L)))
+  }
+
+  test("removeDupSpans: excises exactly the covered tokens, keeps filler and clean docs") {
+    val out = Dedup.removeDupSpans(spanDocs, "doc_id", "text", 3, 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 15L, 5L, "u1 u2 u3 u4 u5"),
+      (2L, 8L, 3L, "u6 u7 u8"),
+      (3L, 8L, 3L, "u9 u10 u11"),
+      (4L, 7L, 2L, "u12 u13"),
+      (5L, 6L, 6L, "u14 u15 u16 u17 u18 u19")))
+  }
+
+  test("dupSpans: broadcastHot=false is result-identical") {
+    def rows(b: Boolean) =
+      Dedup.dupSpans(spanDocs, "doc_id", "text", 3, 2, broadcastHot = b)
+        .orderBy("doc_id", "span_start").collect().toSeq
+    assert(rows(true) === rows(false))
+  }
 }

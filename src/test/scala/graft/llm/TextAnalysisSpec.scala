@@ -168,4 +168,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bigramNll(docs).collect().toSet ===
       TextAnalysis.bigramNll(docs.repartition(5)).collect().toSet)
   }
+
+  private def ranked(text: String, merges: Seq[(String, String)]): Seq[String] =
+    Seq(text).toDF("text")
+      .select(TextAnalysis.bpeApplyRanked(col("text"), merges))
+      .as[Seq[String]].head()
+
+  test("bpeApplyRanked: hand-checked rank-order application") {
+    // merge 1 joins (l,o), merge 2 joins (lo,w) via the new symbol,
+    // merge 3 joins (e,r): "lower" -> [low, e, r] -> [low, er]
+    val m = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    assert(ranked("lower slow", m) === Seq("low", "er", "s", "low"))
+    // overlapping occurrences: left-to-right disjoint replace, exactly
+    // the trainer's rewrite — "aaa" under (a,a) -> [aa, a]
+    assert(ranked("aaa", Seq(("a", "a"))) === Seq("aa", "a"))
+    // then (aa,a) completes the word on the next rank
+    assert(ranked("aaa", Seq(("a", "a"), ("aa", "a"))) === Seq("aaa"))
+    // no merges / empty text edges
+    assert(ranked("ab", Nil) === Seq("a", "b"))
+    assert(ranked("", m) === Seq.empty)
+  }
+
+  test("bpeApplyRanked diverges from greedy longest-match on the same artifact") {
+    // merges: rank 1 = (b,c), rank 2 = (a,b). Rank order consumes b into
+    // "bc" first -> [a, bc]; greedy longest-match over the merged vocab
+    // {a,b,c,bc,ab} takes the leftmost longest prefix -> [ab, c].
+    val merges = Seq(("b", "c"), ("a", "b"))
+    assert(ranked("abc", merges) === Seq("a", "bc"))
+    val vocab = Seq("a", "b", "c", "bc", "ab")
+    val greedy = Seq("abc").toDF("text")
+      .select(TextAnalysis.subwordIds(col("text"), vocab)).as[Seq[Int]].head()
+      .map(vocab(_))
+    assert(greedy === Seq("ab", "c"))
+  }
+
+  test("bpeApplyRanked reproduces the trainer's own final splitting of training words") {
+    val docs = Seq.fill(4)("fast faster fastest").map(Tuple1(_)).toDF("text")
+    val mergeRows = TextAnalysis.trainBpeMerges(docs, "text", nMerges = 6)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // every training word re-encodes to symbols that concatenate back to
+    // the word, and repeated words encode identically
+    val syms = ranked("fast faster fastest", mergeRows)
+    assert(syms.mkString === "fastfasterfastest")
+    val symsTwice = ranked("faster faster", mergeRows)
+    assert(symsTwice.take(symsTwice.length / 2) === symsTwice.drop(symsTwice.length / 2))
+    // with enough merges the most frequent word collapses to one symbol
+    assert(syms.contains("fast"))
+  }
 }
