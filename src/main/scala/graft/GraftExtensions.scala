@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeCount, CharSetCount, ChunkHashes, GramBuckets, GramCounts, GramTickSum, HashEmbed, HtmlExtract, LangScores, Md5Prefix32, PiiScan, WordSetCount, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashSeq, WordNgramHashes, WsTokenCount}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeCount, CharSetCount, ChunkHashes, GramBuckets, GramCounts, GramTickSum, HashEmbed, HtmlExtract, LangBest, LangScores, Md5Prefix32, PiiScan, WordSetCount, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashSeq, WordNgramHashes, WsTokenCount}
 import graft.llm.TextAnalysis
 import org.apache.spark.sql.types.DataTypes
 import org.apache.spark.unsafe.types.UTF8String
@@ -67,6 +67,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           arr.getArray(k).toArray[UTF8String](DataTypes.StringType).toSeq.map(_.toString)
         }
         LangScores(children(0), langs)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lang_best"),
+      new ExpressionInfo(classOf[LangBest].getName, null, "graft_lang_best",
+        "graft_lang_best(text, wordLists) - struct(scores, best): fused stopword " +
+          "counts plus the language-ID argmax (first-listed tie-break, -1 = none)", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_lang_best requires exactly 2 arguments, got ${children.size}")
+        require(children(1).foldable, "graft_lang_best: word lists must be literal")
+        val arr = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val langs = (0 until arr.numElements()).map { k =>
+          arr.getArray(k).toArray[UTF8String](DataTypes.StringType).toSeq.map(_.toString)
+        }
+        LangBest(children(0), langs)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_charset_count"),

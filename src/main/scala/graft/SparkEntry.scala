@@ -155,6 +155,10 @@ object SparkEntry {
   // cap, not the corpus — the oracle re-scores from the exported ticks
   // either way, so the cap is graded transparently.
   private val ClsTrainCap = 2048
+
+  // Model trained INSIDE the composed pipe_funnel run (on extracted
+  // text), exported for its oracle exactly like clsExport.
+  @volatile private var funnelClsExport: Option[graft.llm.Classifier.TextClassifierModel] = None
   @volatile private var clsExport: Option[graft.llm.Classifier.TextClassifierModel] = None
 
   /** pca_circle's eigenvectors (rows) + row count, exported at Verify
@@ -1380,6 +1384,69 @@ object SparkEntry {
   private def probeAutoOracle: Map[String, String] = probeAutoExport match {
     case None => Map.empty
     case Some((p1, p2)) => Map("ann_probe_auto" -> ivfAutoTopkSql(p1, p2))
+  }
+
+  /** The composed-funnel oracle: the pipe_clean_html extraction +
+    * cleaning chain with the funnel-trained classifier's tick predicate
+    * spliced into the heuristic filter (exported weights, the clsOracle
+    * pattern), then the pipe_pack and pipe_shuffle constructions
+    * replayed over the survivor set.
+    */
+  private def pipeFunnelOracle: Map[String, String] = funnelClsExport match {
+    case None => Map.empty
+    case Some(m) =>
+      val values = m.coefTicks.zipWithIndex
+        .map { case (v, b) => s"($b, $v)" }.mkString(", ")
+      val arms = m.ns.map(n => gramListSql(n, m.dim))
+      val gramsSql =
+        if (arms.size == 1) arms.head else s"list_concat(${arms.mkString(", ")})"
+      val midCtes =
+        s"""fticks(b, v) AS (SELECT * FROM (VALUES $values) t(b, v)),
+           |fgb AS (
+           |  SELECT doc_id, unnest($gramsSql) AS b FROM tok
+           |), flog AS (
+           |  SELECT g.doc_id, CAST(${m.interceptTicks} + coalesce(sum(t.v), 0) AS BIGINT) AS lt
+           |  FROM fgb g LEFT JOIN fticks t ON g.b = t.b
+           |  GROUP BY g.doc_id
+           |),""".stripMargin
+      val extraPred = "\n    AND doc_id IN (SELECT doc_id FROM flog WHERE lt > 0)"
+      val xsrc =
+        """xsrc AS (
+          |  SELECT doc_id,
+          |    'Doc ' || CAST(doc_id AS VARCHAR) || ' heading words' || chr(10) ||
+          |    trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+          |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '5 & 10 <tags> block'
+          |         ELSE '' END AS text
+          |  FROM documents
+          |), """.stripMargin
+      Map("pipe_funnel" ->
+        s"""WITH ${pipeCleanChainFrom("xsrc", xsrc, midCtes, extraPred)}, fpt AS (
+           |  SELECT f.doc_id, d.source,
+           |         CASE WHEN length(trim(x.text)) = 0 THEN 0
+           |              ELSE len(regexp_split_to_array(trim(x.text), '\\s+')) END AS n_tokens
+           |  FROM cfin f JOIN xsrc x ON f.doc_id = x.doc_id
+           |              JOIN documents d ON f.doc_id = d.doc_id
+           |), fcum AS (
+           |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |           ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+           |  FROM fpt
+           |), fshuf AS (
+           |  SELECT doc_id,
+           |         CAST(concat('0x', substr(md5(concat_ws('|', doc_id, '$PipeSeed')), 1, 8)) AS BIGINT) AS k
+           |  FROM cfin
+           |), fpos AS (
+           |  SELECT doc_id, k % $PipeShards AS shard,
+           |         CAST(row_number() OVER (PARTITION BY k % $PipeShards ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+           |  FROM fshuf
+           |)
+           |SELECT c.doc_id, c.n_tokens,
+           |       CAST(floor(start_tok / ${PipeBudget}.0) AS BIGINT) AS bin,
+           |       (c.n_tokens > 0 AND floor((start_tok + c.n_tokens - 1) / ${PipeBudget}.0)
+           |          <> floor(start_tok / ${PipeBudget}.0)) AS spans,
+           |       p.shard, p.pos
+           |FROM fcum c JOIN fpos p ON c.doc_id = p.doc_id
+           |ORDER BY c.doc_id""".stripMargin)
   }
 
   /** DuckDB CTE chain re-deriving the two-level seeded quantizer of
@@ -4004,19 +4071,22 @@ object SparkEntry {
 
     "text_langid" -> { (s, dir) =>
       // three projections on purpose (the CSE aliasing rule): lower
-      // once, run each language scan once, argmax over the score REFS —
-      // the single-select form evaluated every scan twice and the
-      // lowercase pass eight times
+      // once, ONE fused scan producing scores AND the argmax
+      // (graft_lang_best), then constant-time field reads — the
+      // greatest/when-chain argmax projection is gone entirely
+      // ...and the sort runs FIRST, over raw (doc_id, text) rows: an
+      // orderBy ABOVE the scan projection evaluates it twice (range-
+      // sampler pass + shuffle write — the round-15 rule); sorting thin
+      // rows then projecting runs the scan once, order preserved
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val langs = TextAnalysis.LangStopwords.map(_._1)
-      val scores = langs.zipWithIndex.map { case (l, k) =>
-        l -> element_at(col("_ls"), k + 1) }
-      docs.select(col("doc_id"), lower(col("text")).as("_lt"))
-        .select(col("doc_id"), TextAnalysis.langScoresArray(col("_lt")).as("_ls"))
+      docs.orderBy("doc_id")
+        .select(col("doc_id"), lower(col("text")).as("_lt"))
+        .select(col("doc_id"), TextAnalysis.langBestStruct(col("_lt")).as("_lb"))
         .select(col("doc_id") +:
-          scores.map { case (l, c) => c.as(s"s_$l") } :+
-          TextAnalysis.langIdFromScores(scores).as("lang_id"): _*)
-        .orderBy("doc_id")
+          langs.zipWithIndex.map { case (l, k) =>
+            element_at(col("_lb.scores"), k + 1).as(s"s_$l") } :+
+          TextAnalysis.langNameFromBest(col("_lb.best")).as("lang_id"): _*)
     },
 
     "text_fingerprint" -> { (s, dir) =>
@@ -4150,6 +4220,37 @@ object SparkEntry {
       Pipeline.cleanCorpus(html, bench, "doc_id", "text",
           CleanLang, CleanMinQuality, CleanMaxTwf, DecN, DecMinHits,
           fromHtml = true)
+        .orderBy("doc_id")
+    },
+
+    // -- The WHOLE pipeline as ONE composed query (rows 71+54+74+44+43+46):
+    // crawl markup -> extraction -> heuristic+trained-classifier cleaning
+    // -> exact dedup -> decontamination -> sequence packing -> deterministic
+    // shuffle. The single number the 100 TB story hangs on: every stage's
+    // plan composes without a collect or an extra corpus shuffle beyond
+    // the stages' own documented exchanges.
+    "pipe_funnel" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val extracted = docs.select(col("doc_id"), col("source"),
+        Html.extractText(htmlInjected).as("text"))
+      val bench = extracted.filter(col("doc_id") % DecBenchMod === 0)
+        .select("doc_id", "text")
+      val quality = TextAnalysis.qualityCols(col("text"))
+        .find(_._1 == "quality").get._2
+      val model = graft.llm.Classifier.fit(extracted, "doc_id", "text",
+        (quality >= ClsLabelThreshold).cast("double"),
+        ClsDim, trainCapPerLabel = ClsTrainCap)
+      funnelClsExport = Some(model)
+      val clean = Pipeline.cleanCorpus(extracted.select("doc_id", "text"),
+        bench, "doc_id", "text", CleanLang, CleanMinQuality, CleanMaxTwf,
+        DecN, DecMinHits, classifier = Some(model))
+      val survivors = extracted.join(clean.select("doc_id"), Seq("doc_id"), "left_semi")
+      val packed = Pipeline.packSequences(survivors, "doc_id", "text", "source", PipeBudget)
+      val shuffled = Pipeline.shuffleDeterministic(
+        survivors.select("doc_id"), "doc_id", PipeSeed, PipeShards)
+      packed.join(shuffled, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("bin"), col("spans"),
+          col("shard"), col("pos"))
         .orderBy("doc_id")
     },
 
@@ -6248,7 +6349,7 @@ object SparkEntry {
          |SELECT record, t, 'value' AS variable, 'value' AS name, '-' AS unit,
          |       CAST(value AS DOUBLE) AS y
          |FROM opset ORDER BY record, t""".stripMargin,
-  ) ++ treeOracles ++ ivfOracle ++ pqOracle ++ semOracle ++ semTextOracle ++ tubeFitOracle ++ pcaCircleOracle ++ clsOracle ++ probeAutoOracle
+  ) ++ treeOracles ++ ivfOracle ++ pqOracle ++ semOracle ++ semTextOracle ++ tubeFitOracle ++ pcaCircleOracle ++ clsOracle ++ probeAutoOracle ++ pipeFunnelOracle
 
   // ----- long oracle bodies ----------------------------------------------
 
@@ -6274,7 +6375,21 @@ object SparkEntry {
     * (doc_id, text); `prefix` is an optional leading CTE block defining
     * it (e.g. the closed-form HTML extraction).
     */
-  private def pipeCleanOracleFrom(rel: String, prefix: String): String = {
+  private def pipeCleanOracleFrom(rel: String, prefix: String): String =
+    s"""WITH ${pipeCleanChainFrom(rel, prefix)}
+       |SELECT doc_id, lang_id, quality, n_tokens, fingerprint FROM cfin
+       |ORDER BY doc_id""".stripMargin
+
+  /** The cleaning-funnel CTE chain ending in `cfin` (the survivor table
+    * with lang/quality/counts/fingerprint) — shared by the pipe_clean
+    * and pipe_clean_html oracles and EXTENDED by the composed
+    * pipe_funnel oracle (`midCtes` inserts classifier relations after
+    * `tok`; `extraPred` adds the classifier keep-predicate to the
+    * heuristic filter, mirroring cleanCorpus's fused stage 3).
+    */
+  private def pipeCleanChainFrom(rel: String, prefix: String,
+                                 midCtes: String = "",
+                                 extraPred: String = ""): String = {
     val stopEn = TextAnalysis.LangStopwords.head._2.mkString("\\b(", "|", ")\\b")
     val scoreExprs = TextAnalysis.LangStopwords.map { case (lg, words) =>
       val pat = words.mkString("\\b(", "|", ")\\b")
@@ -6286,7 +6401,7 @@ object SparkEntry {
     val red = TextAnalysis.PiiPatterns.foldLeft("text") { case (e, (_, pat, rep)) =>
       s"regexp_replace($e, '$pat', '$rep', 'g')"
     }
-    s"""WITH $prefix${tokCteFor(rel)}, cq AS (
+    s"""$prefix${tokCteFor(rel)}, $midCtes cq AS (
        |  SELECT doc_id, text,
        |         CASE $caseArm ELSE 'und' END AS lang_id,
        |         round(least(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.4
@@ -6314,7 +6429,7 @@ object SparkEntry {
        |), cflt AS (
        |  SELECT cq.* FROM cq LEFT JOIN cwa USING (doc_id)
        |  WHERE lang_id = '$CleanLang' AND quality >= $CleanMinQuality
-       |    AND (CASE WHEN cwa.n IS NULL THEN 0.0 ELSE cwa.topc * 1.0 / cwa.n END) <= $CleanMaxTwf
+       |    AND (CASE WHEN cwa.n IS NULL THEN 0.0 ELSE cwa.topc * 1.0 / cwa.n END) <= $CleanMaxTwf$extraPred
        |), cwin AS (SELECT min(doc_id) AS doc_id FROM cflt GROUP BY text
        |), cded AS (SELECT cflt.* FROM cflt JOIN cwin USING (doc_id)
        |), cgr AS (
@@ -6328,16 +6443,16 @@ object SparkEntry {
        |), chit AS (
        |  SELECT doc_id FROM ctg JOIN cbg USING (g)
        |  GROUP BY doc_id HAVING count(*) >= $DecMinHits
-       |)
-       |SELECT doc_id, lang_id, quality, n_tokens,
-       |  list_reduce(
-       |    list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(
-       |        string_split(regexp_replace($red, '[^\\x00-\\x7F]', '', 'g'), ''),
-       |        c -> CAST(ord(c) AS BIGINT))),
-       |    (a, b) -> (a * 31 + b) % ${TextAnalysis.FpMod}) AS fingerprint
-       |FROM cded WHERE doc_id NOT IN (SELECT doc_id FROM chit)
-       |ORDER BY doc_id""".stripMargin
+       |), cfin AS (
+       |  SELECT doc_id, lang_id, quality, n_tokens,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(
+       |          string_split(regexp_replace($red, '[^\\x00-\\x7F]', '', 'g'), ''),
+       |          c -> CAST(ord(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % ${TextAnalysis.FpMod}) AS fingerprint
+       |  FROM cded WHERE doc_id NOT IN (SELECT doc_id FROM chit)
+       |)""".stripMargin
   }
 
   private def textQualityOracle: String = {

@@ -62,8 +62,12 @@ case class LangScores(child: Expression, langs: Seq[Seq[String]])
     else PiiScan.isWordCp(Character.codePointAt(s, i))
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(countScores(
+      input.asInstanceOf[UTF8String].toString).map(c => c: Any))
+
+  /** The one-scan counting core, shared with [[LangBest]]. */
+  private[functions] def countScores(s: String): Array[Long] = {
     val nl = langs.length
     val counts = new Array[Long](nl)
     val resume = new Array[Int](nl)
@@ -99,9 +103,59 @@ case class LangScores(child: Expression, langs: Seq[Seq[String]])
       prevWord = isWordAt(s, i)
       i += 1
     }
-    new GenericArrayData(counts.map(c => c: Any))
+    counts
   }
 
   override protected def withNewChildInternal(newChild: Expression): LangScores =
+    copy(child = newChild)
+}
+
+/** [[LangScores]] with the language-ID argmax FUSED into the same scan:
+  * `struct(scores: array<long>, best: int)` where `best` is the index of
+  * the highest score (first-listed tie-break, matching
+  * `TextAnalysis.langIdFromScores`) and −1 when every score is zero
+  * ("und"). One expression evaluation per row replaces the scores scan
+  * plus a greatest/when-chain projection — the whole language-ID row
+  * becomes a single aliased native call plus constant-time field reads.
+  */
+case class LangBest(child: Expression, langs: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(langs.nonEmpty && langs.forall(ws => ws.nonEmpty && ws.forall(_.nonEmpty)),
+    "graft_lang_best: every language needs non-empty words")
+  require(langs.forall(_.forall(w => w.codePoints().allMatch(cp => PiiScan.isWordCp(cp)))),
+    "graft_lang_best: words must consist of word codepoints only")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"graft_lang_best expects string, got $t")
+    }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("scores",
+        ArrayType(LongType, containsNull = false), nullable = false),
+      org.apache.spark.sql.types.StructField("best",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lang_best"
+
+  @transient private lazy val scorer = LangScores(child, langs)
+
+  override def nullSafeEval(input: Any): Any = {
+    val counts = scorer.countScores(input.asInstanceOf[UTF8String].toString)
+    var best = -1
+    var bestC = 0L
+    var l = 0
+    while (l < counts.length) {
+      if (counts(l) > bestC) { bestC = counts(l); best = l }
+      l += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(counts.map(c => c: Any)), best))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangBest =
     copy(child = newChild)
 }

@@ -311,7 +311,12 @@ object Pipeline {
     val t = col(textCol)
     val q = TextAnalysis.qualityCols(t).toMap
     val filtered = src
-      .withColumn("lang_id", TextAnalysis.langId(t))
+      // ONE fused scan for the whole language decision (scores + argmax,
+      // graft_lang_best) aliased in its own projection; the inline
+      // langId(t) form re-evaluates each language scan at every
+      // greatest/when reference (the round-15 CSE rule, measured)
+      .withColumn("_lb", TextAnalysis.langBestStruct(lower(t)))
+      .withColumn("lang_id", TextAnalysis.langNameFromBest(col("_lb.best")))
       .withColumn("quality", q("quality"))
       .withColumn("n_tokens", q("n_tokens"))
       .withColumn("_twf", TextAnalysis.repetitionStruct(t).getField("top_word_frac"))

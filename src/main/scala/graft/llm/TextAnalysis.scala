@@ -339,6 +339,38 @@ object TextAnalysis {
       lang -> stopwordCount(lowered, words)
     }
 
+  /** The WHOLE language-ID row from one fused scan when registered —
+    * `struct(scores, best)` via `graft_lang_best`, so the argmax rides
+    * the counting pass instead of a greatest/when-chain projection;
+    * falls back to [[langScoresArray]] + a declarative argmax struct
+    * (identical values, spec-pinned). Alias ONCE in its own projection,
+    * then read `.getField("scores")`/`.getField("best")`; map `best`
+    * (−1 = "und") to names with [[langNameFromBest]].
+    */
+  def langBestStruct(lowered: Column): Column =
+    if (graft.functions.Native.registered)
+      call_function("graft_lang_best", lowered,
+        array(LangStopwords.map { case (_, ws) => array(ws.map(lit): _*) }: _*))
+    else {
+      val scores = langScoresLowered(lowered).map(_._2)
+      val best = scores.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        // strictly-greater keeps the FIRST max (the argmax tie-break)
+        when(s > coalesce(
+          scores.zipWithIndex.filter(_._2 < i).map(_._1)
+            .reduceOption((a, b) => greatest(a, b)).getOrElse(lit(0L)),
+          lit(0L)) && s > 0, lit(i)).otherwise(acc)
+      }
+      struct(array(scores: _*).as("scores"), best.as("best"))
+    }
+
+  /** Map [[langBestStruct]]'s `best` index to the language name
+    * ("und" for −1).
+    */
+  def langNameFromBest(best: Column): Column =
+    LangStopwords.zipWithIndex.foldRight(lit("und"): Column) {
+      case (((lang, _), i), acc) => when(best === i, lit(lang)).otherwise(acc)
+    }
+
   /** Language ID: argmax of [[langScores]] with first-listed tie-break;
     * "und" when every score is zero.
     */

@@ -32,23 +32,31 @@ object Warc {
     * record order. Malformed segments (no header/payload blank line)
     * yield `ok = false` with an empty payload.
     */
+  /** Parse ONE already-delimited record segment (the text after a
+    * `WARC/1.0\n` version line, up to the next one) into
+    * `struct<uri, ok, payload>` — the per-segment half of [[records]],
+    * shared with the streamed [[readGzipRecords]] path so both parse
+    * identically.
+    */
+  def recordFromSegment(seg: Column): Column = {
+    val headers = substring_index(seg, "\n\n", 1)
+    // payload = seg minus headers, minus the "\n\n" separator, minus
+    // the trailing record-separator "\n\n" (fixed arithmetic — no
+    // regex backtracking over payload bytes)
+    val hasBody = length(seg) >= length(headers) + 4
+    val payload = when(hasBody,
+      substring(seg, length(headers) + 3, length(seg) - length(headers) - 4))
+      .otherwise(lit(""))
+    val uri = regexp_extract(headers, "WARC-Target-URI: ([^\\n]*)", 1)
+    val declared = regexp_extract(headers, "Content-Length: ([0-9]+)", 1)
+    val ok = hasBody && declared =!= "" &&
+      declared.cast("long") === length(payload).cast("long")
+    struct(uri.as("uri"), ok.as("ok"), payload.as("payload"))
+  }
+
   def records(blob: Column): Column = {
     val segs = filter(split(blob, "WARC/1\\.0\\n"), s => length(s) > 0)
-    transform(segs, seg => {
-      val headers = substring_index(seg, "\n\n", 1)
-      // payload = seg minus headers, minus the "\n\n" separator, minus
-      // the trailing record-separator "\n\n" (fixed arithmetic — no
-      // regex backtracking over payload bytes)
-      val hasBody = length(seg) >= length(headers) + 4
-      val payload = when(hasBody,
-        substring(seg, length(headers) + 3, length(seg) - length(headers) - 4))
-        .otherwise(lit(""))
-      val uri = regexp_extract(headers, "WARC-Target-URI: ([^\\n]*)", 1)
-      val declared = regexp_extract(headers, "Content-Length: ([0-9]+)", 1)
-      val ok = hasBody && declared =!= "" &&
-        declared.cast("long") === length(payload).cast("long")
-      struct(uri.as("uri"), ok.as("ok"), payload.as("payload"))
-    })
+    transform(segs, recordFromSegment(_))
   }
 
   /** Explode a table of WARC blobs into one row per record:
@@ -105,6 +113,111 @@ object Warc {
         }
         (p, ok, new String(out.toByteArray, "UTF-8"))
       }).toDF("path", "ok_gzip", "blob")
+  }
+
+  /** The RECORD-STREAMED compressed read — [[readGzip]] + [[records]]
+    * fused so the whole inflated segment NEVER materializes: the
+    * gunzip stream is split at `WARC/1.0\n` boundaries AS IT INFLATES
+    * and each record emits as its own row, `(path, gz_ok, uri, ok,
+    * payload)`. This is the production path for real WET drops —
+    * [[readGzip]]'s whole-blob form holds compressed bytes + an
+    * inflated copy + a UTF-16 blob String at once (~3× the inflated
+    * segment transient per task — fine on a fat driver box, an
+    * executor-OOM hazard at 32 tasks × 8–16 GiB executors reading
+    * ~400 MB-inflated members); here peak per-task memory is the
+    * compressed file plus ONE record (`maxRecordBytes` bounds it — an
+    * over-cap record truncates to `gz_ok = false`, later records
+    * unaffected).
+    *
+    * Split semantics are [[records]]' exactly: the 9-byte ASCII
+    * delimiter can never appear inside a multi-byte UTF-8 char, so
+    * byte-level scanning equals the declarative regex split
+    * (spec-pinned equal to `extractRecords(readGzip(…))` on
+    * single-member, concatenated-member, and corrupt fixtures).
+    * Truncated/corrupt gzip degrades: records fully inflated before
+    * the error keep `gz_ok = true`, the partial tail record emits with
+    * `gz_ok = false`, and the per-record Content-Length check (`ok`)
+    * bounds any remaining damage.
+    */
+  def readGzipRecords(spark: org.apache.spark.sql.SparkSession, path: String,
+                      maxRecordBytes: Int = 64 << 20): DataFrame = {
+    import spark.implicits._
+    val segs = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, bytes) =>
+        new Iterator[(String, Boolean, String)] {
+          private val Delim = "WARC/1.0\n".getBytes("UTF-8")
+          // the constructor itself reads the gzip header and throws on
+          // non-gzip bytes — degrade to an empty record stream (the
+          // whole-blob twin's ok_gzip=false row carries no records either)
+          private val in: java.io.InputStream =
+            try new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch {
+              case _: java.io.IOException =>
+                java.io.InputStream.nullInputStream()
+            }
+          private val buf = new Array[Byte](64 * 1024)
+          private val cur = new java.io.ByteArrayOutputStream()
+          private val done = scala.collection.mutable.Queue.empty[(String, Boolean, String)]
+          private var matched = 0       // prefix of Delim matched so far
+          private var truncated = false // current record hit maxRecordBytes
+          private var eof = false
+
+          private def write(b: Byte): Unit =
+            if (cur.size < maxRecordBytes) cur.write(b.toInt)
+            else truncated = true
+          private def emit(ok: Boolean): Unit = {
+            val s = new String(cur.toByteArray, "UTF-8")
+            cur.reset()
+            val t = truncated; truncated = false
+            if (s.nonEmpty) done.enqueue((p, ok && !t, s))
+          }
+          // Delim's only 'W' is at index 0, so the fallback after a
+          // mismatch is just "does this byte restart the match"
+          private def feed(b: Byte): Unit = {
+            if (b == Delim(matched)) {
+              matched += 1
+              if (matched == Delim.length) { matched = 0; emit(ok = true) }
+            } else {
+              var i = 0
+              while (i < matched) { write(Delim(i)); i += 1 }
+              matched = 0
+              if (b == Delim(0)) matched = 1 else write(b)
+            }
+          }
+          private def advance(): Unit = {
+            while (done.isEmpty && !eof) {
+              val n = try in.read(buf) catch {
+                // corrupt/truncated gzip: flag the partial tail record
+                // (normal EOF returns -1 without throwing, stays ok)
+                case _: java.io.IOException => truncated = true; -1
+              }
+              if (n < 0) {
+                eof = true
+                var i = 0 // flush a dangling partial delimiter match
+                while (i < matched) { write(Delim(i)); i += 1 }
+                matched = 0
+                emit(ok = true) // emit() folds the truncated flag into ok
+              } else {
+                var i = 0
+                while (i < n) { feed(buf(i)); i += 1 }
+              }
+            }
+          }
+          override def hasNext: Boolean = { advance(); done.nonEmpty }
+          override def next(): (String, Boolean, String) = {
+            advance()
+            done.dequeue()
+          }
+        }
+      }).toDF("path", "gz_ok", "_seg")
+    segs.select(col("path"), col("gz_ok"),
+        recordFromSegment(col("_seg")).as("_rec"))
+      .select(col("path"), col("gz_ok"), col("_rec.uri").as("uri"),
+        (col("gz_ok") && col("_rec.ok")).as("ok"),
+        col("_rec.payload").as("payload"))
   }
 
   /** Build one WARC/WET conversion record — the generator half for

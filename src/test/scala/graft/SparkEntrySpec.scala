@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     "instants_fit", "instants_predict", "instants_scores", "ann_ivf",
     "ann_indexed", "ann_indexed_append", "ann_pq", "tube_fit", "pca_circle",
     "dedup_semantic", "stream_ivf_assign", "text_classifier", "ann_recall",
-    "dedup_text")
+    "dedup_text", "ann_probe_auto", "pipe_funnel")
 
   test("every oracleSql key has a matching queries entry") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

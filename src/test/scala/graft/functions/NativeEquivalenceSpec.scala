@@ -384,6 +384,33 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(bad.count() === 0L, bad.collect().take(5).mkString("\n"))
   }
 
+  test("graft_lang_best == graft_lang_scores + the declarative argmax " +
+    "(fused language-ID, first-listed tie-break, -1 when all zero)") {
+    import graft.llm.TextAnalysis
+    val genWordy3: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.oneOf("the", "la", "der", "el", "und", "de", "los", "for",
+        "that", "es", "est", "ist", "in", "en"),
+      3 -> Gen.oneOf(" ", ",", ".", "-", "水", "é"),
+    )).map(_.mkString(""))
+    val df = (sampled(genWordy3, 300, 103L) ++
+      Seq(null, "", "the la der el", "zzz qqq")).toDF("text")
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    // the graded construction: fused struct, field reads, name mapping
+    val fused = df
+      .select(col("text"), TextAnalysis.langBestStruct(lower(col("text"))).as("_lb"))
+      .select(col("text"), col("_lb.scores").as("scores"),
+        TextAnalysis.langNameFromBest(col("_lb.best")).as("lang_id"))
+    // the pre-fusion twin: scores array + greatest/when-chain argmax
+    val scoreRefs = langs.zipWithIndex.map { case (l, k) =>
+      l -> element_at(col("_ls"), k + 1) }
+    val twin = df
+      .select(col("text"), TextAnalysis.langScoresArray(lower(col("text"))).as("_ls"))
+      .select(col("text"), col("_ls").as("scores"),
+        TextAnalysis.langIdFromScores(scoreRefs).as("lang_id"))
+    assert(fused.exceptAll(twin).count() === 0L)
+    assert(twin.exceptAll(fused).count() === 0L)
+  }
+
   test("graft_html_extract == declarative regex pipeline on generated markup " +
     "(multiple thresholds)") {
     val df = (sampled(genHtml, 300, 53L) ++ Seq(null, "", "   ",

@@ -82,6 +82,54 @@ class WarcSpec extends SparkSpec {
         .select("uri", "ok", "payload").collect()
         .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
       assert(recs === Set(("u1", true, "hello"), ("u2", true, "world")))
+
+      // the STREAMED splitter sees the identical record table on every
+      // fixture (single-member, concatenated, garbage) without ever
+      // materializing a whole inflated segment
+      val streamed = Warc.readGzipRecords(spark, dir.getAbsolutePath + "/*.wet.gz")
+        .collect().map(r => (r.getString(0).split('/').last, r.getBoolean(1),
+          r.getString(2), r.getBoolean(3), r.getString(4)))
+      val byF = streamed.groupBy(_._1)
+      for (f <- Seq("a.wet.gz", "b.wet.gz"))
+        assert(byF(f).map(t => (t._3, t._4, t._5)).toSet ===
+          Set(("u1", true, "hello"), ("u2", true, "world")), s"file $f")
+      assert(!byF.contains("c.wet.gz") ||
+        byF("c.wet.gz").forall(!_._4), "garbage must not yield ok records")
+    } finally {
+      dir.listFiles.foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("readGzipRecords: records inflated before a mid-stream corruption keep ok; " +
+    "the partial tail degrades; per-record cap truncates only the oversized record") {
+    import java.util.zip.GZIPOutputStream
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new GZIPOutputStream(bo)
+      g.write(s.getBytes("UTF-8")); g.close(); bo.toByteArray
+    }
+    def rec(u: String, pay: String) =
+      s"WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: $u\n" +
+        s"Content-Length: ${pay.length}\n\n$pay\n\n"
+    val dir = java.nio.file.Files.createTempDirectory("warcgz2").toFile
+    try {
+      // whole-file gzip cut mid-stream: record 1 inflates, record 2 is
+      // the damaged tail
+      val whole = gz(rec("u1", "hello") + rec("u2", "world"))
+      java.nio.file.Files.write(new java.io.File(dir, "cut.wet.gz").toPath,
+        whole.dropRight(8))
+      val cut = Warc.readGzipRecords(spark, dir.getAbsolutePath + "/cut.wet.gz")
+        .select("uri", "ok").collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+      assert(cut("u1") === true)
+      assert(cut.get("u2").forall(_ == false))
+
+      // a record over the cap truncates to ok=false; its neighbors keep ok
+      java.nio.file.Files.write(new java.io.File(dir, "big.wet.gz").toPath,
+        gz(rec("s1", "tiny") + rec("s2", "x" * 4096) + rec("s3", "tail")))
+      val capped = Warc.readGzipRecords(spark, dir.getAbsolutePath + "/big.wet.gz",
+          maxRecordBytes = 512)
+        .select("uri", "ok").collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+      assert(capped === Map("s1" -> true, "s2" -> false, "s3" -> true))
     } finally {
       dir.listFiles.foreach(_.delete()); dir.delete()
     }
