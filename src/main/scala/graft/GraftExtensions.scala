@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeCount, CharSetCount, ChunkHashes, GramBuckets, GramCounts, GramTickSum, HashEmbed, HtmlExtract, LangBest, LangScores, Md5Prefix32, PiiScan, WordSetCount, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashSeq, WordNgramHashes, WsTokenCount}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeApplyRanked, BpeCount, CharSetCount, ChunkHashes, GramBuckets, GramCounts, GramTickSum, HashEmbed, HtmlExtract, LangBest, LangScores, Md5Prefix32, PiiScan, WordSetCount, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashSeq, WordNgramHashes, WsTokenCount}
 import graft.llm.TextAnalysis
 import org.apache.spark.sql.types.DataTypes
 import org.apache.spark.unsafe.types.UTF8String
@@ -315,6 +315,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_sg_eps: w, deg and deriv must be literals")
         def intArg(i: Int) = litInt(children(i))
         SgResidualStddev(children(0), intArg(1), intArg(2), intArg(3))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe_ranked"),
+      new ExpressionInfo(classOf[BpeApplyRanked].getName, null, "graft_bpe_ranked",
+        "graft_bpe_ranked(text, merges) - merge-order BPE application " +
+          "(array of [left, right] literal pairs, applied by rank), one " +
+          "memoized pass per distinct word", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_bpe_ranked requires exactly 2 arguments, got ${children.size}")
+        require(children(1).foldable, "graft_bpe_ranked: merges must be literal")
+        val arr = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val merges = (0 until arr.numElements()).map { k =>
+          val pair = arr.getArray(k).toArray[UTF8String](DataTypes.StringType)
+          require(pair.length == 2, "graft_bpe_ranked: each merge is [left, right]")
+          (pair(0).toString, pair(1).toString)
+        }
+        BpeApplyRanked(children(0), merges)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_chunks"),

@@ -3985,6 +3985,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // Image near-dup CLUSTERS (rows 73 + 28's component machinery
+    // composed): the banded Hamming pairs feed the same pointer-jumping
+    // min-label components as the minhash clusters — every image labeled
+    // with its duplicate-group representative + group size (the keep-one
+    // rewrite reads "keep cluster_id == doc_id").
+    "dedup_phash_clusters" -> { (s, dir) =>
+      val hashes = Multimodal.imageHashes(phashFixture(s, dir)).toDF()
+      val pairs = Multimodal.phashDup(hashes).select("id_a", "id_b")
+      Dedup.clusters(hashes.select("doc_id"), "doc_id", pairs).orderBy("doc_id")
+    },
+
     // BPE vocab TRAINING (row 37's training half): the Sennrich merge
     // loop — one corpus pass to the word-frequency table, then 12
     // metadata-sized argmax+splice rounds; graded on the learned merge
@@ -5761,6 +5772,41 @@ object SparkEntry {
          |         CAST(bit_count(xor(a.dhash, c.dhash)) AS BIGINT) AS hamming
          |  FROM phcold a JOIN phcold c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
          |) WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    // The phash pair construction + the recursive component walk of
+    // dedup_clusters, composed: min reachable doc_id over the symmetric
+    // Hamming-pair edges == the Spark side's converged label propagation.
+    "dedup_phash_clusters" ->
+      s"""WITH RECURSIVE $phashCtes, phb AS (
+         |  SELECT doc_id, dhash, t.b AS b, (dhash >> (7 * t.b)) & 127 AS bv
+         |  FROM phh, unnest(range(0, ${graft.llm.Multimodal.PhashBands})) AS t(b)
+         |), phhot AS (
+         |  SELECT b, bv FROM phb GROUP BY b, bv HAVING count(*) > 256
+         |), phcold AS (
+         |  SELECT phb.* FROM phb ANTI JOIN phhot USING (b, bv)
+         |), php AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         |           bit_count(xor(a.dhash, c.dhash)) AS hamming
+         |    FROM phcold a JOIN phcold c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+         |  ) WHERE hamming <= 6
+         |), phe AS (
+         |  SELECT id_a AS src, id_b AS dst FROM php
+         |  UNION
+         |  SELECT id_b, id_a FROM php
+         |), phwalk(id, r) AS (
+         |  SELECT doc_id, doc_id FROM phh
+         |  UNION
+         |  SELECT w.id, e.dst FROM phwalk w JOIN phe e ON w.r = e.src
+         |), phcomp AS (
+         |  SELECT id AS doc_id, min(r) AS cluster_id FROM phwalk GROUP BY id
+         |), phsz AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM phcomp GROUP BY cluster_id
+         |)
+         |SELECT c.doc_id, c.cluster_id, s.cluster_size
+         |FROM phcomp c JOIN phsz s USING (cluster_id)
+         |ORDER BY c.doc_id""".stripMargin,
 
     "mm_frames" ->
       """WITH fr AS (

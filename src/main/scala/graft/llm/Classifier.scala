@@ -114,7 +114,10 @@ object Classifier {
     * [[trainingSample]] (labels are the scarce thing — the fit's cost
     * should be a function of the labeling budget, not the corpus size),
     * and the label expression then evaluates on the pre-sample only;
-    * 0 labels and fits on every row.
+    * 0 labels and fits on every row. `knownCount` skips the
+    * budget-coverage count probe when the caller already knows (or can
+    * bound) the corpus size — on a filtered/derived input the probe is
+    * a full extra pass, not metadata-speed.
     */
   def fit(docs: DataFrame, idCol: String, textCol: String, label: Column,
           dim: Int = 512, ns: Seq[Int] = Seq(1, 2),

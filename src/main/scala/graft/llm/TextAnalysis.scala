@@ -270,18 +270,27 @@ object TextAnalysis {
     * with no per-row interpretation.
     */
   def bpeApplyRanked(text: Column, merges: Seq[(String, String)]): Column = {
-    require(merges.forall { case (l, r) =>
+    require(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty &&
       !l.contains("<") && !l.contains(">") && !r.contains("<") && !r.contains(">") },
-      "bpeApplyRanked: merge symbols must not contain < or > (the train contract)")
-    val words = filter(split(text, "\\s+"), w => length(w) > 0)
-    flatten(transform(words, w => {
-      val wrapped = concat_ws("",
-        transform(split(w, ""), c => concat(lit("<"), c, lit(">"))))
-      val merged = merges.foldLeft(wrapped) { case (s, (l, r)) =>
-        call_function("replace", s, lit(s"<$l><$r>"), lit(s"<$l$r>"))
-      }
-      split(regexp_replace(merged, "^<|>$", ""), "><")
-    }))
+      "bpeApplyRanked: merge symbols must be non-empty without < or > (the train contract)")
+    if (merges.nonEmpty && graft.functions.Native.registered)
+      // one memoized imperative pass per distinct word per task
+      // ([[graft.functions.BpeApplyRanked]], spec-pinned bit-equal): the
+      // declarative chain below pays nMerges string rebuilds per token
+      // INSTANCE (measured 180 s at docs×100, native ~its tokenize cost)
+      call_function("graft_bpe_ranked", text,
+        array(merges.map { case (l, r) => array(lit(l), lit(r)) }: _*))
+    else {
+      val words = filter(split(text, "\\s+"), w => length(w) > 0)
+      flatten(transform(words, w => {
+        val wrapped = concat_ws("",
+          transform(split(w, ""), c => concat(lit("<"), c, lit(">"))))
+        val merged = merges.foldLeft(wrapped) { case (s, (l, r)) =>
+          call_function("replace", s, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+        }
+        split(regexp_replace(merged, "^<|>$", ""), "><")
+      }))
+    }
   }
 
   /** Per-language stopword lists for the language-ID heuristic. Order is

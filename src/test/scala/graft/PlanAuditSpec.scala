@@ -230,6 +230,32 @@ class PlanAuditSpec extends SparkSpec {
       s"probe side must not shuffle below the gram join:\n$p")
   }
 
+  test("dupSpans: hot set broadcasts via semi-join; the only doc-keyed exchange " +
+    "feeds the anchor window ABOVE the probe (anchors move, tokens never)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Dedup.dupSpans(docs, "doc_id", "text", n = 3, minDocs = 2))
+    val bcasts = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, s"expected the duplicated-gram set to broadcast:\n$p")
+    val streamed = bcasts.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bcasts.head.left
+      case _ => bcasts.head.right
+    }
+    // corpus side reaches the anchor probe un-shuffled...
+    assert(collectAll(streamed) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"probe side must not shuffle below the anchor semi-join:\n$p")
+    // ...and every window (the run merge) sits above that semi-join, so
+    // its exchange carries only surviving anchors
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(collectAll(w.child) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.nonEmpty, s"run-merge window must consume the anchor join's output:\n$p")
+    }
+  }
+
   test("chunk and redactPii plan zero shuffles (pure per-row pipelines)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     for (df <- Seq(

@@ -478,6 +478,38 @@ class NativeEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("graft_bpe_ranked == declarative replace-chain twin on generated strings " +
+    "(memoized imperative splice vs literal wrapped replaces)") {
+    // merges chosen to chain (later merges consume earlier outputs) and
+    // to hit the overlapping-occurrence rule ("aa" case)
+    val merges = Seq(("a", "a"), ("aa", "a"), ("b", "c"), ("a", "b"),
+      ("é", "ü"), ("水", "火"))
+    val genWordy: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "c", "aa", "abc", "aaa", "aaaa", "bc"),
+      2 -> Gen.oneOf(" ", "  ", "\t"),
+      1 -> Gen.oneOf("é", "ü", "水", "火", "éü", "😀"),
+    )).map(_.mkString)
+    val df = (sampled(genWordy, 300, 53L) ++ sampled(genText, 100, 59L) :+ null)
+      .toDF("text")
+    def decl(text: org.apache.spark.sql.Column) = {
+      val words = filter(split(text, "\\s+"), w => length(w) > 0)
+      flatten(transform(words, w => {
+        val wrapped = concat_ws("",
+          transform(split(w, ""), c => concat(lit("<"), c, lit(">"))))
+        val merged = merges.foldLeft(wrapped) { case (s, (l, r)) =>
+          call_function("replace", s, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+        }
+        split(regexp_replace(merged, "^<|>$", ""), "><")
+      }))
+    }
+    val bad = df.select(col("text"),
+        call_function("graft_bpe_ranked", col("text"),
+          array(merges.map { case (l, r) => array(lit(l), lit(r)) }: _*)).as("nat"),
+        when(col("text").isNotNull, decl(col("text"))).as("dec"))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(bad.count() === 0L, bad.collect().take(5).mkString("\n"))
+  }
+
   test("graft_set_overlap == array_intersect/array_union sizes on generated arrays") {
     val genArr = Gen.listOf(Gen.chooseNum(0L, 30L)) // small domain → real overlaps
     val pairs = sampled(Gen.zip(genArr, genArr), 300, 13L)
