@@ -4329,6 +4329,17 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // The Lee et al. KEEP-ONE rewrite: every duplicated span string
+    // survives in exactly one place (smallest (doc_id, start)); all
+    // other occurrences are excised. Same graded surface.
+    "dedup_spans_keep1" -> { (s, dir) =>
+      Dedup.removeDupSpansKeepOne(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", SpanN, SpanMinDocs)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          Dedup.md5Hash32(col("clean_text")).as("clean_fp"))
+        .orderBy("doc_id")
+    },
+
     // -- LLM: PII detection/redaction (row 49) --
     // Counts per PII kind plus the rolling-hash fingerprint of the
     // redacted text — the fingerprint pins the full redacted string (a
@@ -6222,6 +6233,38 @@ object SparkEntry {
       s"""WITH $TokCte, $spanCtes, spcov AS (
          |  SELECT doc_id, unnest(generate_series(span_start + 1, span_start + span_len)) AS i
          |  FROM spsp
+         |), sptk AS (
+         |  SELECT doc_id, unnest(ts) AS tk, generate_subscripts(ts, 1) AS i FROM tok
+         |), spkeep AS (
+         |  SELECT t.doc_id, t.tk, t.i
+         |  FROM sptk t LEFT JOIN spcov c ON t.doc_id = c.doc_id AND t.i = c.i
+         |  WHERE c.i IS NULL
+         |), spclean AS (
+         |  SELECT doc_id, count(*) AS n_kept, string_agg(tk, ' ' ORDER BY i) AS ct
+         |  FROM spkeep GROUP BY doc_id
+         |)
+         |SELECT k.doc_id AS doc_id, CAST(len(k.ts) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+         |       CAST(concat('0x', substr(md5(coalesce(c.ct, '')), 1, 8)) AS BIGINT) AS clean_fp
+         |FROM tok k LEFT JOIN spclean c ON k.doc_id = c.doc_id
+         |ORDER BY k.doc_id""".stripMargin,
+
+    // Keep-one: span content hashes over the covered token slices, the
+    // winner occurrence per hash by (doc_id, start) row_number, coverage
+    // from NON-winner spans only, then the identical rebuild.
+    "dedup_spans_keep1" ->
+      s"""WITH $TokCte, $spanCtes, spst AS (
+         |  SELECT s.doc_id AS doc_id, s.span_start, s.span_len,
+         |         CAST(concat('0x', substr(md5(array_to_string(
+         |           list_slice(t.ts, s.span_start + 1, s.span_start + s.span_len), ' ')), 1, 8)) AS BIGINT) AS sh
+         |  FROM spsp s JOIN tok t ON s.doc_id = t.doc_id
+         |), sprk AS (
+         |  SELECT doc_id, span_start, span_len,
+         |         row_number() OVER (PARTITION BY sh ORDER BY doc_id, span_start) AS rk
+         |  FROM spst
+         |), spcov AS (
+         |  SELECT doc_id, unnest(generate_series(span_start + 1, span_start + span_len)) AS i
+         |  FROM sprk WHERE rk > 1
          |), sptk AS (
          |  SELECT doc_id, unnest(ts) AS tk, generate_subscripts(ts, 1) AS i FROM tok
          |), spkeep AS (

@@ -752,4 +752,52 @@ object Dedup {
         size(kept).cast("long").as("n_kept"),
         concat_ws(" ", kept).as("clean_text"))
   }
+
+  /** [[removeDupSpans]] with the Lee et al. 2022 KEEP-ONE rule: of all
+    * occurrences of the same duplicated span STRING (identity = md5-32
+    * of the covered tokens joined with spaces), the one with the
+    * smallest `(idCol, span_start)` survives and every other occurrence
+    * is excised — the corpus keeps exactly one copy of each duplicated
+    * passage instead of losing it everywhere. Same output contract as
+    * [[removeDupSpans]]. Note the identity is the MAXIMAL-span string:
+    * when adjacent duplicated passages merge into one run in some
+    * document but not another, the merged and unmerged strings are
+    * distinct spans, each keeping its own winner — the documented
+    * word-gram-granularity semantics.
+    *
+    * Scale shape on top of [[dupSpans]]' two scans: one id-keyed join
+    * fetches each span's covered tokens (span-local slices of the
+    * per-doc token list), a map-side-combined groupBy on the span hash
+    * picks winners (span-table-sized, never corpus-sized), and the
+    * non-winner spans flow into the same per-doc HOF rewrite as
+    * [[removeDupSpans]].
+    */
+  def removeDupSpansKeepOne(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 5, minDocs: Int = 2,
+                            broadcastHot: Boolean = true): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("_ts"))
+    val spans = dupSpans(docs, idCol, textCol, n, minDocs, broadcastHot)
+      .join(toks, Seq(idCol))
+      .withColumn("_sh", md5Hash32(concat_ws(" ",
+        slice(col("_ts"), col("span_start").cast("int") + 1,
+          col("span_len").cast("int")))))
+      .select(col(idCol), col("span_start"), col("span_len"), col("_sh"))
+    val winners = spans.groupBy("_sh")
+      .agg(min(struct(col(idCol).as("_wid"), col("span_start").as("_wst"))).as("_w"))
+    val cut = spans.join(winners, Seq("_sh"))
+      .filter(!(col(idCol) === col("_w._wid") &&
+        col("span_start") === col("_w._wst")))
+      .groupBy(idCol).agg(collect_list(struct(col("span_start"), col("span_len")))
+        .as("_spans"))
+    val sp = coalesce(col("_spans"),
+      array().cast("array<struct<span_start:bigint,span_len:bigint>>"))
+    val kept = filter(col("_ts"), (t, i) =>
+      !exists(sp, s => i.cast("long") >= s("span_start")
+        && i.cast("long") < s("span_start") + s("span_len")))
+    toks.join(cut, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("_ts")).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        concat_ws(" ", kept).as("clean_text"))
+  }
 }

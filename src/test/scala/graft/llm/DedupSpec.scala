@@ -340,6 +340,25 @@ class DedupSpec extends SparkSpec {
       (5L, 6L, 6L, "u14 u15 u16 u17 u18 u19")))
   }
 
+  test("removeDupSpansKeepOne: each duplicated span string survives exactly once, " +
+    "at its smallest (doc_id, start)") {
+    val out = Dedup.removeDupSpansKeepOne(spanDocs, "doc_id", "text", 3, 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1 holds the winning occurrence of BOTH passages -> untouched;
+    // docs 2-4 lose their (non-winner) copies; doc 5 never had spans
+    assert(out === Seq(
+      (1L, 15L, 15L, "u1 u2 dup1 dup2 dup3 dup4 dup5 u3 u4 rep1 rep2 rep3 rep4 rep5 u5"),
+      (2L, 8L, 3L, "u6 u7 u8"),
+      (3L, 8L, 3L, "u9 u10 u11"),
+      (4L, 7L, 2L, "u12 u13"),
+      (5L, 6L, 6L, "u14 u15 u16 u17 u18 u19")))
+    // whole-doc duplicates: the first doc keeps its text, the second empties
+    val dup = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc dd ee")).toDF("doc_id", "text")
+    val kept = Dedup.removeDupSpansKeepOne(dup, "doc_id", "text", 3, 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(kept === Seq((1L, 2L, 2L, "aa bb"), (2L, 2L, 0L, ""), (3L, 3L, 3L, "cc dd ee")))
+  }
+
   test("dupSpans: broadcastHot=false is result-identical") {
     def rows(b: Boolean) =
       Dedup.dupSpans(spanDocs, "doc_id", "text", 3, 2, broadcastHot = b)
