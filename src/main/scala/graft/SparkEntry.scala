@@ -1780,6 +1780,27 @@ object SparkEntry {
       concat(lit(" node 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
         (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
 
+  /** Multi-line page column shared by the pipe_clean_lines query/oracle
+    * (the [[piiInjected]] pattern): the corpus text is single-line, so
+    * the harness wraps it as a page whose lines exercise every C4 line
+    * rule — a punctuation-less nav stub (always drops), the document
+    * text with a terminal period (keeps), a doc_id-gated javascript
+    * notice (drops on the substring rule), a below-minWords
+    * exclamation (drops on the word floor), a keepable question line,
+    * and doc-level lorem-ipsum / brace drop flags on their own moduli.
+    */
+  private def c4Injected: Column = concat(
+    lit("Menu Home About\n"),
+    col("text"), lit("."),
+    when(col("doc_id") % 4 === 0,
+      lit("\nPlease enable JavaScript to view comments.")).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, lit("\nClick here!")).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0,
+      lit("\nIs this a keepable question line?")).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0,
+      lit("\nFiller lorem ipsum dolor sit amet.")).otherwise(lit("")),
+    when(col("doc_id") % 13 === 0, lit("\nfunction f() {")).otherwise(lit("")))
+
   /** HTML-injection column shared by the text_extract query/oracle: the
     * corpus carries no markup, so the harness wraps each document in a
     * deterministic full-page template (the [[piiInjected]] pattern) —
@@ -4329,6 +4350,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- LLM: C4 line-level cleaning (row 54's sub-document stage) --
+    // Lines survive on terminal punctuation + word floor + no
+    // "javascript"; lorem-ipsum / brace docs are flagged for dropping.
+    "pipe_clean_lines" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), c4Injected.as("_pg"))
+      val c = TextAnalysis.c4LineCols(col("_pg")).toMap
+      docs.select(col("doc_id"), c("n_lines").as("n_lines"),
+          c("n_kept").as("n_kept"), c("drop_doc").as("drop_doc"),
+          Dedup.md5Hash32(c("clean_text")).as("clean_fp"))
+        .orderBy("doc_id")
+    },
+
     // The Lee et al. KEEP-ONE rewrite: every duplicated span string
     // survives in exactly one place (smallest (doc_id, start)); all
     // other occurrences are excised. Same graded surface.
@@ -6248,6 +6282,34 @@ object SparkEntry {
          |       CAST(concat('0x', substr(md5(coalesce(c.ct, '')), 1, 8)) AS BIGINT) AS clean_fp
          |FROM tok k LEFT JOIN spclean c ON k.doc_id = c.doc_id
          |ORDER BY k.doc_id""".stripMargin,
+
+    // The C4 line rules replayed over the same closed-form page: split,
+    // list_filter on the identical three line predicates, re-join.
+    "pipe_clean_lines" ->
+      s"""WITH c4pg AS (
+         |  SELECT doc_id,
+         |    'Menu Home About' || chr(10) || text || '.' ||
+         |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Please enable JavaScript to view comments.' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Click here!' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Is this a keepable question line?' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Filler lorem ipsum dolor sit amet.' ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function f() {' ELSE '' END AS p
+         |  FROM documents
+         |), c4ln AS (
+         |  SELECT doc_id, p, string_split(p, chr(10)) AS ls FROM c4pg
+         |), c4kp AS (
+         |  SELECT doc_id, p, ls, list_filter(ls, l ->
+         |    regexp_matches(trim(l), '[.!?"]$$')
+         |    AND (CASE WHEN length(trim(l)) = 0 THEN 0
+         |              ELSE len(regexp_split_to_array(trim(l), '\\s+')) END) >= 3
+         |    AND NOT contains(lower(l), 'javascript')) AS kept
+         |  FROM c4ln
+         |)
+         |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+         |       CAST(len(kept) AS BIGINT) AS n_kept,
+         |       (contains(lower(p), 'lorem ipsum') OR contains(p, '{')) AS drop_doc,
+         |       CAST(concat('0x', substr(md5(array_to_string(kept, chr(10))), 1, 8)) AS BIGINT) AS clean_fp
+         |FROM c4kp ORDER BY doc_id""".stripMargin,
 
     // Keep-one: span content hashes over the covered token slices, the
     // winner occurrence per hash by (doc_id, start) row_number, coverage

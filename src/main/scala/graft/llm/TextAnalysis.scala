@@ -402,6 +402,42 @@ object TextAnalysis {
     * punctuation / digit / stopword ratios, and a blended 0..1 score.
     * All ratios are 0 when the text is blank.
     */
+  /** C4's LINE-level cleaning rules (Raffel et al. 2020 §2.2, public
+    * knowledge) — the stage BELOW document granularity that
+    * [[graft.llm.Pipeline.cleanCorpus]]'s doc-level funnel does not
+    * cover: real extracted pages mix keepable prose lines with menu
+    * stubs and script leftovers, and C4 keeps the prose. Pinned rules
+    * (each a pure function both engines replay):
+    *  - a LINE survives iff its trimmed form ends in terminal
+    *    punctuation (`.` `!` `?` `"`), carries at least `minWords`
+    *    whitespace tokens, and does not contain `javascript`
+    *    (lowercased substring — the C4 rule verbatim);
+    *  - the DOCUMENT is flagged for dropping (`drop_doc`) when it
+    *    contains `lorem ipsum` (lowercased) or a `{` anywhere — the
+    *    placeholder-text and source-code rules; flagging is returned,
+    *    not applied, so callers compose it with their own filter stage.
+    *
+    * Returns `(n_lines, n_kept, drop_doc, clean_text)` where
+    * `clean_text` re-joins surviving lines with `\n` in page order.
+    * Scale shape: one pure HOF projection — zero shuffle at any corpus
+    * size, fused into whatever scan feeds it.
+    */
+  def c4LineCols(text: Column, minWords: Int = 3): Seq[(String, Column)] = {
+    require(minWords >= 0, "c4LineCols: minWords must be >= 0")
+    val lines = split(text, "\n")
+    def keep(l: Column): Column = {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") && tokenCount(l) >= minWords &&
+        !lower(l).contains("javascript")
+    }
+    val kept = filter(lines, keep(_))
+    Seq(
+      "n_lines" -> size(lines).cast("long"),
+      "n_kept" -> size(kept).cast("long"),
+      "drop_doc" -> (lower(text).contains("lorem ipsum") || text.contains("{")),
+      "clean_text" -> array_join(kept, "\n"))
+  }
+
   def qualityCols(text: Column): Seq[(String, Column)] = {
     val nChars  = length(text).cast("long")
     val nTokens = tokenCount(text)

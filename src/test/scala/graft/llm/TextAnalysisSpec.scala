@@ -169,6 +169,29 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bigramNll(docs.repartition(5)).collect().toSet)
   }
 
+  test("c4LineCols: terminal punctuation, word floor, javascript rule, doc flags") {
+    val page = "Menu Home About\n" +            // no terminal punct -> drop
+      "A real sentence with enough words.\n" +  // keep
+      "Too short!\n" +                          // 2 words -> drop
+      "Please enable JavaScript to continue.\n" + // substring -> drop
+      "Does a quoted line survive?\"\n" +       // ends in " -> keep
+      "   \n" +                                 // blank -> drop
+      "Ends with a question mark?"              // keep
+    val out = Seq((1L, page)).toDF("doc_id", "text")
+      .select(TextAnalysis.c4LineCols(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Boolean, String)].head()
+    assert(out === ((7L, 3L, false,
+      "A real sentence with enough words.\n" +
+      "Does a quoted line survive?\"\n" +
+      "Ends with a question mark?")))
+    def flags(t: String): Boolean =
+      Seq((1L, t)).toDF("doc_id", "text")
+        .select(TextAnalysis.c4LineCols(col("text")).toMap.apply("drop_doc")).as[Boolean].head()
+    assert(flags("fine text here.") === false)
+    assert(flags("some Lorem Ipsum filler.") === true)
+    assert(flags("code { nope }") === true)
+  }
+
   private def ranked(text: String, merges: Seq[(String, String)]): Seq[String] =
     Seq(text).toDF("text")
       .select(TextAnalysis.bpeApplyRanked(col("text"), merges))
