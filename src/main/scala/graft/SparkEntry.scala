@@ -1789,6 +1789,21 @@ object SparkEntry {
     * exclamation (drops on the word floor), a keepable question line,
     * and doc-level lorem-ipsum / brace drop flags on their own moduli.
     */
+  /** DuckDB twin of [[c4Injected]] (CTE `c4pg(doc_id, p)`), shared by
+    * the pipe_clean_lines and pipe_clean_c4 oracles.
+    */
+  private val C4PageCte: String =
+    """c4pg AS (
+      |  SELECT doc_id,
+      |    'Menu Home About' || chr(10) || text || '.' ||
+      |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Please enable JavaScript to view comments.' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Click here!' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Is this a keepable question line?' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Filler lorem ipsum dolor sit amet.' ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function f() {' ELSE '' END AS p
+      |  FROM documents
+      |)""".stripMargin
+
   private def c4Injected: Column = concat(
     lit("Menu Home About\n"),
     col("text"), lit("."),
@@ -4255,6 +4270,23 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- The doc funnel COMPOSED BELOW the C4 line stage (row 54): the
+    // multi-line page is line-cleaned in place (flagged docs drop,
+    // text rewrites to surviving lines), then the standard
+    // lang/quality/dedup/decon funnel runs over the cleaned text.
+    "pipe_clean_c4" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pages = docs.select(col("doc_id"), c4Injected.as("text"))
+      val c4 = TextAnalysis.c4LineCols(col("text")).toMap
+      val bench = pages.filter(!c4("drop_doc"))
+        .select(col("doc_id"), c4("clean_text").as("text"))
+        .filter(col("doc_id") % DecBenchMod === 0)
+      Pipeline.cleanCorpus(pages, bench, "doc_id", "text",
+          CleanLang, CleanMinQuality, CleanMaxTwf, DecN, DecMinHits,
+          lineClean = true)
+        .orderBy("doc_id")
+    },
+
     // -- The WHOLE pipeline as ONE composed query (rows 71+54+74+44+43+46):
     // crawl markup -> extraction -> heuristic+trained-classifier cleaning
     // -> exact dedup -> decontamination -> sequence packing -> deterministic
@@ -6286,16 +6318,7 @@ object SparkEntry {
     // The C4 line rules replayed over the same closed-form page: split,
     // list_filter on the identical three line predicates, re-join.
     "pipe_clean_lines" ->
-      s"""WITH c4pg AS (
-         |  SELECT doc_id,
-         |    'Menu Home About' || chr(10) || text || '.' ||
-         |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Please enable JavaScript to view comments.' ELSE '' END ||
-         |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Click here!' ELSE '' END ||
-         |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Is this a keepable question line?' ELSE '' END ||
-         |    CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Filler lorem ipsum dolor sit amet.' ELSE '' END ||
-         |    CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function f() {' ELSE '' END AS p
-         |  FROM documents
-         |), c4ln AS (
+      s"""WITH $C4PageCte, c4ln AS (
          |  SELECT doc_id, p, string_split(p, chr(10)) AS ls FROM c4pg
          |), c4kp AS (
          |  SELECT doc_id, p, ls, list_filter(ls, l ->
@@ -6310,6 +6333,21 @@ object SparkEntry {
          |       (contains(lower(p), 'lorem ipsum') OR contains(p, '{')) AS drop_doc,
          |       CAST(concat('0x', substr(md5(array_to_string(kept, chr(10))), 1, 8)) AS BIGINT) AS clean_fp
          |FROM c4kp ORDER BY doc_id""".stripMargin,
+
+    // Line stage replayed ahead of the standard funnel chain: flagged
+    // pages drop, text rewrites to surviving lines, then the identical
+    // lang/quality/dedup/decon CTEs run over `lsrc`.
+    "pipe_clean_c4" -> pipeCleanOracleFrom("lsrc",
+      s"""$C4PageCte, lsrc AS (
+         |  SELECT doc_id,
+         |         array_to_string(list_filter(string_split(p, chr(10)), l ->
+         |           regexp_matches(trim(l), '[.!?"]$$')
+         |           AND (CASE WHEN length(trim(l)) = 0 THEN 0
+         |                     ELSE len(regexp_split_to_array(trim(l), '\\s+')) END) >= 3
+         |           AND NOT contains(lower(l), 'javascript')), chr(10)) AS text
+         |  FROM c4pg
+         |  WHERE NOT (contains(lower(p), 'lorem ipsum') OR contains(p, '{'))
+         |), """.stripMargin),
 
     // Keep-one: span content hashes over the covered token slices, the
     // winner occurrence per hash by (doc_id, start) row_number, coverage

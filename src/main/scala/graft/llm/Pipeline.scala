@@ -300,14 +300,27 @@ object Pipeline {
                   maxTopWordFrac: Double = 0.2,
                   deconN: Int = 8, deconMinHits: Int = 1,
                   fromHtml: Boolean = false,
-                  classifier: Option[Classifier.TextClassifierModel] = None): DataFrame = {
+                  classifier: Option[Classifier.TextClassifierModel] = None,
+                  lineClean: Boolean = false): DataFrame = {
     // fromHtml: textCol holds crawled HTML — [[Html.extractText]]
     // (pinned defaults) runs as stage 0 IN PLACE, so the whole funnel
     // operates on extracted main text. Still a pure projection fused
     // into the same scan: the funnel's head costs zero extra shuffles.
-    val src = if (fromHtml)
-      docs.withColumn(textCol, Html.extractText(col(textCol)))
-    else docs
+    // lineClean: C4's sub-document stage runs NEXT
+    // ([[TextAnalysis.c4LineCols]]): lorem-ipsum/brace documents drop
+    // and each survivor's text is rewritten to its surviving lines, so
+    // every later stage (language/quality/dedup/decon/redact) sees the
+    // line-cleaned text — still row-local, still zero added shuffles.
+    val src = {
+      val extracted = if (fromHtml)
+        docs.withColumn(textCol, Html.extractText(col(textCol)))
+      else docs
+      if (lineClean) {
+        val c4 = TextAnalysis.c4LineCols(col(textCol)).toMap
+        extracted.filter(!c4("drop_doc"))
+          .withColumn(textCol, c4("clean_text"))
+      } else extracted
+    }
     val t = col(textCol)
     val q = TextAnalysis.qualityCols(t).toMap
     val filtered = src

@@ -368,6 +368,32 @@ class PipelineSpec extends SparkSpec {
       "different emails must redact to the same <EMAIL> fingerprint")
   }
 
+  test("cleanCorpus(lineClean = true) == manual line-clean composed ahead of the funnel") {
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks to the house of his friend where they talk about the weather " +
+      "for a while and it is all very pleasant in the end you know."
+    val pages = Seq(
+      (1L, s"Menu Home About\n$good\nClick here!"),         // nav+stub lines drop
+      (2L, s"$good\nPlease enable JavaScript to proceed."), // js line drops
+      (3L, s"$good\nlorem ipsum dolor sit."),               // doc flag -> drops
+      (4L, s"$good\nvar x = { y }"),                        // brace flag -> drops
+    ).toDF("doc_id", "text")
+    val bench = pages.limit(0)
+    val composed = Pipeline.cleanCorpus(pages, bench, "doc_id", "text",
+      deconN = 4, lineClean = true).orderBy("doc_id").collect().toSeq
+    val manual = {
+      val c4 = TextAnalysis.c4LineCols(col("text")).toMap
+      val cleaned = pages.filter(!c4("drop_doc"))
+        .select(col("doc_id"), c4("clean_text").as("text"))
+      Pipeline.cleanCorpus(cleaned, bench, "doc_id", "text", deconN = 4)
+        .orderBy("doc_id").collect().toSeq
+    }
+    assert(composed === manual)
+    // docs 1 and 2 converge to the SAME surviving line -> exact dedup
+    // keeps doc 1 only; flagged docs 3-4 never reach the funnel
+    assert(composed.map(_.getLong(0)) === Seq(1L))
+  }
+
   test("sampleToMixture: quota fractions, zero-share strata drop, determinism") {
     // huge budget -> every in-share stratum keeps everything; "de" (no
     // share) drops entirely
