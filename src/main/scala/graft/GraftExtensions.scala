@@ -26,17 +26,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"expected a numeric literal, got $other")
   }
   private def litLong(e: Expression): Long = e.eval() match {
-    case d: org.apache.spark.sql.types.Decimal => d.toLong
+    case d: org.apache.spark.sql.types.Decimal =>
+      val bd = d.toBigDecimal
+      if (!bd.isValidLong) throw new IllegalArgumentException(
+        s"integer literal out of Long range: $bd")
+      bd.longValue
     case n: java.lang.Number => n.longValue()
     case other => throw new IllegalArgumentException(
       s"expected a numeric literal, got $other")
   }
-  private def litInt(e: Expression): Int = e.eval() match {
-    case d: org.apache.spark.sql.types.Decimal => d.toLong.toInt
-    case n: java.lang.Number => n.intValue()
-    case other => throw new IllegalArgumentException(
-      s"expected a numeric literal, got $other")
-  }
+  // Range-checked: a raw-SQL `graft_shingle_hashes(text, 3000000000)`
+  // must fail analysis, not bind a silently-truncated negative constant.
+  private def litInt(e: Expression): Int =
+    try Math.toIntExact(litLong(e))
+    catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        s"integer literal out of Int range: ${e.eval()}")
+    }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -3479,8 +3479,8 @@ object SparkEntry {
     "source_warc" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val uri = concat(lit("https://site"), col("doc_id").cast("string"), lit("/doc"))
-      val declared = when(col("doc_id") % 11 === 0, length(col("text")) + 1)
-        .otherwise(length(col("text")))
+      val declared = when(col("doc_id") % 11 === 0, octet_length(col("text")) + 1)
+        .otherwise(octet_length(col("text")))
       val rec = graft.sources.Warc.record(uri, col("text"), Some(declared))
       val blobs = docs
         .select((col("doc_id") / 8).cast("long").as("g"),
@@ -4301,9 +4301,14 @@ object SparkEntry {
         .select("doc_id", "text")
       val quality = TextAnalysis.qualityCols(col("text"))
         .find(_._1 == "quality").get._2
+      // knownCount: `extracted` is a pure projection of the documents
+      // scan, so its row count is the table's — one metadata-speed
+      // count on the bare scan replaces the budget probe's full
+      // HTML-extraction pass (the knownCount escape hatch this exists for)
       val model = graft.llm.Classifier.fit(extracted, "doc_id", "text",
         (quality >= ClsLabelThreshold).cast("double"),
-        ClsDim, trainCapPerLabel = ClsTrainCap)
+        ClsDim, trainCapPerLabel = ClsTrainCap,
+        knownCount = Some(docs.count()))
       funnelClsExport = Some(model)
       val clean = Pipeline.cleanCorpus(extracted.select("doc_id", "text"),
         bench, "doc_id", "text", CleanLang, CleanMinQuality, CleanMaxTwf,

@@ -32,7 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * The memo is per expression instance (one per task after plan
   * deserialization, the MessageDigest precedent) and capped: past
   * `MemoCap` distinct words new words are encoded without caching, so
-  * memory stays bounded on adversarial vocabularies.
+  * memory stays bounded on adversarial vocabularies. It is a
+  * ConcurrentHashMap, not for the per-task path (which is
+  * single-threaded) but so a driver-side eval of a SHARED expression
+  * instance (e.g. constant folding, or a reused Column) can never
+  * corrupt the table — encode results for equal keys are identical, so
+  * a racing double-encode is benign.
   */
 case class BpeApplyRanked(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with CodegenFallback {
@@ -55,7 +60,7 @@ case class BpeApplyRanked(child: Expression, merges: Seq[(String, String)])
   private val MemoCap = 1 << 20
 
   @transient private lazy val memo =
-    new java.util.HashMap[String, Array[UTF8String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
   @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
 
   private def encodeWord(w: String): Array[UTF8String] = {

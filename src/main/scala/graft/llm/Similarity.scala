@@ -380,10 +380,14 @@ object Similarity {
     * 100 TB a 2-of-64-cell probe reads ~3% of the bytes.
     */
   def writeIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
-                    cents: Array[Array[Double]], path: String): Unit = {
+                    cents: Array[Array[Double]], path: String,
+                    probe: Option[IvfProbeConfig] = None): Unit = {
     emb.withColumn("cell", bestCentroidCol(asDouble(col(vecCol)), cents))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     writeIvfCentroids(emb.sparkSession, path, cents)
+    // calibrated probe widths (e.g. from [[ivfAutoProbe]]) freeze with
+    // the index so a reader searches at the measured config by default
+    probe.foreach(writeIvfProbeConfig(emb.sparkSession, path, _))
   }
 
   /** The frozen coarse quantizer lives INSIDE the index directory (an
@@ -419,6 +423,51 @@ object Similarity {
       buf.toString("UTF-8")
     } finally in.close()
     text.split("\n").filter(_.nonEmpty).map(_.split(",").map(_.toDouble))
+  }
+
+  /** The CALIBRATED probe widths live inside the index artifact too —
+    * the frozen-artifact doctrine the centroids follow: [[ivfAutoProbe]]
+    * spends real measurement turning a recall target into
+    * `(nProbeCoarse, nProbeFine)`, and an index whose reader must
+    * re-calibrate (or guess) has thrown that measurement away. Same
+    * plain-text convention as `_graft_centroids.txt`
+    * (`coarse,fine,recall,met` — recall via `Double.toString`,
+    * shortest-round-trip).
+    */
+  private def probeConfigFile(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_probe_config.txt")
+
+  def writeIvfProbeConfig(spark: org.apache.spark.sql.SparkSession, path: String,
+                          cfg: IvfProbeConfig): Unit = {
+    val p = probeConfigFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"${cfg.nProbeCoarse},${cfg.nProbeFine},${cfg.recall},${cfg.met}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** `None` when the index was written without a calibration — probe
+    * widths are OPTIONAL metadata (an uncalibrated index is still
+    * searchable at explicit widths), unlike the centroids, which are
+    * the artifact's identity.
+    */
+  def readIvfProbeConfig(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Option[IvfProbeConfig] = {
+    val p = probeConfigFile(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      val parts = text.trim.split(",")
+      Some(IvfProbeConfig(parts(0).toInt, parts(1).toInt,
+        parts(2).toDouble, parts(3).toBoolean))
+    }
   }
 
   /** Append new vectors to an existing [[writeIvfIndex]] layout: each is
@@ -477,6 +526,32 @@ object Similarity {
     * loudly at WARN. The collect itself is `limit(cap+1)`-bounded either
     * way, so driver memory never scales with the probe set.
     */
+  /** Search a [[writeIvfIndex]] artifact at its STORED configuration —
+    * centroids from `_graft_centroids.txt`, probe breadth from the
+    * calibrated `_graft_probe_config.txt` when present. The stored
+    * two-level `(coarse, fine)` widths carry onto the flat cell layout
+    * as their LIST BUDGET: the calibration chose "probe c·f inverted
+    * lists to hit the recall target", and the flat index's unit of
+    * probing is the cell, so `nProbe = min(c·f, nCells)`. An
+    * uncalibrated index searches at `defaultNProbe`. Spec-pinned:
+    * result-identical to the explicit-widths overload at the same
+    * breadth (SimilaritySpec).
+    */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                   defaultNProbe: Int, maxPlanCells: Int): DataFrame = {
+    val cents = readIvfCentroids(spark, path)
+    val nProbe = readIvfProbeConfig(spark, path)
+      .map(c => math.min(c.nProbeCoarse * c.nProbeFine, cents.length))
+      .getOrElse(defaultNProbe)
+    ivfIndexTopK(spark.read.parquet(path), queries, idCol, vecCol, k, cents,
+      nProbe, maxPlanCells)
+  }
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, idCol: String, vecCol: String,
+                   k: Int): DataFrame =
+    ivfIndexTopK(spark, path, queries, idCol, vecCol, k, 2, 4096)
+
   def ivfIndexTopK(index: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                    k: Int, cents: Array[Array[Double]], nProbe: Int = 2,
                    maxPlanCells: Int = 4096): DataFrame = {
@@ -827,13 +902,17 @@ object Similarity {
                    targetRecall: Double, nCalib: Int = 16,
                    targetOccupancy: Int = 64,
                    maxProbeCoarse: Int = 8, maxProbeFine: Int = 8,
-                   scope: graft.core.CacheScope = graft.core.CacheScope.session): IvfProbeConfig = {
+                   scope: graft.core.CacheScope = graft.core.CacheScope.session,
+                   knownCount: Option[Long] = None): IvfProbeConfig = {
     require(k > 0, "ivfAutoProbe: k must be positive")
     require(targetRecall > 0 && targetRecall <= 1,
       "ivfAutoProbe: targetRecall must be in (0, 1]")
     require(nCalib > 0 && maxProbeCoarse > 0 && maxProbeFine > 0,
       "ivfAutoProbe: nCalib and probe caps must be positive")
-    val (k1, k2) = twoLevelKs(emb.count(), targetOccupancy)
+    // knownCount skips the sizing count() when the caller already knows
+    // it — metadata-speed on a bare scan, a full extra pass on a
+    // filtered/derived corpus (the Classifier.fit knownCount pattern)
+    val (k1, k2) = twoLevelKs(knownCount.getOrElse(emb.count()), targetOccupancy)
     val base = scope.cache(withNormHash(emb, idCol, vecCol))
     val (asgRaw, cs, fs) = twoLevelAssign(base, idCol, k1, k2)
     val asg = scope.cache(asgRaw)

@@ -49,8 +49,12 @@ object Warc {
       .otherwise(lit(""))
     val uri = regexp_extract(headers, "WARC-Target-URI: ([^\\n]*)", 1)
     val declared = regexp_extract(headers, "Content-Length: ([0-9]+)", 1)
+    // Content-Length is OCTETS (ISO 28500 inherits HTTP's definition) —
+    // a real WET drop declares byte counts, so a non-ASCII payload with
+    // a correct declaration must verify ok (char-length comparison
+    // flagged exactly those records false)
     val ok = hasBody && declared =!= "" &&
-      declared.cast("long") === length(payload).cast("long")
+      declared.cast("long") === octet_length(payload).cast("long")
     struct(uri.as("uri"), ok.as("ok"), payload.as("payload"))
   }
 
@@ -137,7 +141,11 @@ object Warc {
     * Truncated/corrupt gzip degrades: records fully inflated before
     * the error keep `gz_ok = true`, the partial tail record emits with
     * `gz_ok = false`, and the per-record Content-Length check (`ok`)
-    * bounds any remaining damage.
+    * bounds any remaining damage. Damage with NOTHING inflated — a
+    * non-gzip file, or corruption landing exactly on a record
+    * boundary — emits one `(path, gz_ok=false, uri="", ok=false,
+    * payload="")` sentinel row, so file-level loss is always observable
+    * downstream (count rows where `!gz_ok` per path).
     */
   def readGzipRecords(spark: org.apache.spark.sql.SparkSession, path: String,
                       maxRecordBytes: Int = 64 << 20): DataFrame = {
@@ -148,22 +156,27 @@ object Warc {
       .mapPartitions(_.flatMap { case (p, bytes) =>
         new Iterator[(String, Boolean, String)] {
           private val Delim = "WARC/1.0\n".getBytes("UTF-8")
+          private var matched = 0       // prefix of Delim matched so far
+          private var truncated = false // current record hit maxRecordBytes / gz damage
+          private var eof = false
           // the constructor itself reads the gzip header and throws on
-          // non-gzip bytes — degrade to an empty record stream (the
-          // whole-blob twin's ok_gzip=false row carries no records either)
+          // non-gzip bytes — degrade to a SENTINEL row, not silence:
+          // `truncated` starts true so the EOF flush emits one
+          // (path, gz_ok=false, "") row even though no record bytes ever
+          // inflated (the whole-blob twin surfaces the same damage as
+          // its ok_gzip=false row; a zero-row degrade made file-level
+          // damage unobservable downstream — advisor, round 16)
           private val in: java.io.InputStream =
             try new java.util.zip.GZIPInputStream(
               new java.io.ByteArrayInputStream(bytes))
             catch {
               case _: java.io.IOException =>
+                truncated = true
                 java.io.InputStream.nullInputStream()
             }
           private val buf = new Array[Byte](64 * 1024)
           private val cur = new java.io.ByteArrayOutputStream()
           private val done = scala.collection.mutable.Queue.empty[(String, Boolean, String)]
-          private var matched = 0       // prefix of Delim matched so far
-          private var truncated = false // current record hit maxRecordBytes
-          private var eof = false
 
           private def write(b: Byte): Unit =
             if (cur.size < maxRecordBytes) cur.write(b.toInt)
@@ -173,6 +186,11 @@ object Warc {
             cur.reset()
             val t = truncated; truncated = false
             if (s.nonEmpty) done.enqueue((p, ok && !t, s))
+            // damage with an EMPTY buffer (non-gzip file, or corruption
+            // landing exactly on a record boundary) still surfaces: one
+            // flagged sentinel row — gz_ok=false, empty segment (parses
+            // to uri="", ok=false, payload="") — instead of nothing
+            else if (t) done.enqueue((p, false, ""))
           }
           // Delim's only 'W' is at index 0, so the fallback after a
           // mismatch is just "does this byte restart the match"
@@ -223,14 +241,15 @@ object Warc {
   /** Build one WARC/WET conversion record — the generator half for
     * specs/oracles (content is a pure function of the arguments, the
     * [[graft.llm.Multimodal.pcmWav]] pattern). `declaredLength`
-    * defaults to the true payload length; pass a wrong one to
-    * synthesize a corrupt record.
+    * defaults to the true payload length in OCTETS (what
+    * [[recordFromSegment]] verifies); pass a wrong one to synthesize a
+    * corrupt record.
     */
   def record(uri: Column, payload: Column,
              declaredLength: Option[Column] = None): Column =
     concat(
       lit("WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: "), uri,
       lit("\nContent-Length: "),
-      declaredLength.getOrElse(length(payload)).cast("string"),
+      declaredLength.getOrElse(octet_length(payload)).cast("string"),
       lit("\n\n"), payload, lit("\n\n"))
 }

@@ -332,6 +332,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("probe config persists in the index artifact: round-trip exact; search at " +
+    "stored widths == search at explicit widths; uncalibrated reads back None") {
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 4, iters = 3)
+    val cfg = Similarity.IvfProbeConfig(2, 3, 0.9375, met = true)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_probe").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, path, probe = Some(cfg))
+    assert(Similarity.readIvfProbeConfig(spark, path) === Some(cfg),
+      "the calibrated config must round-trip bit-exactly")
+    val qs = emb.filter($"vec_id".isin(0L, 1L, 2L))
+    val stored = Similarity.ivfIndexTopK(spark, path, qs, "vec_id", "embedding", 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    val explicit = Similarity.ivfIndexTopK(spark.read.parquet(path), qs,
+        "vec_id", "embedding", 3, cents,
+        nProbe = math.min(cfg.nProbeCoarse * cfg.nProbeFine, cents.length))
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(stored === explicit,
+      "stored-widths search must be the explicit-widths search")
+    // an index written WITHOUT a calibration carries no config and
+    // searches at the caller's default breadth
+    val bare = java.nio.file.Files.createTempDirectory("graft_ivf_bare").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, bare)
+    assert(Similarity.readIvfProbeConfig(spark, bare) === None)
+    val atDefault = Similarity.ivfIndexTopK(spark, bare, qs, "vec_id", "embedding", 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    val atTwo = Similarity.ivfIndexTopK(spark.read.parquet(bare), qs,
+        "vec_id", "embedding", 3, cents, nProbe = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(atDefault === atTwo)
+  }
+
+  test("ivfAutoProbe knownCount: supplying the corpus count is result-identical " +
+    "to letting the probe count") {
+    val a = Similarity.ivfAutoProbe(emb, "vec_id", "embedding", 3, 0.7,
+      nCalib = 4, targetOccupancy = 8)
+    val b = Similarity.ivfAutoProbe(emb, "vec_id", "embedding", 3, 0.7,
+      nCalib = 4, targetOccupancy = 8, knownCount = Some(vectors.size.toLong))
+    assert(a === b)
+  }
+
   test("ivfIndexCellStats reports counts and skew vs the median cell") {
     val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 4, iters = 3)
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_stats").toString

@@ -32,6 +32,18 @@ class WarcSpec extends SparkSpec {
     assert(out.toSeq === Seq(("https://a/1", true, "good"), ("https://a/2", false, "bad")))
   }
 
+  test("Content-Length counts OCTETS, not characters: a non-ASCII payload with a " +
+    "correct byte declaration verifies ok; the char count flags false") {
+    val pay = "héllo café" // 10 chars, 12 UTF-8 bytes
+    val blob = mk("https://a/1", pay, declared = Some(12)) +
+      mk("https://a/2", pay, declared = Some(10))
+    val out = Warc.extractRecords(Seq(Tuple1(blob)).toDF("blob"), "blob")
+      .select("uri", "ok", "payload").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+    assert(out.toSeq === Seq(
+      ("https://a/1", true, pay), ("https://a/2", false, pay)))
+  }
+
   test("malformed segments degrade: missing blank line or headers yield ok=false, " +
     "never an exception") {
     val blob = "WARC/1.0\nWARC-Target-URI: u\nContent-Length: 5" // no blank line, no body
@@ -93,8 +105,11 @@ class WarcSpec extends SparkSpec {
       for (f <- Seq("a.wet.gz", "b.wet.gz"))
         assert(byF(f).map(t => (t._3, t._4, t._5)).toSet ===
           Set(("u1", true, "hello"), ("u2", true, "world")), s"file $f")
-      assert(!byF.contains("c.wet.gz") ||
-        byF("c.wet.gz").forall(!_._4), "garbage must not yield ok records")
+      // file-level damage is OBSERVABLE: the non-gzip file emits exactly
+      // one flagged sentinel row (gz_ok=false, empty payload), never
+      // silence and never an ok record
+      assert(byF("c.wet.gz").map(t => (t._2, t._4, t._5)).toSeq ===
+        Seq((false, false, "")), "garbage must surface as a flagged sentinel row")
     } finally {
       dir.listFiles.foreach(_.delete()); dir.delete()
     }
