@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeApplyRanked, BpeCount, CharSetCount, ChunkHashes, GramBuckets, GramCounts, GramTickSum, HashEmbed, HtmlExtract, LangBest, LangScores, Md5Prefix32, PiiScan, WordSetCount, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashSeq, WordNgramHashes, WsTokenCount}
+import graft.functions.{ArrayDotProduct, AsciiRollingHash, BpeApplyRanked, BpeCount, CharSetCount, ChunkHashes, GramBuckets, GramCounts, GramTickSum, HashEmbed, HtmlExtract, LangBest, LangScores, Md5Prefix32, MinhashSigs, PiiScan, WordSetCount, PqSubCode, RepetitionStats, SetOverlap, SgResidualStddev, ShingleHashes, SubwordEncode, TermHits, WordNgramHashSeq, WordNgramHashes, WsTokenCount}
 import graft.llm.TextAnalysis
 import org.apache.spark.sql.types.DataTypes
 import org.apache.spark.unsafe.types.UTF8String
@@ -168,6 +168,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children(1).foldable, "graft_shingle_hashes: n must be a literal")
         ShingleHashes(children(0),
           litInt(children(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, null, "graft_minhash_sigs",
+        "graft_minhash_sigs(hashes, k) - all k MinHash signature values over a " +
+          "shingle-hash array in one pass", ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_minhash_sigs requires exactly 2 arguments, got ${children.size}")
+        require(children(1).foldable, "graft_minhash_sigs: k must be a literal")
+        MinhashSigs(children(0), litInt(children(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_md5_32"),

@@ -201,12 +201,27 @@ object SparkEntry {
     })
   }
 
+  /** Perceptual-hash table per sf dir, computed once and cached: the
+    * pair and cluster queries consume the SAME hash table mm_phash
+    * grades (real usage: decode + hash the image corpus once, then pair,
+    * then cluster), so the PNG decode — the dominant cost of all three —
+    * runs once per session/dir instead of once per query.
+    */
+  private val phashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedImageHashes(s: SparkSession, dir: String): DataFrame = {
+    evictStopped(); hookCleanup(s)
+    phashCache.getOrElseUpdate((s, dir),
+      Multimodal.imageHashes(phashFixture(s, dir)).toDF().cache())
+  }
+
   private def evictStopped(): Unit = {
     def stopped(k: (SparkSession, String)): Boolean = k._1.sparkContext.isStopped
     bankCache.keys.filter(stopped).foreach(bankCache.remove)
     selectorCache.keys.filter(stopped).foreach(selectorCache.remove)
     computedCache.keys.filter(stopped).foreach(computedCache.remove)
     pairsCache.keys.filter(stopped).foreach(pairsCache.remove)
+    phashCache.keys.filter(stopped).foreach(phashCache.remove)
   }
 
   /** Sessions whose context already carries the eviction listener, weakly
@@ -234,6 +249,7 @@ object SparkEntry {
           selectorCache.keys.filter(_._1 eq s).foreach(selectorCache.remove)
           computedCache.keys.filter(_._1 eq s).foreach(computedCache.remove)
           pairsCache.keys.filter(_._1 eq s).foreach(pairsCache.remove)
+          phashCache.keys.filter(_._1 eq s).foreach(phashCache.remove)
         }
       })
     }
@@ -250,6 +266,8 @@ object SparkEntry {
       computedCache.remove(k).foreach(_.unpersist(false)))
     pairsCache.keys.filter(_._1 eq s).foreach(k =>
       pairsCache.remove(k).foreach(_.unpersist(false)))
+    phashCache.keys.filter(_._1 eq s).foreach(k =>
+      phashCache.remove(k).foreach(_.unpersist(false)))
   }
 
   /** Recursively delete a directory tree now; missing paths are fine. */
@@ -4010,14 +4028,14 @@ object SparkEntry {
     // construction analytically; a decode or grid-arithmetic bug breaks
     // the hash match.
     "mm_phash" -> { (s, dir) =>
-      Multimodal.imageHashes(phashFixture(s, dir)).toDF().orderBy("doc_id")
+      cachedImageHashes(s, dir).orderBy("doc_id")
     },
 
     // Image near-dup pairs (the Dedup banding doctrine on the image
     // modality): 8 Hamming bands over the 56-bit dHash, band-local
     // candidates only, exact bit_count(xor) re-rank, hot-band cap.
     "dedup_phash" -> { (s, dir) =>
-      Multimodal.phashDup(Multimodal.imageHashes(phashFixture(s, dir)).toDF())
+      Multimodal.phashDup(cachedImageHashes(s, dir))
         .orderBy("id_a", "id_b")
     },
 
@@ -4027,7 +4045,7 @@ object SparkEntry {
     // with its duplicate-group representative + group size (the keep-one
     // rewrite reads "keep cluster_id == doc_id").
     "dedup_phash_clusters" -> { (s, dir) =>
-      val hashes = Multimodal.imageHashes(phashFixture(s, dir)).toDF()
+      val hashes = cachedImageHashes(s, dir)
       val pairs = Multimodal.phashDup(hashes).select("id_a", "id_b")
       Dedup.clusters(hashes.select("doc_id"), "doc_id", pairs).orderBy("doc_id")
     },

@@ -131,28 +131,94 @@ object Classifier {
     require(trainCapPerLabel >= 0, "Classifier.fit: trainCapPerLabel must be >= 0")
     graft.core.Salting.requireFreeColumns(docs, Seq("_cls_label"),
       "Classifier.fit")
-    val fitDocs =
-      if (trainCapPerLabel > 0)
-        trainingSample(docs, idCol, label, "_cls_label", trainCapPerLabel,
-          sampleSeed, presampleFactor, knownCount)
-      else docs.withColumn("_cls_label", label)
-    // bucket-instance array → sparse count vector; row-local, so the one
-    // UDF in this file runs on the labeled SAMPLE only, never the corpus
-    val toVec = udf((bs: Seq[Long]) => {
-      val m = scala.collection.mutable.HashMap.empty[Int, Double]
-      bs.foreach(b => m.update(b.toInt, m.getOrElse(b.toInt, 0.0) + 1.0))
-      Vectors.sparse(dim, m.toSeq.sortBy(_._1))
-    })
-    val train = fitDocs.select(
-      col("_cls_label").cast("double").as("label"),
-      toVec(Pipeline.gramBuckets(col(textCol), ns, dim)).as("features"))
-    val lr = new LogisticRegression()
-      .setMaxIter(maxIter).setRegParam(regParam)
-      .setStandardization(false).setFitIntercept(true)
-    val m = lr.fit(train)
     def ticks(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
-    TextClassifierModel(dim, ns, ticks(m.intercept),
-      m.coefficients.toArray.map(ticks))
+    if (trainCapPerLabel > 0) {
+      // Capped fit: the training set is ≤ 2 · capPerLabel rows BY
+      // CONSTRUCTION (trainingSample's contract), i.e. metadata-sized —
+      // but spark.ml's LBFGS submits one treeAggregate JOB per iteration,
+      // and at maxIter = 50 those ~50 scheduler round-trips (not the
+      // gradient math, microseconds on a 4k-row sample) were the whole
+      // fit cost. Collect the bounded sample once and run the SAME
+      // objective (mean logistic loss + L2 on coefficients, intercept
+      // unregularized, raw counts — the standardization=false contract)
+      // through breeze's LBFGS on the driver: zero jobs per iteration.
+      // Training numerics were never part of the determinism contract
+      // (object doc); scoring still replays from the exported ticks.
+      val sample = trainingSample(docs, idCol, label, "_cls_label",
+          trainCapPerLabel, sampleSeed, presampleFactor, knownCount)
+        .select(col("_cls_label").cast("double"),
+          Pipeline.gramBuckets(col(textCol), ns, dim))
+        .collect() // ≤ 2 · capPerLabel rows — the cap bounds this
+        .map { r =>
+          val counts = scala.collection.mutable.HashMap.empty[Int, Double]
+          r.getSeq[Long](1).foreach(b =>
+            counts.update(b.toInt, counts.getOrElse(b.toInt, 0.0) + 1.0))
+          (r.getDouble(0), counts.toArray.sortBy(_._1))
+        }
+      val (intercept, coefs) = fitLocal(sample, dim, maxIter, regParam)
+      TextClassifierModel(dim, ns, ticks(intercept), coefs.map(ticks))
+    } else {
+      val fitDocs = docs.withColumn("_cls_label", label)
+      // bucket-instance array → sparse count vector; row-local, so the one
+      // UDF in this file runs on the corpus-wide-labels path only
+      val toVec = udf((bs: Seq[Long]) => {
+        val m = scala.collection.mutable.HashMap.empty[Int, Double]
+        bs.foreach(b => m.update(b.toInt, m.getOrElse(b.toInt, 0.0) + 1.0))
+        Vectors.sparse(dim, m.toSeq.sortBy(_._1))
+      })
+      val train = fitDocs.select(
+        col("_cls_label").cast("double").as("label"),
+        toVec(Pipeline.gramBuckets(col(textCol), ns, dim)).as("features"))
+      val lr = new LogisticRegression()
+        .setMaxIter(maxIter).setRegParam(regParam)
+        .setStandardization(false).setFitIntercept(true)
+      val m = lr.fit(train)
+      TextClassifierModel(dim, ns, ticks(m.intercept),
+        m.coefficients.toArray.map(ticks))
+    }
+  }
+
+  /** Driver-local logistic regression over a bounded sample: minimize
+    * `(1/n) Σ logloss + (regParam/2) ||coef||²` (intercept not
+    * regularized) with breeze's LBFGS — the library spark.ml's own
+    * optimizer wraps, minus the per-iteration distributed aggregate that
+    * a metadata-sized sample cannot amortize. `rows` are
+    * `(label, sparse feature counts)`; returns `(intercept, coefs)`.
+    */
+  private def fitLocal(rows: Array[(Double, Array[(Int, Double)])], dim: Int,
+                       maxIter: Int, regParam: Double): (Double, Array[Double]) = {
+    import breeze.linalg.{DenseVector => BDV}
+    require(rows.nonEmpty, "Classifier.fitLocal: empty training sample")
+    val n = rows.length.toDouble
+    val cost = new breeze.optimize.DiffFunction[BDV[Double]] {
+      // w(0..dim-1) = coefficients, w(dim) = intercept
+      def calculate(w: BDV[Double]): (Double, BDV[Double]) = {
+        var loss = 0.0
+        val grad = BDV.zeros[Double](dim + 1)
+        rows.foreach { case (y, xs) =>
+          var m = w(dim)
+          xs.foreach { case (i, v) => m += w(i) * v }
+          // canonical stable form: max(m,0) − y·m + log1p(e^−|m|)
+          loss += math.max(m, 0.0) - y * m + math.log1p(math.exp(-math.abs(m)))
+          val mult = 1.0 / (1.0 + math.exp(-m)) - y
+          xs.foreach { case (i, v) => grad(i) += mult * v }
+          grad(dim) += mult
+        }
+        loss /= n
+        grad /= n
+        var k = 0
+        while (k < dim) {
+          loss += 0.5 * regParam * w(k) * w(k)
+          grad(k) += regParam * w(k)
+          k += 1
+        }
+        (loss, grad)
+      }
+    }
+    val lbfgs = new breeze.optimize.LBFGS[BDV[Double]](
+      maxIter = maxIter, m = 10, tolerance = 1e-6)
+    val w = lbfgs.minimize(cost, BDV.zeros[Double](dim + 1))
+    (w(dim), Array.tabulate(dim)(w(_)))
   }
 
   /** Integer-tick logit of `text` under `model` — the pinned scoring

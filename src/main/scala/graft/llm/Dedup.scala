@@ -57,21 +57,33 @@ object Dedup {
     * (a_k * h(shingle) + b_k) mod P`. Coefficients are a deterministic
     * LCG of k so the oracle can reproduce them.
     */
-  val MinhashP = 4294967311L // smallest prime > 2^32
+  val MinhashP: Long = graft.functions.MinhashSigs.P // smallest prime > 2^32
 
   /** Deterministic (a, b) per permutation, with a < 2^31 so that
     * `h * a + b` never overflows a signed 64-bit long (h < 2^32).
+    * Delegates to the native expression's derivation so the two
+    * signature paths can never drift.
     */
-  def minhashCoeff(k: Int): (Long, Long) = {
-    def lcg(x: Long): Long = (x * 6364136223846793005L + 1442695040888963407L) >>> 33
-    (lcg(2L * k + 1) % 2147483646L + 1L, lcg(2L * k + 2) % 2147483647L)
-  }
+  def minhashCoeff(k: Int): (Long, Long) = graft.functions.MinhashSigs.coeff(k)
 
   /** Add `sig_0..sig_{numHashes-1}` MinHash columns computed from a
-    * `shingle_hashes: array<long>` column.
+    * `shingle_hashes: array<long>` column. Resolves to the one-pass
+    * native [[graft.functions.MinhashSigs]] when the session registered
+    * [[graft.GraftExtensions]] (the declarative chain walks the shingle
+    * array — and allocates a transformed copy of it — once PER
+    * permutation; auto-banded configs run dozens); the declarative
+    * per-column chain otherwise.
     */
   def minhashSignature(df: DataFrame, hashesCol: String, numHashes: Int): DataFrame =
-    (0 until numHashes).foldLeft(df) { (d, k) =>
+    if (graft.functions.Native.registered) {
+      // one projection computes the array, a second picks the elements:
+      // CollapseProject keeps the non-cheap array expression un-inlined
+      // (it is referenced numHashes times), so it evaluates once per row
+      val sigs = df.withColumn("_graft_sigs",
+        call_function("graft_minhash_sigs", col(hashesCol), lit(numHashes)))
+      sigs.select(df.columns.map(col) ++ (0 until numHashes).map(k =>
+        element_at(col("_graft_sigs"), k + 1).as(s"sig_$k")): _*)
+    } else (0 until numHashes).foldLeft(df) { (d, k) =>
       val (a, b) = minhashCoeff(k)
       d.withColumn(
         s"sig_$k",

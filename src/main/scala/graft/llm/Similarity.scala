@@ -890,11 +890,10 @@ object Similarity {
     * Scale shape: ONE quantizer build (the corpus passes: seed probes +
     * assignment, cached via `scope`), ONE brute-force exact top-k over
     * the calibration queries (the documented price of ground truth —
-    * nCalib query rows broadcast against the corpus), then per rung
-    * only the QUERY-SIDE probe + inverted-list re-rank re-runs against
-    * the cached assignment (candidate volume `nCalib · c·f ·
-    * occupancy`, never corpus-shaped). The ladder is ≤ log²(maxProbe)
-    * rungs and stops at the first pass. At 100 TB, calibrate on a
+    * nCalib query rows broadcast against the corpus), then ONE batched
+    * job measures every rung's recall against the cached assignment
+    * ([[ladderRecalls]] — candidate volume `nCalib · maxC·maxF ·
+    * occupancy`, never corpus-shaped). At 100 TB, calibrate on a
     * corpus sample and carry the config to the full index — the config,
     * like the centroids, is a frozen artifact of the build.
     */
@@ -923,21 +922,82 @@ object Similarity {
     def rungs(cap: Int) = Iterator.iterate(1)(_ * 2).takeWhile(_ <= cap).toSeq
     val ladder = (for (c <- rungs(maxProbeCoarse); f <- rungs(maxProbeFine))
       yield (c, f)).sortBy { case (c, f) => (c.toLong * f, c) }
-    def measure(c: Int, f: Int): Double = {
-      val approx = ivfAutoSearch(base, asg, cs, fs, idCol, calIds, k, c, f)
-      val r = recallAtK(exact, approx, "q_id", idCol, k)
-        .agg(avg(col("recall"))).collect().head
-      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    // ONE batched job measures EVERY rung: the sequential ladder paid a
+    // full probe→re-rank→recall-aggregate→collect chain (≈5 jobs, two
+    // window shuffles each) PER rung, and that fixed scheduling cost —
+    // not the rung's candidate work (nCalib · c·f · occupancy rows) —
+    // dominated the whole calibration. The choice rule is unchanged:
+    // first rung in (volume, coarse-width) order whose mean recall
+    // meets the target; the widest rung with its recall otherwise.
+    val recalls = ladderRecalls(base, asg, cs, fs, exact, idCol, calIds, k,
+      rungs(maxProbeCoarse), rungs(maxProbeFine))
+    ladder.find { case (c, f) =>
+      recalls.getOrElse((c, f), 0.0) >= targetRecall
+    } match {
+      case Some((c, f)) => IvfProbeConfig(c, f, recalls((c, f)), met = true)
+      case None =>
+        val (c, f) = ladder.last
+        IvfProbeConfig(c, f, recalls.getOrElse((c, f), 0.0), met = false)
     }
-    var best: Option[IvfProbeConfig] = None
-    val it = ladder.iterator
-    while (best.isEmpty && it.hasNext) {
-      val (c, f) = it.next()
-      val r = measure(c, f)
-      if (r >= targetRecall) best = Some(IvfProbeConfig(c, f, r, met = true))
-      else if (!it.hasNext) best = Some(IvfProbeConfig(c, f, r, met = false))
-    }
-    best.get
+  }
+
+  /** Mean recall@k for EVERY rung `(c, f) ∈ cRungs × fRungs` in ONE job
+    * over the cached quantizer — the batched form of running
+    * [[ivfAutoSearch]] + [[recallAtK]] once per rung. Per-rung results
+    * are identical to the sequential search's by construction:
+    *
+    *  - a probed cell's coarse rank is its row_number in the widest-cap
+    *    window, so the rank-≤-c cut IS the per-rung coarse probe set
+    *    (rank is prefix-stable under truncation of the same ordering);
+    *  - the fine window re-ranks per (query, c) — the fine candidate
+    *    set depends on the coarse cut, so fine ranks are NOT
+    *    prefix-stable across c and each c gets its own partition;
+    *  - each scored candidate fans out (`explode`) to exactly the
+    *    f-rungs wide enough to include its fine rank, and one window
+    *    per (query, c, f) takes every rung's top-k in a single pass.
+    *
+    * Everything here is calibration-sample-sized (nCalib × probe caps ×
+    * occupancy); the one corpus-shaped input, the cached assignment,
+    * is scanned once.
+    */
+  private def ladderRecalls(base: DataFrame, asg: DataFrame, cs: DataFrame,
+                            fs: DataFrame, exact: DataFrame, idCol: String,
+                            calIds: Seq[Long], k: Int,
+                            cRungs: Seq[Int], fRungs: Seq[Int]): Map[(Int, Int), Double] = {
+    val cArr = typedlit(cRungs)
+    val fArr = typedlit(fRungs)
+    val q = base.filter(col(idCol).isin(calIds: _*))
+      .select(col(idCol).as("q_id"), col("_v").as("_qv"), col("_n").as("_qn"))
+    val w1 = Window.partitionBy("q_id").orderBy(col("_s").desc, col("_s1").asc)
+    val q1 = q.crossJoin(broadcast(cs))
+      .withColumn("_s", dot(col("_qv"), col("_cv")) / col("_cn"))
+      .withColumn("_rnc", row_number().over(w1)).filter(col("_rnc") <= cRungs.max)
+      .withColumn("_c", explode(filter(cArr, c => c >= col("_rnc"))))
+      .select(col("q_id"), col("_qv"), col("_qn"), col("_s1").as("_c1"), col("_c"))
+    val w2 = Window.partitionBy("q_id", "_c").orderBy(col("_s").desc, col("_s2").asc)
+    val q2 = q1.join(fs, "_c1")
+      .withColumn("_s", dot(col("_qv"), col("_fv")) / col("_fn"))
+      .withColumn("_rnf", row_number().over(w2)).filter(col("_rnf") <= fRungs.max)
+      .select(col("q_id"), col("_qv"), col("_qn"), col("_c"), col("_rnf"),
+        col("_s2").as("cluster"))
+    val scored = asg.join(broadcast(q2), Seq("cluster"))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", round(dot(col("_v"), col("_qv")) / (col("_n") * col("_qn")), 6))
+      .withColumn("_f", explode(filter(fArr, f => f >= col("_rnf"))))
+    val w = Window.partitionBy("q_id", "_c", "_f").orderBy(col("cos").desc, col(idCol))
+    val approx = scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("_c"), col("_f"), col("q_id"), col(idCol), lit(1).as("_hit"))
+    val rows = exact.select(col("q_id"), col(idCol))
+      .withColumn("_c", explode(cArr))
+      .withColumn("_f", explode(fArr))
+      .join(approx, Seq("_c", "_f", "q_id", idCol), "left")
+      .groupBy(col("_c"), col("_f"), col("q_id"))
+      .agg(count(col("_hit")).as("hits"))
+      .select(col("_c"), col("_f"), round(col("hits") / k.toDouble, 6).as("recall"))
+      .groupBy(col("_c"), col("_f")).agg(avg(col("recall")).as("_r"))
+      .collect()
+    rows.map(r => ((r.getInt(0), r.getInt(1)),
+      if (r.isNullAt(2)) 0.0 else r.getDouble(2))).toMap
   }
 
   /** [[cosineDup]] with the granularity chosen by [[lshAutoConfig]] from

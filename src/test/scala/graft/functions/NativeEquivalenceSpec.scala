@@ -510,6 +510,29 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(bad.count() === 0L, bad.collect().take(5).mkString("\n"))
   }
 
+  test("graft_minhash_sigs == per-permutation array_min(transform) chain, " +
+    "consumed the way minhashSignature consumes it (element_at per k)") {
+    val K = 12
+    // md5-32-range hashes plus null elements; whole-array edge rows:
+    // empty, all-null elements, null array
+    val genArr: Gen[Seq[Option[Long]]] =
+      Gen.listOf(Gen.option(Gen.chooseNum(0L, 4294967295L)))
+    val rows: Seq[Option[Seq[Option[Long]]]] =
+      sampled(genArr, 300, 17L).map(Some(_)) ++
+        Seq(Some(Seq.empty), Some(Seq(None, None)), None)
+    val df = rows.toDF("sh")
+    val nat = struct((0 until K).map(k =>
+      element_at(call_function("graft_minhash_sigs", col("sh"), lit(K)), k + 1)
+        .as(s"s_$k")): _*)
+    val dec = struct((0 until K).map { k =>
+      val (a, b) = Dedup.minhashCoeff(k)
+      array_min(transform(col("sh"), h => (h * a + b) % Dedup.MinhashP)).as(s"s_$k")
+    }: _*)
+    val bad = df.select(col("sh"), nat.as("nat"), dec.as("dec"))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(bad.count() === 0L, bad.collect().take(3).mkString("\n"))
+  }
+
   test("graft_set_overlap == array_intersect/array_union sizes on generated arrays") {
     val genArr = Gen.listOf(Gen.chooseNum(0L, 30L)) // small domain → real overlaps
     val pairs = sampled(Gen.zip(genArr, genArr), 300, 13L)

@@ -280,6 +280,29 @@ class AutoConfigSpec extends SparkSpec {
     }
   }
 
+  test("ivfAutoProbe: the chosen rung is minimal — every cheaper rung re-measures " +
+    "below target (pins the batched ladder's per-rung recalls to the per-rung search)") {
+    val target = 0.9
+    val cfg = Similarity.ivfAutoProbe(embBig8, "vec_id", "embedding",
+      k = 5, targetRecall = target, nCalib = 12)
+    assert(cfg.met)
+    val ids = calibIds(embBig8, 12)
+    val exact = Similarity.topK(embBig8, "vec_id", "embedding", ids, 5)
+    def rungs(cap: Int) = Iterator.iterate(1)(_ * 2).takeWhile(_ <= cap).toSeq
+    val ladder = (for (c <- rungs(8); f <- rungs(8)) yield (c, f))
+      .sortBy { case (c, f) => (c.toLong * f, c) }
+    val cheaper = ladder.takeWhile(_ != ((cfg.nProbeCoarse, cfg.nProbeFine)))
+    cheaper.foreach { case (c, f) =>
+      val approx = Similarity.ivfTopKAuto(embBig8, "vec_id", "embedding", ids, 5,
+        nProbeCoarse = c, nProbeFine = f)
+      val measured = Similarity.recallAtK(exact, approx, "q_id", "vec_id", 5)
+        .agg(avg(col("recall"))).as[Double].head()
+      assert(measured < target,
+        s"rung ($c, $f) before chosen $cfg re-measures $measured >= $target — " +
+          "the ladder should have stopped there")
+    }
+  }
+
   test("ivfAutoProbe: an easy target stops the ladder at the cheapest rung") {
     val cfg = Similarity.ivfAutoProbe(emb, "vec_id", "embedding",
       k = 5, targetRecall = 0.05, nCalib = 8)
