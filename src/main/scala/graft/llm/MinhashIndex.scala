@@ -84,7 +84,9 @@ object MinhashIndex {
     */
   private def derive(docs: DataFrame, idCol: String, textCol: String,
                      cfg: Config, scope: CacheScope): (DataFrame, DataFrame) = {
-    val base = scope.cache(docs.select(
+    // fanOut: the shingle chain is the per-row-expensive pass (no-op on
+    // already-wide scans — see graft.core.Fanout)
+    val base = scope.cache(graft.core.Fanout.fanOut(docs).select(
       col(idCol).as("doc"),
       Dedup.distinctNgramHashes(col(textCol), cfg.shingleLen).as("sh")))
     val sigs = Dedup.minhashSignature(base, "sh", cfg.numHashes).drop("sh")
@@ -190,7 +192,15 @@ object MinhashIndex {
     // docs and the batch derivation for batch docs — never recomputed.
     val setsAll = spark.read.parquet(s"$path/sets").unionByName(setsNew)
     val (inter, uni) = Dedup.overlapCols(col("sh_a"), col("sh_b"))
+    // Pin the re-rank's parallelism: a candidate pair is 16 BYTES on the
+    // wire but costs a whole set_overlap over two document-sized arrays
+    // downstream, so AQE's byte-based partition coalescing (sizing for
+    // 1 MB+ partitions) legitimately collapses this exchange to one task
+    // and serializes the dominant compute (measured ~35% of the query).
+    // An explicit keyed repartition is not coalesced, and the first
+    // attach join reuses its partitioning — no extra exchange.
     cand
+      .repartition(spark.sparkContext.defaultParallelism, col("id_a"))
       .join(setsAll.select(col("doc").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(setsAll.select(col("doc").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", round(inter / uni, 6))

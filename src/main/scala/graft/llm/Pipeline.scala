@@ -311,10 +311,15 @@ object Pipeline {
     // and each survivor's text is rewritten to its surviving lines, so
     // every later stage (language/quality/dedup/decon/redact) sees the
     // line-cleaned text — still row-local, still zero added shuffles.
+    // fanOut: the funnel head (HTML extraction, C4 line rules, quality
+    // heuristics, language ID, gram hashes) is the per-row-expensive
+    // pass — a single-row-group input must not run it all on one core
+    // (no-op on already-wide scans; see graft.core.Fanout)
     val src = {
       val extracted = if (fromHtml)
-        docs.withColumn(textCol, Html.extractText(col(textCol)))
-      else docs
+        graft.core.Fanout.fanOut(docs)
+          .withColumn(textCol, Html.extractText(col(textCol)))
+      else graft.core.Fanout.fanOut(docs)
       if (lineClean) {
         val c4 = TextAnalysis.c4LineCols(col(textCol)).toMap
         extracted.filter(!c4("drop_doc"))

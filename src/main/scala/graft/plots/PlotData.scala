@@ -57,7 +57,10 @@ object PlotData {
                             valueCols: Seq[String]): DataFrame = {
     val stats = df.select(valueCols.flatMap(c =>
       Seq(avg(col(c)).as(s"_m_$c"), stddev_samp(col(c)).as(s"_s_$c"))): _*)
-    val z = df.crossJoin(broadcast(stats))
+    // fanOut the MELT side only: the z-score + melt explode is the
+    // per-row work; `stats` stays on the original partitioning so its
+    // float summation order is unchanged
+    val z = graft.core.Fanout.fanOut(df).crossJoin(broadcast(stats))
     val zcols = valueCols.map { c =>
       when(col(s"_s_$c") =!= 0.0, (col(c) - col(s"_m_$c")) / col(s"_s_$c")).as(c)
     }
