@@ -146,6 +146,14 @@ object Classifier {
       // (object doc); scoring still replays from the exported ticks.
       val sample = trainingSample(docs, idCol, label, "_cls_label",
           trainCapPerLabel, sampleSeed, presampleFactor, knownCount)
+        // the sampling windows leave ~one partition per label, so the
+        // gram hashing of the whole sample (the collect's real per-row
+        // cost) would run single-task without this spread; the sample is
+        // ≤ 2 · capPerLabel rows BY CONSTRUCTION, so an unconditional
+        // repartition is bounded at any corpus scale (no Fanout.fanOut
+        // here — its partition probe would pre-execute the sampling
+        // stages under AQE)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select(col("_cls_label").cast("double"),
           Pipeline.gramBuckets(col(textCol), ns, dim))
         .collect() // ≤ 2 · capPerLabel rows — the cap bounds this

@@ -567,23 +567,30 @@ object Dedup {
       while (!converged && round < maxIters) {
         val nbrMin = edges.join(labels.withColumnRenamed("id", "_dst"), "_dst")
           .groupBy(col("_src").as("id")).agg(min("label").as("_nl"))
-        // checkpointed BEFORE the jump so the self-join below reads the
-        // materialized round result instead of recomputing the edge join
-        // on both sides
-        val prop = materialize(labels.join(nbrMin, Seq("id"), "left")
+        // propagation and pointer jump FUSED into one materialization:
+        // the jump reads label(·) from the PREVIOUS round's materialized
+        // labels (not from this round's propagation result, which would
+        // need its own checkpoint to avoid recomputing the edge join on
+        // both sides of the self-join — the cost of a whole extra
+        // materialization job per round). Jumping through a one-step-
+        // stale table is still a monotone min of component-member labels,
+        // so the fixpoint — labels constant per component at the
+        // component MINIMUM, which is what propagation alone already
+        // guarantees — is unchanged; only the per-round compression depth
+        // differs, and convergence is still detected by the exact label
+        // sum. Labels are ids of component members (invariant:
+        // initialized to own id, min-ed with other members' ids), so
+        // every jumped-to label has a row in `labels`.
+        val prop = least(col("label"), coalesce(col("_nl"), col("label")))
+        val relabel = labels.select(col("id").as("_lid"), col("label").as("_jl"))
+        val updated = materialize(labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), prop.as("_m"))
+          .join(relabel, col("_m") === col("_lid"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("_nl"), col("label"))).as("label")))
-        // pointer jump: label ← min(label, label(label)). Labels are ids
-        // of component members (invariant: initialized to own id, min-ed
-        // with other members' ids), so every label has a row to jump to.
-        val relabel = prop.select(col("id").as("_lid"), col("label").as("_jl"))
-        val updated = materialize(prop.join(relabel, col("label") === col("_lid"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("_jl"), col("label"))).as("label")))
+            least(col("_m"), coalesce(col("_jl"), col("_m"))).as("label")))
         val s = labelSum(updated)
-        // round k is materialized and summed: the intermediate and the
-        // superseded round k-1 blocks are dead weight now
-        release(prop)
+        // round k is materialized and summed: the superseded round k-1
+        // blocks are dead weight now
         release(labels)
         labels = updated
         converged = s.compareTo(prevSum) == 0
