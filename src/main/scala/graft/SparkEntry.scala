@@ -4327,8 +4327,10 @@ object SparkEntry {
     "pipe_clean_html" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val html = docs.select(col("doc_id"), htmlInjected.as("text"))
-      val bench = docs
-        .select(col("doc_id"), Html.extractText(htmlInjected).as("text"))
+      // fanOut the bench side too: its extraction pass is the same
+      // per-row-heavy chain and would otherwise census grams single-task
+      val bench = graft.core.Fanout.fanOut(docs
+        .select(col("doc_id"), Html.extractText(htmlInjected).as("text")))
         .filter(col("doc_id") % DecBenchMod === 0)
       Pipeline.cleanCorpus(html, bench, "doc_id", "text",
           CleanLang, CleanMinQuality, CleanMaxTwf, DecN, DecMinHits,
@@ -4344,8 +4346,9 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val pages = docs.select(col("doc_id"), c4Injected.as("text"))
       val c4 = TextAnalysis.c4LineCols(col("text")).toMap
-      val bench = pages.filter(!c4("drop_doc"))
-        .select(col("doc_id"), c4("clean_text").as("text"))
+      // fanOut the bench side (same rationale as pipe_clean_html's)
+      val bench = graft.core.Fanout.fanOut(pages.filter(!c4("drop_doc"))
+          .select(col("doc_id"), c4("clean_text").as("text")))
         .filter(col("doc_id") % DecBenchMod === 0)
       Pipeline.cleanCorpus(pages, bench, "doc_id", "text",
           CleanLang, CleanMinQuality, CleanMaxTwf, DecN, DecMinHits,
@@ -4361,8 +4364,14 @@ object SparkEntry {
     // the stages' own documented exchanges.
     "pipe_funnel" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val extracted = docs.select(col("doc_id"), col("source"),
-        Html.extractText(htmlInjected).as("text"))
+      // fanOut ONCE at the extraction: every funnel consumer (the fit's
+      // label evaluation, the decon bench census, cleanCorpus, packing)
+      // re-executes this projection, and each would otherwise run the
+      // HTML extraction single-task over the one-row-group scan
+      // (cleanCorpus's internal fanOut sees the repartition and skips)
+      val extracted = graft.core.Fanout.fanOut(
+        docs.select(col("doc_id"), col("source"),
+          Html.extractText(htmlInjected).as("text")))
       val bench = extracted.filter(col("doc_id") % DecBenchMod === 0)
         .select("doc_id", "text")
       val quality = TextAnalysis.qualityCols(col("text"))

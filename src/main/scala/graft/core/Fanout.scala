@@ -30,6 +30,17 @@ import org.apache.spark.sql.DataFrame
 object Fanout {
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // composition guard: a plan already carrying an explicit repartition
+    // was already width-repaired (or deliberately narrowed) by a caller —
+    // and probing ITS rdd would pre-execute the repartition's upstream
+    // stages under AQE, paying the scan twice. Plan inspection only; no
+    // execution.
+    val repartitioned = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }.isDefined
+    if (repartitioned) df
+    else if (df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 }
