@@ -4326,15 +4326,20 @@ object SparkEntry {
     // extracted too (decontamination grams live in text space).
     "pipe_clean_html" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val html = docs.select(col("doc_id"), htmlInjected.as("text"))
-      // fanOut the bench side too: its extraction pass is the same
-      // per-row-heavy chain and would otherwise census grams single-task
-      val bench = graft.core.Fanout.fanOut(docs
+      // Extract ONCE and cache: the funnel body and the decon bench
+      // census both consume the extracted text, and previously each ran
+      // its own extraction pass (the bench side standalone, the corpus
+      // side again inside cleanCorpus(fromHtml = true) — 9 copies of the
+      // extraction subtree in the physical plan, measured). Feeding the
+      // pre-extracted table with fromHtml = false computes the identical
+      // funnel (stage 0 extraction is a pure per-row projection) from
+      // one materialized pass. fanOut for the single-row-group scan.
+      val extracted = graft.core.Fanout.fanOut(docs
         .select(col("doc_id"), Html.extractText(htmlInjected).as("text")))
-        .filter(col("doc_id") % DecBenchMod === 0)
-      Pipeline.cleanCorpus(html, bench, "doc_id", "text",
-          CleanLang, CleanMinQuality, CleanMaxTwf, DecN, DecMinHits,
-          fromHtml = true)
+        .cache()
+      val bench = extracted.filter(col("doc_id") % DecBenchMod === 0)
+      Pipeline.cleanCorpus(extracted, bench, "doc_id", "text",
+          CleanLang, CleanMinQuality, CleanMaxTwf, DecN, DecMinHits)
         .orderBy("doc_id")
     },
 
@@ -4346,13 +4351,18 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val pages = docs.select(col("doc_id"), c4Injected.as("text"))
       val c4 = TextAnalysis.c4LineCols(col("text")).toMap
-      // fanOut the bench side (same rationale as pipe_clean_html's)
-      val bench = graft.core.Fanout.fanOut(pages.filter(!c4("drop_doc"))
+      // Line-clean ONCE and cache (the pipe_clean_html restructure, same
+      // rationale): the C4 line rules are the per-row-expensive stage and
+      // previously ran standalone for the bench census AND again inside
+      // cleanCorpus(lineClean = true) — 10 copies of the line-rule
+      // subtree in the physical plan, measured. The pre-cleaned table
+      // with lineClean = false computes the identical funnel.
+      val lineCleaned = graft.core.Fanout.fanOut(pages.filter(!c4("drop_doc"))
           .select(col("doc_id"), c4("clean_text").as("text")))
-        .filter(col("doc_id") % DecBenchMod === 0)
-      Pipeline.cleanCorpus(pages, bench, "doc_id", "text",
-          CleanLang, CleanMinQuality, CleanMaxTwf, DecN, DecMinHits,
-          lineClean = true)
+        .cache()
+      val bench = lineCleaned.filter(col("doc_id") % DecBenchMod === 0)
+      Pipeline.cleanCorpus(lineCleaned, bench, "doc_id", "text",
+          CleanLang, CleanMinQuality, CleanMaxTwf, DecN, DecMinHits)
         .orderBy("doc_id")
     },
 
@@ -4369,9 +4379,18 @@ object SparkEntry {
       // re-executes this projection, and each would otherwise run the
       // HTML extraction single-task over the one-row-group scan
       // (cleanCorpus's internal fanOut sees the repartition and skips)
+      // ...and CACHE it: the funnel re-reads the extracted corpus from
+      // SIX consumers (classifier sample, label evaluation, decon bench
+      // census, cleanCorpus head, survivor semi-join, packing/shuffle) —
+      // without a materialization the extraction subtree appeared 17
+      // times in the physical plan (measured, plans/r18). One pass
+      // extracts; every later stage reads the materialized table — the
+      // same "move the heavy bytes once" doctrine as a production funnel
+      // that lands extracted text before cleaning. MEMORY_AND_DISK by
+      // default, dropped with the session caches between bench passes.
       val extracted = graft.core.Fanout.fanOut(
         docs.select(col("doc_id"), col("source"),
-          Html.extractText(htmlInjected).as("text")))
+          Html.extractText(htmlInjected).as("text"))).cache()
       val bench = extracted.filter(col("doc_id") % DecBenchMod === 0)
         .select("doc_id", "text")
       val quality = TextAnalysis.qualityCols(col("text"))

@@ -301,7 +301,8 @@ object Pipeline {
                   deconN: Int = 8, deconMinHits: Int = 1,
                   fromHtml: Boolean = false,
                   classifier: Option[Classifier.TextClassifierModel] = None,
-                  lineClean: Boolean = false): DataFrame = {
+                  lineClean: Boolean = false,
+                  scope: graft.core.CacheScope = graft.core.CacheScope.session): DataFrame = {
     // fromHtml: textCol holds crawled HTML — [[Html.extractText]]
     // (pinned defaults) runs as stage 0 IN PLACE, so the whole funnel
     // operates on extracted main text. Still a pure projection fused
@@ -346,6 +347,16 @@ object Pipeline {
         // shuffles, exactly score(...).pred's contract
         && classifier.map(m => Classifier.logitTicks(col(textCol), m) > 0L)
           .getOrElse(lit(true)))
+      // The funnel's head (extraction, line rules, language scan, quality
+      // heuristics, classifier logit) is by far its most expensive pass,
+      // and the downstream joins reference `filtered` from BOTH sides of
+      // the dedup semi-join, the decon gram probe, and the decon
+      // anti-join — without a materialization the whole head re-executes
+      // once per reference (~10 copies in the physical plan, measured).
+      // Persist it once (MEMORY_AND_DISK — the production choice for an
+      // extracted corpus that is re-read by every later stage); callers
+      // that clean many corpora pass their own scope and release it.
+      .transform(scope.cache)
     val winners = filtered.groupBy(t).agg(min(col(idCol)).as(idCol)).select(idCol)
     val deduped = filtered.join(winners, Seq(idCol), "left_semi")
     decontaminated(deduped, bench, idCol, textCol, deconN, deconMinHits)
