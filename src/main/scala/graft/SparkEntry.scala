@@ -36,6 +36,14 @@ object SparkEntry {
     */
   private def opset(s: SparkSession, dir: String): Opset = Opset.fromEvents(s, dir)
 
+  /** Width-pinned opset for per-record-EXPENSIVE chains (indicator banks,
+    * tube estimate/score windows): see Opset.fromEvents(wide = true).
+    * Cheap consumers keep the plain form — the pinned exchange costs a
+    * sub-second row more in tiny-task churn than the width buys (measured).
+    */
+  private def opsetWide(s: SparkSession, dir: String): Opset =
+    Opset.fromEvents(s, dir, wide = true)
+
   /** DuckDB CTE equivalent of [[Opset.fromEvents]]. */
   private val OpsetCte =
     """opset AS (
@@ -104,7 +112,7 @@ object SparkEntry {
   private def cachedBank(s: SparkSession, dir: String): DataFrame = {
     evictStopped(); hookCleanup(s)
     bankCache.getOrElseUpdate((s, dir),
-      Indicators.bank(opset(s, dir).df, "record", "t", IndCodes, SgDeg)._1.cache())
+      Indicators.bank(opsetWide(s, dir).df, "record", "t", IndCodes, SgDeg)._1.cache())
   }
 
   /** Labels + fitted tree per sf dir: a user fits once and predicts many
@@ -301,11 +309,47 @@ object SparkEntry {
     * guide's efficient range at any scale; the session width is restored
     * on exit (the graded read-back below runs at session settings).
     */
-  private def withStreamWidth[T](s: SparkSession, inputBytes: Long)(body: => T): T = {
-    val width = math.max(1L, math.min(32768L, inputBytes / (8L << 20) + 1)).toString
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", width)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  private def withStreamWidth[T](s: SparkSession, inputPath: String)(body: => T): T = {
+    val width = math.max(1L,
+      math.min(32768L, regularFileBytes(inputPath) / (8L << 20) + 1)).toString
+    // The override is session-global and the streaming plans are built on
+    // `s` (a child session would not see them), so the set/run/restore is
+    // serialized per session: two overlapping replays would otherwise
+    // race the shared conf. The harness runs queries sequentially — the
+    // lock is insurance for a concurrent caller, at worst serializing its
+    // replays; truly concurrent streams should use separate sessions with
+    // pinned widths (the stream_ij pattern).
+    widthLocks.computeIfAbsent(s, _ => new Object).synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", width)
+      try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
+  private val widthLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Object]())
+
+  /** Total size of the regular files under `path` (the path itself if it
+    * is one). `File.length` on a DIRECTORY-shaped dataset (any
+    * Spark-written parquet) returns the directory inode size (~4 KB) and
+    * would silently collapse a stream's state width to 1 partition; the
+    * testdata inputs are single files today, but the width derivation
+    * must not degrade if the fixture shape changes.
+    */
+  private def regularFileBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.size(p)
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      } finally s.close()
+    }
   }
 
   /** DuckDB CTEs computing the epsilon noise floor of column `x` of
@@ -647,7 +691,7 @@ object SparkEntry {
     * matching the sgDf contract).
     */
   private def tubeBase(s: SparkSession, dir: String): DataFrame =
-    SignalOps.sgDf(opset(s, dir).df, "value", "record", "t", SgW, SgDeg, 0, "SGV")
+    SignalOps.sgDf(opsetWide(s, dir).df, "value", "record", "t", SgW, SgDeg, 0, "SGV")
       .withColumn("TIME", (col("t") - 1).cast("double"))
       .withColumn("TIME2", col("TIME") * col("TIME"))
 
@@ -2650,7 +2694,7 @@ object SparkEntry {
     "instants_multi" -> { (s, dir) =>
       // multi-signal indicator bank (Indicators.bank's multi-column path):
       // raw signal + derived v2 = value², one fused epsilons/window pass
-      val base = opset(s, dir).df.withColumn("v2", col("value") * col("value"))
+      val base = opsetWide(s, dir).df.withColumn("v2", col("value") * col("value"))
       val (bankDf, _) = Indicators.bank(base, "record", "t", MultiCodes, SgDeg)
       bankDf.select(col("record"), col("t"),
           round(col(MultiCodes(0).name), 6).as(MultiCodes(0).name),
@@ -2819,7 +2863,7 @@ object SparkEntry {
       val claims = graft.streaming.StreamOps.streamingNearDupClaims(
         docs, "doc_id", "text", "ts",
         shingleLen = MhShingle, numHashes = MhHashes, bands = MhBands)
-      withStreamWidth(s, new java.io.File(path).length)(
+      withStreamWidth(s, path)(
         graft.streaming.StreamOps.landUpdates(
           claims.toDF(), s"$out/claims", s"$out/ckpt").awaitTermination())
       // the stream is done: the staged input copy and the checkpoint (the
@@ -2884,7 +2928,7 @@ object SparkEntry {
         .withColumn("et", etCol)
       val counts = graft.streaming.StreamOps.windowedEventCounts(
         ev, "et", "10 seconds", "10 seconds")
-      withStreamWidth(s, new java.io.File(path).length)(
+      withStreamWidth(s, path)(
         graft.streaming.StreamOps.landUpdates(
           counts, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(in)
@@ -2917,7 +2961,7 @@ object SparkEntry {
       val docs = s.readStream.schema(schema).parquet(in.toString)
         .withColumn("ts", timestamp_seconds(col("doc_id") + 1000))
       val kept = graft.streaming.StreamOps.streamingDedup(docs, Seq("text"), "ts")
-      withStreamWidth(s, new java.io.File(path).length)(
+      withStreamWidth(s, path)(
         graft.streaming.StreamOps.writeOpsetStore(
           kept.select("text"), s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(in)
@@ -2957,7 +3001,7 @@ object SparkEntry {
       val sess = graft.streaming.StreamOps.sessionWindowCounts(
         s.readStream.schema(prepped.schema).parquet(in),
         "et", "user_id", "6 hours", "1 hour")
-      withStreamWidth(s, new java.io.File(path).length)(
+      withStreamWidth(s, path)(
         graft.streaming.StreamOps.writeOpsetStore(
           sess, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(java.nio.file.Paths.get(in))
@@ -2994,7 +3038,7 @@ object SparkEntry {
       val regs = Sketches.hllRegisters(
         s.readStream.schema(schema).parquet(in.toString),
         Seq("event_type"), col("user_id"), HllP)
-      withStreamWidth(s, new java.io.File(path).length)(
+      withStreamWidth(s, path)(
         graft.streaming.StreamOps.landUpdates(
           regs, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(in)
@@ -3031,7 +3075,7 @@ object SparkEntry {
         s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
           .parquet(in),
         Seq("event_type"), col("value"), bounds, QuantileBins)
-      withStreamWidth(s, new java.io.File(s"$dir/events.parquet").length)(
+      withStreamWidth(s, s"$dir/events.parquet")(
         graft.streaming.StreamOps.landUpdates(
           cnts, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(java.nio.file.Paths.get(in))
@@ -3061,7 +3105,7 @@ object SparkEntry {
       val out = outPath.toString
       val in = s"$out/in"
       ev.repartition(4).write.parquet(in)
-      withStreamWidth(s, new java.io.File(s"$dir/events.parquet").length)(
+      withStreamWidth(s, s"$dir/events.parquet")(
         graft.streaming.StreamOps.streamingKmv(
           s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
             .parquet(in),
@@ -3089,7 +3133,7 @@ object SparkEntry {
       val out = outPath.toString
       val in = s"$out/in"
       ev.repartition(4).write.parquet(in)
-      withStreamWidth(s, new java.io.File(s"$dir/events.parquet").length)(
+      withStreamWidth(s, s"$dir/events.parquet")(
         graft.streaming.StreamOps.streamingTopK(
           s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
             .parquet(in),
@@ -3122,7 +3166,7 @@ object SparkEntry {
         .schema(s.read.parquet(in).schema).parquet(in)
         .groupBy("user_id", "event_type")
         .agg(max(struct(col("tus"), col("event_id"), col("value"))).as("_m"))
-      withStreamWidth(s, new java.io.File(s"$dir/events.parquet").length)(
+      withStreamWidth(s, s"$dir/events.parquet")(
         graft.streaming.StreamOps.landUpdates(
           stream, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(java.nio.file.Paths.get(in))
@@ -3163,7 +3207,7 @@ object SparkEntry {
         .filter(col("_sd") > 0 && abs(col("_tk") - col("_mu")) > lit(3.0) * col("_sd"))
         .select(col("record"), col("t"), col("value"),
           round((col("_tk") - col("_mu")) / col("_sd"), 6).as("z"))
-      withStreamWidth(s, new java.io.File(s"$dir/events.parquet").length)(
+      withStreamWidth(s, s"$dir/events.parquet")(
         graft.streaming.StreamOps.writeOpsetStore(
           stream, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(java.nio.file.Paths.get(in))
@@ -3198,7 +3242,7 @@ object SparkEntry {
       // elsewhere (this query pre-dated the helper with a pinned 8; the
       // child session makes the set-without-restore safe)
       s.conf.set("spark.sql.shuffle.partitions", math.max(1L,
-        math.min(32768L, new java.io.File(path).length / (8L << 20) + 1)).toString)
+        math.min(32768L, regularFileBytes(path) / (8L << 20) + 1)).toString)
       val schema = s.read.parquet(path).schema
       val outPath = java.nio.file.Files.createTempDirectory("graft-stream-ij")
       deleteAtExit(outPath)
@@ -3261,7 +3305,7 @@ object SparkEntry {
         .as[graft.streaming.StreamOps.SigEvent]
       val am = graft.streaming.StreamOps.runningArgmax(stream)
         .toDF("record", "instant", "best")
-      withStreamWidth(s, new java.io.File(s"$dir/events.parquet").length)(
+      withStreamWidth(s, s"$dir/events.parquet")(
         graft.streaming.StreamOps.landUpdates(
           am, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(java.nio.file.Paths.get(in))
@@ -3978,7 +4022,7 @@ object SparkEntry {
       java.nio.file.Files.copy(java.nio.file.Paths.get(path),
         in.resolve("embeddings.parquet"))
       val stream = s.readStream.schema(schema).parquet(in.toString)
-      withStreamWidth(s, new java.io.File(path).length)(
+      withStreamWidth(s, path)(
         graft.streaming.StreamOps.streamingIvfAssign(
           stream, "embedding", cents, s"$out/rows", s"$out/ckpt").awaitTermination())
       deleteTree(in)

@@ -35,11 +35,25 @@ object Fanout {
     // and probing ITS rdd would pre-execute the repartition's upstream
     // stages under AQE, paying the scan twice. Plan inspection only; no
     // execution.
-    val repartitioned = df.queryExecution.optimizedPlan.collectFirst {
-      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
-      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    // ...and fail-safe guard: a plan with its own exchange-bearing
+    // operators (joins, aggregates, windows, global sorts) is outside the
+    // documented contract — the rdd probe below would MATERIALIZE those
+    // upstream stages under AQE, paying the scan early and possibly
+    // twice. Pass such plans through untouched instead of silently
+    // double-executing; the caller that needs width above an exchange
+    // should pin it below the exchange (see Opset.fromEvents(wide)).
+    // A cached frame (InMemoryRelation leaf) is safe: its probe plans the
+    // cache read without executing the cached subtree.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val guarded = df.queryExecution.optimizedPlan.collectFirst {
+      case r: Repartition => r
+      case r: RepartitionByExpression => r
+      case j: Join => j
+      case a: Aggregate => a
+      case w: Window => w
+      case s: Sort if s.global => s
     }.isDefined
-    if (repartitioned) df
+    if (guarded) df
     else if (df.rdd.getNumPartitions < target) df.repartition(target)
     else df
   }

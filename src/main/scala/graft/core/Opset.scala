@@ -201,7 +201,7 @@ object Opset {
   /** Canonical Opset view of the test `events` table: record = user id,
     * t = 1-based sample index by (ts, event_id), signals = event_type/value.
     */
-  def fromEvents(spark: SparkSession, dir: String): Opset = {
+  def fromEvents(spark: SparkSession, dir: String, wide: Boolean = false): Opset = {
     // The physical type of events.parquet's ts varies by testdata
     // vintage: every graded sf dir (sf0.001/0.01/0.1) stores
     // timestamp[us], which Spark reads as a timestamp type directly,
@@ -229,8 +229,29 @@ object Opset {
     val base = ev.select(
       col("user_id").cast("string").as("record"),
       col("ts"), col("event_id"), col("event_type"), col("value"))
+    // `wide = true` pins the record exchange's width when the scan is
+    // narrower than the session (a floor, like graft.core.Fanout — a
+    // production-scale scan passes through untouched): this exchange is
+    // the ONE shuffle a per-record-EXPENSIVE chain (indicator banks, tube
+    // estimate/score windows) reuses, because each is keyed on `record`
+    // and an explicit repartition above a same-key window is statically
+    // satisfied and planned away — the pin must live below the first
+    // window. Left to ENSURE_REQUIREMENTS, AQE's byte-based coalescing
+    // folds the small-on-the-wire signal table to 1-2 partitions and
+    // serializes every O(w²)-per-row window above it (measured:
+    // instants_multi ran wall = run = cpu on local[32]). Deliberately
+    // opt-in: cheap per-row consumers (the opset_*/plot_* class) LOSE
+    // more to 32 pinned tiny tasks of shuffle-file churn than the width
+    // buys (measured +0.3 s on sub-second rows), which is AQE's case.
+    // row_number per record is partitioning-independent either way.
+    val src = {
+      val target = spark.sparkContext.defaultParallelism
+      if (wide && base.rdd.getNumPartitions < target)
+        base.repartition(target, col("record"))
+      else base
+    }
     val w = Window.partitionBy("record").orderBy("ts", "event_id")
-    Opset(base.select(
+    Opset(src.select(
       col("record"),
       row_number().over(w).cast("long").as("t"),
       col("event_type"),
