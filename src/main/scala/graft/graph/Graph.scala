@@ -248,6 +248,18 @@ object Graph {
   def clustering(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     clusteringImpl(edges, srcCol, dstCol, probe = None)
 
+  /** [[clustering]] (or [[clusteringProbe]]) with the triangle numerator
+    * SUPPLIED by the caller — the count-once-then-coefficient usage: a
+    * user who has already run [[triangles]] (or [[trianglesProbe]]) on
+    * the same edge list joins the coefficient arithmetic onto that
+    * result instead of re-running wedge generation, the dominant cost.
+    * Identical degree aggregation and tick arithmetic as [[clustering]];
+    * bit-identical output when `counts` is the matching triangle table.
+    */
+  def clusteringFromCounts(edges: DataFrame, srcCol: String, dstCol: String,
+                           counts: DataFrame): DataFrame =
+    coefficients(canonical(edges, srcCol, dstCol), counts)
+
   /** [[clustering]] with the triangle NUMERATOR apex-restricted by
     * `probe` (see [[trianglesProbe]]): every vertex still gets a row
     * with its FULL degree, and the coefficient arithmetic is the
@@ -268,9 +280,17 @@ object Graph {
     // needed (and a cache would be wrong here: this is lazy plan
     // construction, any unpersist would fire before evaluation)
     val e0 = canonical(edges, srcCol, dstCol)
+    coefficients(e0, trianglesImpl(e0, "u", "v", probe))
+  }
+
+  /** The coefficient tail shared by [[clusteringImpl]] and
+    * [[clusteringFromCounts]]: degrees over the canonical set `e0`,
+    * left-joined to the triangle numerator, exact 1e-6 ticks.
+    */
+  private def coefficients(e0: DataFrame, counts: DataFrame): DataFrame = {
     val deg = e0.select(col("u").as("node")).unionAll(e0.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    deg.join(trianglesImpl(e0, "u", "v", probe), Seq("node"), "left")
+    deg.join(counts, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         when(col("degree") >= 2,

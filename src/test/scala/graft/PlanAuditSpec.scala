@@ -29,6 +29,11 @@ class PlanAuditSpec extends SparkSpec {
         Seq(a.executedPlan)
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      // a cached frame hides its build plan behind the relation leaf —
+      // descend so audits (pushed filters, join shapes) see the plan
+      // that actually materializes the cache
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(c.relation.cachedPlan)
       case other => other.children
     }
     val self = if (f.isDefinedAt(p)) Seq(f(p)) else Seq.empty

@@ -202,4 +202,24 @@ class GraphSpec extends SparkSpec {
     assert(cs(1L) === 1000000L && cs(2L) === 1000000L)
     assert(cs(3L) === 0L) // triangle-free leaf still gets its row
   }
+
+  test("clusteringFromCounts == clustering when counts is the matching triangle table") {
+    // the count-once-then-coefficient seam (SparkEntry's cached triangle
+    // tables ride through it): supplying triangles(edges) must reproduce
+    // clustering(edges) bit-identically, incl. noisy direction/dup/self-
+    // loop inputs and the probe twin's full-degree/sliced-numerator shape
+    val rnd = new scala.util.Random(13)
+    val edges = (Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)) ++
+      Seq((5L, 5L), (7L, 8L), (8L, 7L))).toDF("s", "d")
+    val full = Graph.clustering(edges, "s", "d").collect().toSet
+    val viaCounts = Graph.clusteringFromCounts(edges, "s", "d",
+      Graph.triangles(edges, "s", "d")).collect().toSet
+    assert(viaCounts === full)
+    val probe: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      a => substring(md5(a.cast("string")), 1, 1) === "a"
+    val probeFull = Graph.clusteringProbe(edges, "s", "d", probe).collect().toSet
+    val probeVia = Graph.clusteringFromCounts(edges, "s", "d",
+      Graph.trianglesProbe(edges, "s", "d", probe)).collect().toSet
+    assert(probeVia === probeFull)
+  }
 }
