@@ -78,12 +78,41 @@ def rot_expr(col, k):
     return f"translate({col}, '{src}', '{dst}')"
 
 
+def write_embeddings(con, src, out, factor):
+    em = f"read_parquet('{src}/embeddings.parquet')"
+    v_shift = con.sql(f"SELECT max(vec_id) + 1 FROM {em}").fetchone()[0]
+    dim = con.sql(f"SELECT len(embedding) FROM {em} LIMIT 1").fetchone()[0]
+    cols = [c for c in con.sql(f"SELECT * FROM {em} LIMIT 0").columns
+            if c not in ("vec_id", "embedding")]
+    extra = (", " + ", ".join(cols)) if cols else ""
+
+    def perm_expr(k):
+        # copy 0 is the identity (originals preserved bit-for-bit); copy k
+        # permutes coordinates by i -> a_k*i + k (mod dim), a bijection
+        # because gcd(a_k, dim) = 1
+        if k == 0:
+            return "embedding"
+        import math
+        a = k + 2
+        while math.gcd(a, dim) != 1:
+            a += 1
+        return (f"list_transform(range(1, {dim} + 1),"
+                f" i -> embedding[(({a} * (i - 1) + {k % dim}) % {dim}) + 1])")
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT vec_id + {k * v_shift} AS vec_id,"
+        f" {perm_expr(k)} AS embedding"
+        f"{extra} FROM {em}" for k in range(factor))
+    con.execute(f"COPY ({arms}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+
+
 def main():
     src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
     # --events-only/--docs-only early-return before the --tpch branch and
     # the plain-table copies, so combining them with --tpch would silently
     # ignore --tpch; reject the combination loudly instead of half-obeying
-    only = [f for f in ("--events-only", "--docs-only", "--lineitem-only")
+    only = [f for f in ("--events-only", "--docs-only", "--lineitem-only",
+                        "--embeddings-only")
             if f in sys.argv]
     if len(only) > 1 or (only and "--tpch" in sys.argv):
         sys.exit(f"make_sfN.py: {' + '.join(only + ['--tpch'] if '--tpch' in sys.argv else only)} "
@@ -109,6 +138,13 @@ def main():
         con.execute(f"COPY ({arms0}) TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
         n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/lineitem.parquet')").fetchone()[0]
         print(f"lineitem: {n} rows")
+        return
+
+    if "--embeddings-only" in sys.argv:
+        # the ANN decade fixture (ann_probe_auto's ×100 race) without
+        # paying events/documents replication for tables the row never
+        # touches; identical permutation semantics to the full path below
+        write_embeddings(con, src, out, factor)
         return
 
     if "--docs-only" in sys.argv:
@@ -153,31 +189,7 @@ def main():
         f" lang, source, n_chars FROM {dc}" for k in range(factor))
     con.execute(f"COPY ({arms}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
 
-    em = f"read_parquet('{src}/embeddings.parquet')"
-    v_shift = con.sql(f"SELECT max(vec_id) + 1 FROM {em}").fetchone()[0]
-    dim = con.sql(f"SELECT len(embedding) FROM {em} LIMIT 1").fetchone()[0]
-    cols = [c for c in con.sql(f"SELECT * FROM {em} LIMIT 0").columns
-            if c not in ("vec_id", "embedding")]
-    extra = (", " + ", ".join(cols)) if cols else ""
-
-    def perm_expr(k):
-        # copy 0 is the identity (originals preserved bit-for-bit); copy k
-        # permutes coordinates by i -> a_k*i + k (mod dim), a bijection
-        # because gcd(a_k, dim) = 1
-        if k == 0:
-            return "embedding"
-        import math
-        a = k + 2
-        while math.gcd(a, dim) != 1:
-            a += 1
-        return (f"list_transform(range(1, {dim} + 1),"
-                f" i -> embedding[(({a} * (i - 1) + {k % dim}) % {dim}) + 1])")
-
-    arms = "\nUNION ALL\n".join(
-        f"SELECT vec_id + {k * v_shift} AS vec_id,"
-        f" {perm_expr(k)} AS embedding"
-        f"{extra} FROM {em}" for k in range(factor))
-    con.execute(f"COPY ({arms}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    write_embeddings(con, src, out, factor)
 
     # --tpch: ALSO scale orders + lineitem (factor copies with shifted
     # keys) so the graph fixtures (co-purchase triangles, k-core, the
