@@ -26,6 +26,7 @@ def main():
             raise SystemExit(f"unknown queries: {missing}")
         oracles = {n: oracles[n] for n in names}
     con = duckdb.connect()
+    con.execute("SET temp_directory = '/tmp/duck_spill'")  # allow spill (in-memory conns cannot otherwise)
     con.execute(f"SET threads TO {os.cpu_count()}")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"

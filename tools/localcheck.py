@@ -23,6 +23,9 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # an in-memory connection cannot spill without a temp dir, so a
+    # big-fixture check dies on OOM instead of honestly spilling
+    con.execute("SET temp_directory = '/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
