@@ -256,12 +256,14 @@ object SparkEntry {
     triCache.getOrElseUpdate((s, dir),
       graft.graph.Graph.triangles(cachedCoPurchaseEdges(s, dir), "p1", "p2").cache())
   }
-  // NOTE: the PROBE triangle table is deliberately NOT cached — the
-  // probe slice is 1/16 of wedge volume, so the recompute its consumer
-  // (graph_clustering_probe) would save is smaller than the fixed cost
-  // of materializing the cache (measured on the full board: the cached
-  // form cost the probe pair ~+0.3 s net). Both probe queries still
-  // read the shared edge cache.
+  private val triProbeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedTrianglesProbe(s: SparkSession, dir: String): DataFrame = {
+    evictStopped(); hookCleanup(s)
+    triProbeCache.getOrElseUpdate((s, dir),
+      graft.graph.Graph.trianglesProbe(cachedCoPurchaseEdges(s, dir), "p1", "p2",
+        a => substring(md5(a.cast("string")), 1, 1) === GraphProbeResidue).cache())
+  }
 
   /** IVF coarse-quantizer centroids per (sf dir, k, iters), trained once
     * and cached: FIVE ivf queries (search, recall, index write/append,
@@ -314,6 +316,7 @@ object SparkEntry {
     phashCache.keys.filter(stopped).foreach(phashCache.remove)
     graphEdgesCache.keys.filter(stopped).foreach(graphEdgesCache.remove)
     triCache.keys.filter(stopped).foreach(triCache.remove)
+    triProbeCache.keys.filter(stopped).foreach(triProbeCache.remove)
   }
 
   /** Sessions whose context already carries the eviction listener, weakly
@@ -344,6 +347,7 @@ object SparkEntry {
           phashCache.keys.filter(_._1 eq s).foreach(phashCache.remove)
           graphEdgesCache.keys.filter(_._1 eq s).foreach(graphEdgesCache.remove)
           triCache.keys.filter(_._1 eq s).foreach(triCache.remove)
+          triProbeCache.keys.filter(_._1 eq s).foreach(triProbeCache.remove)
           dsirCache.keys.filter(_._1 eq s).foreach(dsirCache.remove)
           centroidCache.keys.filter(_._1 eq s).foreach(centroidCache.remove)
         }
@@ -368,6 +372,8 @@ object SparkEntry {
       graphEdgesCache.remove(k).foreach(_.unpersist(false)))
     triCache.keys.filter(_._1 eq s).foreach(k =>
       triCache.remove(k).foreach(_.unpersist(false)))
+    triProbeCache.keys.filter(_._1 eq s).foreach(k =>
+      triProbeCache.remove(k).foreach(_.unpersist(false)))
     dsirCache.keys.filter(_._1 eq s).foreach(k =>
       dsirCache.remove(k).foreach(_.unpersist(false)))
     centroidCache.keys.filter(_._1 eq s).foreach(centroidCache.remove)
@@ -3613,17 +3619,17 @@ object SparkEntry {
     // hash-grades the orientation machinery at the graph decade where
     // the full oracle dies on ~70 GB of wedge spill (BENCH_SF1, sfg10).
     "graph_triangles_probe" -> { (s, dir) =>
-      graft.graph.Graph.trianglesProbe(cachedCoPurchaseEdges(s, dir), "p1", "p2",
-          a => substring(md5(a.cast("string")), 1, 1) === GraphProbeResidue)
-        .orderBy("node")
+      cachedTrianglesProbe(s, dir).orderBy("node")
     },
 
     // The clustering twin: full degrees, identical tick arithmetic, the
     // numerator over the apex slice — grades the coefficient machinery
     // end-to-end at the same 1/16 wedge cost.
     "graph_clustering_probe" -> { (s, dir) =>
-      graft.graph.Graph.clusteringProbe(cachedCoPurchaseEdges(s, dir), "p1", "p2",
-          a => substring(md5(a.cast("string")), 1, 1) === GraphProbeResidue)
+      // coefficient over the cached PROBE numerator — bit-identical to
+      // Graph.clusteringProbe(edges) (full degrees, sliced n_tri)
+      graft.graph.Graph.clusteringFromCounts(cachedCoPurchaseEdges(s, dir),
+          "p1", "p2", cachedTrianglesProbe(s, dir))
         .orderBy("node")
     },
 
